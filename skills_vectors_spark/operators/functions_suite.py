@@ -1,1 +1,205 @@
-"""(stub — filled in during build)"""
+"""Scalar function families (SURVEY §2.B "fn_*").
+
+Each family is one declared query exercising the JVM-side builtin
+functions the engine standardizes on — no Python UDFs anywhere in
+this module; everything stays inside whole-stage codegen.
+
+Reference anchors: text cleanup before embedding (A5,
+/root/reference/create_skill_embeddings.py:12,16), id concat
+(load_skill_vectors_pg.py:29), cosine/L2 math (skills_for_jobs.py:
+175-176), vector string literals (A22, :146-150,313,385), JSON-ish
+metadata payloads (load_skill_vectors_qdrant.py:53-56).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skills_vectors_spark import sources
+from skills_vectors_spark.functions.vector import cosine_sim, l2_dist
+from skills_vectors_spark.registry import register
+
+
+@register(
+    "fn_string",
+    """
+    SELECT doc_id,
+           lower(substring(replace(text, chr(10), ' '), 1, 40)) AS head_lc,
+           CAST(length(text) AS BIGINT) AS n_len,
+           concat_ws('-', lang, source) AS lang_src,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens_ws,
+           replace(upper(source), 'SRC', 'S') AS src_code
+    FROM documents
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: replace/lower/substring/length/concat_ws — the
+    reference's newline-scrub before embedding (A5) plus id synthesis
+    (load_skill_vectors_pg.py:29)."""
+    d = sources.load(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace("text", "\n", " ")
+    return d.select(
+        "doc_id",
+        F.lower(F.substring(scrubbed, 1, 40)).alias("head_lc"),
+        F.length("text").cast("long").alias("n_len"),
+        F.concat_ws("-", "lang", "source").alias("lang_src"),
+        (F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1)
+        .cast("long")
+        .alias("n_tokens_ws"),
+        F.regexp_replace(F.upper("source"), "SRC", "S").alias("src_code"),
+    )
+
+
+@register(
+    "fn_date",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mth,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family over o_orderdate (ms-precision — safe across
+    engines, unlike events.ts ns)."""
+    o = sources.load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mth"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_95"),
+    )
+
+
+@register(
+    "fn_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) / 100 AS charge,
+           round(sqrt(l_extendedprice) * 1e6) / 1e6 AS sqrt_price,
+           round(pow(l_quantity, 2) * 100) / 100 AS qty_sq,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_bucket,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(CAST(l_orderkey AS BIGINT) % 7 AS BIGINT) AS key_mod
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic family — the TPC-H charge expression plus pow/sqrt
+    (the building blocks of the distance macros, A14/A15)."""
+    li = sources.load(spark, sf_dir, "lineitem")
+    # fractional rounding via scale-then-round-to-integer: Spark's
+    # round(x, n) uses the exact decimal expansion of the double while
+    # DuckDB's re-scales (round(x*10^n)/10^n) — only the latter form is
+    # bit-identical across engines, so declared queries use it too.
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.round(charge * 100) / 100).alias("charge"),
+        (F.round(F.sqrt("l_extendedprice") * 1e6) / 1e6).alias("sqrt_price"),
+        (F.round(F.pow("l_quantity", F.lit(2)) * 100) / 100).alias("qty_sq"),
+        F.ceil(F.col("l_extendedprice") / 1000).cast("long").alias("price_bucket"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        (F.col("l_orderkey") % 7).cast("long").alias("key_mod"),
+    )
+
+
+@register(
+    "fn_array",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS n_dims,
+           round(embedding[1]::DOUBLE, 6) AS e0,
+           round(list_aggregate(embedding::DOUBLE[], 'sum'), 6) AS sum_all,
+           round(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum'), 6)
+             AS sum_sq,
+           round(list_aggregate(embedding[1:8]::DOUBLE[], 'sum'), 6) AS sum_head8
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order family over the embedding column — size,
+    element access, aggregate, transform, slice (A14's building
+    blocks; replaces the reference's string round-trip A22)."""
+    e = sources.load(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.round(F.element_at(dbl, 1), 6).alias("e0"),
+        F.round(F.aggregate(dbl, F.lit(0.0), lambda s, x: s + x), 6).alias("sum_all"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda s, x: s + x * x),
+            6,
+        ).alias("sum_sq"),
+        F.round(
+            F.aggregate(F.slice(dbl, 1, 8), F.lit(0.0), lambda s, x: s + x), 6
+        ).alias("sum_head8"),
+    )
+
+
+@register(
+    "fn_json",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props payload (A22's serialized
+    metadata, qdrant payload load_skill_vectors_qdrant.py:53-56)."""
+    ev = sources.load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id", "event_type", k.alias("prop_k"), (k % 10).alias("k_mod")
+    )
+
+
+@register(
+    "fn_cosine",
+    """
+    SELECT a.vec_id,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cos_next
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """,
+)
+def fn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-similarity macro on consecutive vector pairs (A14,
+    skills_for_jobs.py:175-176). Pure codegen expression."""
+    e = sources.load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id"), F.col("embedding").alias("ea"))
+    b = e.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("eb"))
+    return a.join(b, "vec_id").select(
+        "vec_id", F.round(cosine_sim("ea", "eb"), 6).alias("cos_next")
+    )
+
+
+@register(
+    "fn_l2",
+    """
+    SELECT a.vec_id,
+           round(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS l2_next
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """,
+)
+def fn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-distance macro on consecutive vector pairs (A15, Milvus L2
+    metric load_skill_vectors_milvus.py:55-59)."""
+    e = sources.load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id"), F.col("embedding").alias("ea"))
+    b = e.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("eb"))
+    return a.join(b, "vec_id").select(
+        "vec_id", F.round(l2_dist("ea", "eb"), 6).alias("l2_next")
+    )

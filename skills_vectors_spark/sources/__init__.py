@@ -125,7 +125,20 @@ SCHEMAS: dict[str, T.StructType] = {
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one corpus table. Plain parquet scan — Catalyst handles
     predicate pushdown / column pruning from whatever the caller
-    selects downstream."""
+    selects downstream.
+
+    events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
+    outright; read it as a long (legacy conf) and truncate to the
+    engine's µs TimestampType with integer division — the same
+    truncation DuckDB applies on CAST(ts_ns AS TIMESTAMP), so oracle
+    comparisons line up exactly.
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
