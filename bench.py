@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query executes fully via the noop sink (no result serialization
+to Python — measures the engine, not the driver pickle path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from skills_vectors_spark import registry
+from skills_vectors_spark.session import get_spark
+
+registry.load_all()
+
+HEADLINE = [
+    "knn_exact",
+    "knn_exact_l2",
+    "ann_lsh",
+    "ann_ivf",
+    "eval_recall",
+    "report_pivot",
+    "embed_knn_pipeline",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embed_cosine_blas",
+    "sim_topk_bruteforce",
+    "text_stats",
+    "lang_id",
+    "quality_score",
+    "agg_hash",
+    "agg_rollup",
+    "join_inner_hash",
+    "join_cross_topk",
+    "win_rank_topk",
+    "win_running",
+    "sort_limit",
+    "stream_tumbling",
+    "stream_session",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers with one tiny action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,304 @@
-"""(stub — filled in during build)"""
+"""Deduplication operator family (BASELINE.json north star: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup).
+
+Generalizes the reference's in-list dedup (A16,
+/root/reference/skills_for_jobs.py:371-379) to corpus-level content
+dedup. Two tiers per technique:
+
+  * an ORACLE-CHECKED exact formulation (inverted-index n-gram
+    Jaccard, all-pairs embedding cosine) that defines ground truth,
+  * the SCALE formulation (MinHash banding, SimHash chunk blocking)
+    whose candidate generation is subquadratic — the only shape that
+    survives 100 TB — validated against the exact tier by recall
+    tests instead of SQL.
+
+Skew note: inverted-index joins on shingles are skewed by stop-
+shingles; `shingle_df` supports a document-frequency cap (drop
+shingles appearing in > max_df docs) — they contribute almost no
+Jaccard discrimination but dominate pair-generation cost. Off in
+oracle queries (semantics!), on by default in the MinHash path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skills_vectors_spark import sources
+from skills_vectors_spark.functions.text import normalize_text, word_shingles
+from skills_vectors_spark.functions.vector import cosine_sim
+from skills_vectors_spark.registry import register
+
+# shared DuckDB fragments (tokenization contract, see textstats.py)
+D_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+D_TOKENS = f"string_split({D_NORM}, ' ')"
+# word 3-shingles in DuckDB: list slicing is inclusive, t[i:i+2] = 3 tokens
+D_SHINGLES = (
+    f"list_transform(range(1, greatest(len({D_TOKENS}) - 2, 1) + 1),"
+    f" i -> array_to_string({D_TOKENS}[i:i+2], ' '))"
+)
+
+JACCARD_THRESHOLD = 0.3
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT md5({D_NORM}) AS text_md5,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5({D_NORM})
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash of normalized text: one row per
+    distinct content, keeping the lowest doc_id (keep-first semantics,
+    ref A16). Hash-group-by = one shuffle on a 32-byte key regardless
+    of document size — the 100 TB exact-dedup idiom."""
+    d = sources.load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.encode(normalize_text("text"), "UTF-8")).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingle_df(
+    spark: SparkSession, sf_dir: str, n: int = 3, max_df: int | None = None
+) -> DataFrame:
+    """(doc_id, shingle) exploded distinct word-n-gram table — the
+    inverted index both Jaccard tiers build on. Input is repartitioned
+    before the explode: the explode expands ~100x and the source
+    parquet is a single scan partition."""
+    d = sources.load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles("text", n))).alias("s")
+    )
+    if max_df is not None:
+        df_counts = sh.groupBy("s").agg(F.count("*").alias("df"))
+        sh = sh.join(F.broadcast(df_counts.filter(F.col("df") <= max_df)), "s", "left_semi")
+    return sh
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({D_SHINGLES}) AS s FROM documents
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(i::DOUBLE / (sa.n + sb.n - i) * 1e6) / 1e6 AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE i::DOUBLE / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join:
+    explode distinct 3-shingles, self-join on shingle (only docs
+    sharing a shingle ever meet — no all-pairs), count intersections,
+    Jaccard = i / (|A| + |B| - i). The ground truth the MinHash tier
+    is scored against."""
+    sh = shingle_df(spark, sf_dir)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sza), "doc_a")
+        .join(F.broadcast(szb), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", (F.round(jac * 1e6) / 1e6).alias("jaccard"))
+    )
+
+
+# ------------------------------------------------------------ MinHash + LSH
+
+N_PERM = 128  # signature length
+N_BANDS = 32  # 32 bands x 4 rows -> catches jaccard >~ 0.3 w.h.p.
+# Mersenne-31 keeps (a * h + b) < 2^62: no int64 overflow under ANSI
+# mode; 31-bit hash space is ample for per-permutation min-hashing.
+_MERSENNE = (1 << 31) - 1
+
+
+def _perms(seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(N_PERM)]
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, sig array<long>[N_PERM]) from the exploded shingle
+    table. One aggregation: min((a*h + b) mod p) per permutation,
+    where h = xxhash64(shingle) — all JVM-side, partial-aggregated
+    (each executor folds its local shingles before the shuffle, so
+    shuffle volume is n_docs x N_PERM regardless of corpus size)."""
+    h = F.pmod(F.xxhash64("s"), F.lit(_MERSENNE))
+    aggs = [
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perms())
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    return sigs.select("doc_id", F.array(*[f"m{i}" for i in range(N_PERM)]).alias("sig"))
+
+
+@register("dedup_minhash")  # rows-only: hash-seeded, not SQL-expressible
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection — the subquadratic
+    scale path (ref A11's ANN-index idea applied to dedup). Signature
+    -> 32 bands of 4 rows -> candidate pairs from band-bucket
+    collisions only -> exact Jaccard verification of candidates.
+    Verified against dedup_ngram_jaccard by a recall unit test."""
+    sh = shingle_df(spark, sf_dir).persist()
+    sigs = minhash_signatures(sh)
+    rows_per_band = N_PERM // N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification of candidates via the inverted index
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))), "doc_a")
+        .join(F.broadcast(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", (F.round(jac * 1e6) / 1e6).alias("jaccard"))
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+
+
+@register("dedup_simhash")  # rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signature = sign of per-bit vote over
+    token xxhash64s; candidate pairs must share one of four 16-bit
+    chunks (pigeonhole: hamming<=3 implies an identical chunk);
+    verified by bit_count(xor) <= 3. Token hashing and bit votes stay
+    JVM-side; chunk blocking makes candidate generation subquadratic."""
+    d = sources.load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    # per-bit votes: sum(+1 if bit set else -1) over tokens, 64 bits
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    # assemble signature: set bit b when vote > 0 (bit 63 kept zero to
+    # stay in positive long range under ANSI overflow checking)
+    sig = F.lit(0).cast("long")
+    for b in range(63):
+        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    sigs = votes.select("doc_id", sig.alias("sig"))
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_pos", "chunk"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk_pos", "chunk"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.sig").alias("sig_a"),
+            F.col("y.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ------------------------------------------------- embedding-cosine near-dup
+
+COSINE_DUP_THRESHOLD = 0.4
+
+
+@register(
+    "dedup_embed_cosine",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1e6)
+             / 1e6 AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs formulation
+    (the oracle tier; ann_lsh in operators/ann.py is the bucketed
+    scale tier). Self-join upper triangle + codegen cosine."""
+    e = sources.load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    cos = cosine_sim("ea", "eb")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= COSINE_DUP_THRESHOLD)
+        .select("id_a", "id_b", (F.round(F.col("cos_raw") * 1e6) / 1e6).alias("cos_sim"))
+    )

@@ -1,1 +1,113 @@
-"""(stub — filled in during build)"""
+"""Embedding stage — the Spark rendering of the reference's
+create_*_embeddings.py scripts (E2): text column in, dense vector
+column out.
+
+The reference loops rows and calls a remote embedding API one row at
+a time (/root/reference/create_skill_embeddings.py:37-43, provider
+switch :11-20). Here the provider client is replaced by a
+deterministic hash-projection mock (hermetic tests, no network); the
+*Spark plumbing is the real design*: mapInPandas over Arrow batches,
+one "client" per partition, vectorized batch requests — swap
+`_mock_embed_batch` for a real HTTP client and the operator is
+production-shaped (batch size = Arrow batch, connection reuse per
+partition, no driver round-trips).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from skills_vectors_spark import sources
+from skills_vectors_spark.registry import register
+
+EMBED_DIM = 32
+_PROVIDER = "mock-hash-v1"  # stands in for openai ada-002 / gemini embedding-001
+
+
+def _mock_embed_batch(texts: pd.Series, dim: int = EMBED_DIM) -> list[list[float]]:
+    """Deterministic unit-norm embedding per text: seed an RNG from the
+    md5 of the text so the vector depends only on content (row order
+    and partitioning never change results)."""
+    out = []
+    for t in texts:
+        seed = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+        v = np.random.default_rng(seed).standard_normal(dim)
+        v /= np.linalg.norm(v)
+        out.append(v.astype(np.float32).tolist())
+    return out
+
+
+_EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("provider", T.StringType()),
+    ]
+)
+
+
+def embed_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """text -> embedding via Arrow-batched mapInPandas (the E2 shape)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-partition setup: a real impl creates its API client here
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "embedding": _mock_embed_batch(pdf[text_col]),
+                    "provider": _PROVIDER,
+                }
+            )
+
+    # spread the (often single-partition) input so embedding batches
+    # run on every core / executor, not one
+    spread = df.select(id_col, text_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(run, _EMBED_SCHEMA)
+
+
+@register("embed_mock")  # rows-only: hash-seeded RNG isn't SQL-expressible
+def embed_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mock-embed the documents table (A6). Returns doc_id + unit-norm
+    float32 vector + provider tag; fully deterministic."""
+    return embed_documents(sources.load(spark, sf_dir, "documents"))
+
+
+@register("embed_knn_pipeline")  # rows-only (depends on embed_mock vectors)
+def embed_knn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end flagship pipeline: embed documents -> top-5 cosine
+    neighbors per query doc — the full E2+E1 composition (embed ->
+    index -> search -> rank) of the reference, in one declarative
+    plan. First 10 docs act as 'jobs', the corpus as 'skills'
+    (skills_for_jobs.py:416-433)."""
+    from pyspark.sql import Window
+    from skills_vectors_spark.functions.vector import cosine_sim
+
+    emb = embed_mock(spark, sf_dir)
+    q = emb.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("doc_id").alias("c_id"), F.col("embedding").alias("c_emb")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("score", cosine_sim("q_emb", "c_emb"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "rnk", "c_id", (F.round(F.col("score") * 1e6) / 1e6).alias("cos_sim"))
+    )

@@ -50,7 +50,11 @@ def ranked_knn(
     corpus_cols = [F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")]
     if with_label:
         corpus_cols.append(F.col("label"))
-    corpus = emb.select(*corpus_cols)
+    # repartition the corpus before the expansion join: the parquet is
+    # one small file (one scan partition) and the join multiplies rows
+    # by n_queries — pre-spreading keeps the interpreted HOF distance
+    # fold parallel across all cores/executors
+    corpus = emb.select(*corpus_cols).repartition(spark.sparkContext.defaultParallelism)
 
     joined = corpus.crossJoin(F.broadcast(q)).where(F.col("q_id") != F.col("c_id"))
     if metric == "cosine":

@@ -284,7 +284,14 @@ def join_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar metric (ref A12/A13). Same WindowGroupLimit scale path as
     knn_exact: local top-k per partition before the shuffle."""
     s = sources.load(spark, sf_dir, "supplier")
-    c = sources.load(spark, sf_dir, "customer")
+    # the corpus parquet is one small file = ONE scan partition; the
+    # cross join expands it 1000x, so repartition BEFORE the expansion
+    # or the whole blow-up (and its sort) runs single-threaded. AQE
+    # cannot split a stage that is already running — expansion inputs
+    # must be pre-spread.
+    c = sources.load(spark, sf_dir, "customer").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     scored = c.crossJoin(F.broadcast(s)).withColumn(
         "d", F.abs(F.col("s_acctbal") - F.col("c_acctbal"))
     )

@@ -1,1 +1,237 @@
-"""(stub — filled in during build)"""
+"""Text-analysis operators over the documents table (the LLM-data-
+pipeline surface from BASELINE.json: language-ID, quality scoring,
+token counting, fingerprinting, corpus stats).
+
+Generalizes the reference's text handling (A5 newline scrub,
+/root/reference/create_skill_embeddings.py:12,16; the embedded
+`level_description`/`gpt_job_description` text columns). Everything
+is Catalyst built-ins — at 100 TB these run inside whole-stage
+codegen with zero Python; the only shuffle is the final group-by.
+
+Tokenization contract (must match the DuckDB oracles exactly):
+norm = trim(regexp_replace(lower(text), '\\s+', ' ')); tokens =
+split(norm, ' ').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skills_vectors_spark import sources
+from skills_vectors_spark.functions.text import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    normalize_text,
+    stopword_hits,
+    token_count,
+    tokens,
+)
+from skills_vectors_spark.registry import register
+
+# DuckDB fragments mirroring functions/text.py (regexp_replace needs
+# the 'g' flag in DuckDB; Spark's is global by default).
+D_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+D_TOKENS = f"string_split({D_NORM}, ' ')"
+
+
+def _d_stop_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({D_TOKENS}, x -> list_contains([{words}], x)))"
+
+
+@register(
+    "text_stats",
+    f"""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({D_TOKENS})) AS BIGINT) AS total_tokens,
+           round(avg(n_chars) * 100) / 100 AS avg_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per (lang, source) — doc counts, token totals,
+    char distribution (SURVEY §2.B text_stats)."""
+    d = sources.load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+        (F.round(F.avg("n_chars") * 100) / 100).alias("avg_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+@register(
+    "token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len({D_TOKENS}) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex
+    (word-pieces + single digits + punctuation — the common GPT-2-style
+    pre-tokenizer heuristic). Pure regexp_count, no tokenizer lib."""
+    d = sources.load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens_ws"),
+        bpe_ish_token_count("text").alias("n_tokens_bpe"),
+    )
+
+
+# language-ID decision chain shared between engines: zh by CJK chars,
+# then argmax of stopword hits with priority en > es > de > fr.
+_CJK = "[一-鿿]"
+
+
+@register(
+    "lang_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '{_CJK}')) AS zh,
+             {_d_stop_hits("en")} AS en, {_d_stop_hits("es")} AS es,
+             {_d_stop_hits("de")} AS de, {_d_stop_hits("fr")} AS fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN zh > 0 THEN 'zh'
+                WHEN en = 0 AND es = 0 AND de = 0 AND fr = 0 THEN 'und'
+                WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+                WHEN es >= de AND es >= fr THEN 'es'
+                WHEN de >= fr THEN 'de'
+                ELSE 'fr' END AS lang_pred,
+           CAST(CASE WHEN lang = (CASE WHEN zh > 0 THEN 'zh'
+                WHEN en = 0 AND es = 0 AND de = 0 AND fr = 0 THEN 'und'
+                WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+                WHEN es >= de AND es >= fr THEN 'es'
+                WHEN de >= fr THEN 'de'
+                ELSE 'fr' END) THEN 1 ELSE 0 END AS INT) AS is_correct
+    FROM scored
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language identification: CJK character presence for
+    zh, stopword-hit argmax for en/es/de/fr (n-gram-heuristic family;
+    north-star text analysis). Deterministic priority tie-break."""
+    d = sources.load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.regexp_count("text", F.lit(_CJK)).alias("zh"),
+        stopword_hits("text", "en").alias("en"),
+        stopword_hits("text", "es").alias("es"),
+        stopword_hits("text", "de").alias("de"),
+        stopword_hits("text", "fr").alias("fr"),
+    )
+    zh, en, es, de, fr = [F.col(c) for c in ("zh", "en", "es", "de", "fr")]
+    pred = (
+        F.when(zh > 0, "zh")
+        .when((en == 0) & (es == 0) & (de == 0) & (fr == 0), "und")
+        .when((en >= es) & (en >= de) & (en >= fr), "en")
+        .when((es >= de) & (es >= fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        F.when(F.col("lang") == pred, 1).otherwise(0).cast("int").alias("is_correct"),
+    )
+
+
+@register(
+    "quality_score",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             least(n_chars / 500.0, 1.0) AS len_score,
+             len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+               / greatest(length(text), 1) AS punct_ratio,
+             len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+               / greatest(length(text), 1) AS digit_ratio,
+             {_d_stop_hits("en")}::DOUBLE
+               / greatest(len({D_TOKENS}), 1) AS stop_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           round(len_score * 1e6) / 1e6 AS len_score,
+           round(punct_ratio * 1e6) / 1e6 AS punct_ratio,
+           round(digit_ratio * 1e6) / 1e6 AS digit_ratio,
+           round((0.4 * len_score
+                + 0.3 * (1 - least(5 * punct_ratio, 1.0))
+                + 0.3 * least(10 * stop_ratio, 1.0)) * 1e6) / 1e6 AS quality
+    FROM feats
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring from length / punctuation / digit /
+    stopword ratios — the standard pretraining-data quality heuristic
+    family (north-star text analysis)."""
+    d = sources.load(spark, sf_dir, "documents")
+    n_tok = F.greatest(F.size(tokens("text")), F.lit(1)).cast("double")
+    length = F.greatest(F.length("text"), F.lit(1)).cast("double")
+    feats = d.select(
+        "doc_id",
+        F.least(F.col("n_chars") / 500.0, F.lit(1.0)).alias("len_score"),
+        (F.regexp_count("text", F.lit(r"[^\w\s]")).cast("double") / length).alias("punct_ratio"),
+        (F.regexp_count("text", F.lit(r"[0-9]")).cast("double") / length).alias("digit_ratio"),
+        (stopword_hits("text", "en").cast("double") / n_tok).alias("stop_ratio"),
+    )
+    r6 = lambda c: F.round(c * 1e6) / 1e6  # noqa: E731
+    return feats.select(
+        "doc_id",
+        r6(F.col("len_score")).alias("len_score"),
+        r6(F.col("punct_ratio")).alias("punct_ratio"),
+        r6(F.col("digit_ratio")).alias("digit_ratio"),
+        r6(
+            0.4 * F.col("len_score")
+            + 0.3 * (1 - F.least(5 * F.col("punct_ratio"), F.lit(1.0)))
+            + 0.3 * F.least(10 * F.col("stop_ratio"), F.lit(1.0))
+        ).alias("quality"),
+    )
+
+
+@register(
+    "fingerprint",
+    f"""
+    SELECT doc_id, md5({D_NORM}) AS fp,
+           substr(md5({D_NORM}), 1, 8) AS fp_bucket
+    FROM documents
+    """,
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (the canonical exact-dedup key), plus an 8-hex prefix bucket for
+    shard-local grouping. Content-defined, order-independent —
+    partitioning by fp_bucket co-locates duplicates at any scale."""
+    d = sources.load(spark, sf_dir, "documents")
+    fp = F.md5(F.encode(normalize_text("text"), "UTF-8"))
+    return d.select("doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp_bucket"))
+
+
+def _rolling_hash(c: Column) -> Column:
+    """Polynomial rolling hash over tokens, mod 1e9+7 (overflow-safe
+    under ANSI mode). Not SQL-oracle'd: DuckDB's list_reduce has no
+    initial-value form."""
+    return F.aggregate(
+        c,
+        F.lit(0).cast("long"),
+        lambda h, t: (h * 31 + F.ascii(t) + F.length(t)) % 1000000007,
+    )
+
+
+@register("fingerprint_rolling")  # rows-only
+def fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash fingerprint over the token stream —
+    order-sensitive (catches reorderings md5-of-sorted misses)."""
+    d = sources.load(spark, sf_dir, "documents")
+    return d.select("doc_id", _rolling_hash(tokens("text")).alias("rolling_fp"))

@@ -36,6 +36,7 @@ def load_all() -> None:
     import skills_vectors_spark.operators.knn  # noqa: F401
     import skills_vectors_spark.operators.ann  # noqa: F401
     import skills_vectors_spark.operators.dedup  # noqa: F401
+    import skills_vectors_spark.operators.vector_blas  # noqa: F401
     import skills_vectors_spark.operators.textstats  # noqa: F401
     import skills_vectors_spark.operators.embed  # noqa: F401
     import skills_vectors_spark.operators.multimodal  # noqa: F401

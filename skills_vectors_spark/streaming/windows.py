@@ -1,1 +1,172 @@
-"""(stub)"""
+"""Structured Streaming window family over the events table (SURVEY
+§2.9 / M4 — the north-star streaming surface; the reference is
+batch-only, so these generalize its per-row loop metrics A7 into
+real stateful stream processing).
+
+Each declared query actually RUNS a streaming query: file source ->
+windowed stateful aggregation -> memory sink, driven to completion
+with processAllAvailable() (the documented local test pattern). The
+oracles are the batch-equivalent GROUP BYs — for a bounded input that
+has fully arrived, streaming and batch semantics must agree, which is
+exactly what the driver's hash compare certifies.
+
+Scale: state lives in the state store keyed by (window, key);
+watermarks bound state size — without them an unbounded stream grows
+state forever. On a cluster the same code shards state by key hash
+across executors.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from skills_vectors_spark.registry import register
+
+# streaming file source needs an explicit schema; ts arrives as raw
+# nanos (see sources.load) and is truncated to the engine's µs.
+_EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source requires a directory: scan sf_dir with a glob
+    # filter so only the events table streams in
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_completion(agg: DataFrame, mode: str = "complete") -> DataFrame:
+    """Start -> drain -> stop a streaming aggregation against a memory
+    sink; return the final result as a batch DataFrame."""
+    name = f"svs_mem_{uuid.uuid4().hex[:12]}"
+    q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = agg.sparkSession
+    return spark.table(name)
+
+
+@register(
+    "stream_tumbling",
+    """
+    SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value) * 100) / 100 AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-minute tumbling-window counts/sums per event_type, computed by
+    an actual streaming query with a 10-minute watermark."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute"), "event_type")
+        .agg(F.count("*").alias("n"), (F.round(F.sum("value") * 100) / 100).alias("sum_value"))
+    )
+    out = run_to_completion(agg)
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
+    )
+
+
+@register(
+    "stream_sliding",
+    """
+    SELECT date_trunc('minute', CAST(ts AS TIMESTAMP))
+             - INTERVAL (k.k) MINUTE AS window_start,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value) * 100) / 100 AS sum_value
+    FROM events CROSS JOIN (SELECT unnest(range(0, 5)) AS k) k
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute windows sliding every 1 minute (each event lands in 5
+    overlapping windows). Oracle replays the window assignment as a
+    cross join with offsets 0..4 — the relational definition of a
+    sliding window."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes", "1 minute"))
+        .agg(F.count("*").alias("n"), (F.round(F.sum("value") * 100) / 100).alias("sum_value"))
+    )
+    out = run_to_completion(agg)
+    return out.select(F.col("window.start").alias("window_start"), "n", "sum_value")
+
+
+@register(
+    "stream_session",
+    """
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 5 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessioned AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    )
+    SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+    FROM sessioned GROUP BY user_id, session_no
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user with a 5-minute inactivity gap — true
+    stateful session_window aggregation in the stream; the oracle is
+    the classic lag-gap-cumsum sessionization (identical partitions
+    for bounded input)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_to_completion(agg)
+    return out.select(
+        "user_id", F.col("session_window.start").alias("session_start"), "n_events"
+    )
+
+
+@register(
+    "stream_dedup_late",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates under a watermark (late-data handling:
+    duplicates arriving within the watermark are suppressed; for a
+    bounded, fully-arrived input this equals batch DISTINCT, which the
+    oracle asserts)."""
+    ev = stream_events(spark, sf_dir)
+    dedup = ev.withWatermark("ts", "10 minutes").dropDuplicates(["user_id", "event_type"])
+    out = run_to_completion(dedup.select("user_id", "event_type"), mode="append")
+    return out.select("user_id", "event_type").distinct()

@@ -1,0 +1,39 @@
+from skills_vectors_spark.operators import ann
+from skills_vectors_spark.operators.knn import K, N_QUERIES, ranked_knn
+
+
+def _recall(gold_rows, approx_rows):
+    gold = {(r.q_id, r.c_id) for r in gold_rows}
+    approx = {(r.q_id, r.c_id) for r in approx_rows}
+    return len(gold & approx) / len(gold)
+
+
+def test_ann_lsh_recall_gate(spark, sf_dir):
+    gold = ranked_knn(spark, sf_dir, "cosine").collect()
+    approx = ann.ann_lsh(spark, sf_dir).collect()
+    assert _recall(gold, approx) >= 0.8
+
+
+def test_ann_ivf_recall_gate(spark, sf_dir):
+    gold = ranked_knn(spark, sf_dir, "cosine").collect()
+    approx = ann.ann_ivf(spark, sf_dir).collect()
+    assert _recall(gold, approx) >= 0.7
+
+
+def test_ann_brp_l2_recall(spark, sf_dir):
+    gold = ranked_knn(spark, sf_dir, "l2").collect()
+    approx = ann.ann_brp_l2(spark, sf_dir).collect()
+    assert _recall(gold, approx) >= 0.8
+
+
+def test_lsh_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, ann.ann_lsh(spark, sf_dir).collect()))
+    b = sorted(map(tuple, ann.ann_lsh(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_eval_recall_lsh_shape(spark, sf_dir):
+    rows = ann.eval_recall_lsh(spark, sf_dir).collect()
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert 0 <= r.n_match <= K

@@ -1,0 +1,40 @@
+from skills_vectors_spark.operators import embed, multimodal
+
+
+def test_embed_mock_deterministic_and_normalized(spark, sf_dir):
+    a = {r.doc_id: r.embedding for r in embed.embed_mock(spark, sf_dir).collect()}
+    b = {r.doc_id: r.embedding for r in embed.embed_mock(spark, sf_dir).collect()}
+    assert a == b
+    import math
+
+    for v in list(a.values())[:10]:
+        assert len(v) == embed.EMBED_DIM
+        assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-5)
+
+
+def test_embed_depends_only_on_text(spark):
+    df1 = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    df2 = spark.createDataFrame([(99, "hello world")], "doc_id long, text string")
+    e1 = embed.embed_documents(df1).first().embedding
+    e2 = embed.embed_documents(df2).first().embedding
+    assert e1 == e2
+
+
+def test_mm_image_features_shape(spark, sf_dir):
+    rows = multimodal.mm_image_features(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:20]:
+        assert 8 <= r.height <= 15 and 8 <= r.width <= 15
+        assert 0 <= r.mean_r <= 255
+
+
+def test_mm_frame_sample_fanout(spark, sf_dir):
+    rows = multimodal.mm_frame_sample(spark, sf_dir).collect()
+    assert rows
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, frames in by_media.items():
+        idxs = sorted(f.frame_idx for f in frames)
+        assert idxs == list(range(len(frames)))
+        assert all(f.n_frames == len(frames) for f in frames)
