@@ -45,8 +45,12 @@ HEADLINE = [
     "win_rank_topk",
     "win_running",
     "sort_limit",
+    "join_asof",
+    "agg_percentile",
+    "grouped_zscore",
     "stream_tumbling",
     "stream_session",
+    "stream_stateful",
 ]
 
 

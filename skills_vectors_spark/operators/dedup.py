@@ -209,6 +209,38 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_near")  # rows-only: MLlib hash seeds, not SQL-expressible
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via stock MLlib MinHashLSH over hashed shingle
+    sets (SURVEY §2.B dedup_near) — the library counterpart of the
+    hand-rolled dedup_minhash: HashingTF turns each doc's shingle set
+    into a sparse binary vector, approxSimilarityJoin generates
+    candidate pairs from min-hash collisions, and the reported
+    distance is Jaccard on the HASHED feature space (collisions can
+    perturb it slightly vs true shingle Jaccard, hence rows-only +
+    an overlap unit test vs the exact tier)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = sources.load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    docs = d.select("doc_id", F.array_distinct(word_shingles("text", 3)).alias("shingles"))
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
+    feat = tf.transform(docs).filter(F.expr("size(shingles) > 0"))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, threshold=1.0 - JACCARD_THRESHOLD, distCol="jd")
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            (F.round((1 - F.col("jd")) * 1e6) / 1e6).alias("jaccard"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+
+
 # ----------------------------------------------------------------- SimHash
 
 

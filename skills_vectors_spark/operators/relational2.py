@@ -1,0 +1,254 @@
+"""Second relational wave: as-of join, pivot/unpivot, percentiles,
+grouped-map pandas op, vector-literal round trip (SURVEY §2.B
+completions).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from skills_vectors_spark import sources
+from skills_vectors_spark.registry import register
+
+
+@register(
+    "join_asof",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'purchase'
+    ), views AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+      WHERE event_type = 'view'
+    ), ranked AS (
+      SELECT p.event_id, p.user_id, v.ts AS view_ts, v.event_id AS view_event_id,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM purchases p JOIN views v
+        ON v.user_id = p.user_id AND v.ts <= p.ts
+    )
+    SELECT p.event_id, p.user_id, r.view_event_id,
+           CAST(date_diff('second', r.view_ts, p.ts) AS BIGINT) AS secs_since_view
+    FROM purchases p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+      ON r.event_id = p.event_id
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — for each purchase, the most recent prior view by
+    the same user. Spark has no native ASOF JOIN (DuckDB does; the
+    oracle uses the window formulation for identical tie-breaks):
+    implemented with the union-and-carry-forward pattern — ONE sort
+    per user instead of a per-row backward scan, which is the
+    partition-friendly shape at 100 TB (sort within user_id
+    partitions; no range join blow-up)."""
+    ev = sources.load(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+    )
+    # carry the latest view (ts, event_id) forward within each user's
+    # timeline; ties on ts resolved by event_id so the carried view is
+    # deterministic and matches the oracle's ORDER BY ts DESC, id DESC
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    view_struct = F.when(
+        F.col("event_type") == "view", F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("id"))
+    )
+    carried = tagged.withColumn("last_view", F.last(view_struct, ignorenulls=True).over(w))
+    out = carried.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("last_view.id").alias("view_event_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("last_view.ts")).alias("secs_since_view"),
+    )
+    return out
+
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@register(
+    "agg_pivot",
+    f"""
+    SELECT c_nationkey,
+           {", ".join(f"round(coalesce(sum(CASE WHEN c_mktsegment = '{s}' THEN c_acctbal END), 0) * 100) / 100 AS {s.lower()}" for s in _SEGMENTS)}
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-to-wide pivot with an explicit, sorted value list (the
+    reference's wide report A19; explicit values keep column order
+    deterministic AND skip the extra distinct-values job Spark runs
+    when the list is omitted — at scale that job is a full shuffle)."""
+    c = sources.load(spark, sf_dir, "customer")
+    wide = (
+        c.groupBy("c_nationkey")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(F.sum("c_acctbal"))
+    )
+    return wide.select(
+        "c_nationkey",
+        *[
+            (F.round(F.coalesce(F.col(s), F.lit(0.0)) * 100) / 100).alias(s.lower())
+            for s in _SEGMENTS
+        ],
+    )
+
+
+@register(
+    "agg_unpivot",
+    """
+    SELECT o_orderkey, metric, round(val * 100) / 100 AS val
+    FROM (
+      SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+    )
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt) via the native unpivot API —
+    narrow transform, no shuffle."""
+    o = sources.load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.col("o_totalprice"), F.col("o_custkey").cast("double"))
+        .unpivot(
+            "o_orderkey",
+            [F.col("o_totalprice").alias("totalprice"), F.col("o_custkey").alias("custkey")],
+            "metric",
+            "raw",
+        )
+        .select("o_orderkey", "metric", (F.round(F.col("raw") * 100) / 100).alias("val"))
+    )
+
+
+@register(
+    "agg_percentile",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5) * 1e4) / 1e4 AS p50,
+           round(quantile_cont(l_extendedprice, 0.9) * 1e4) / 1e4 AS p90,
+           round(quantile_cont(l_extendedprice, 0.99) * 1e4) / 1e4 AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (both engines implement
+    the same continuous-quantile definition). At 100 TB you trade this
+    for approx_percentile (t-digest sketch, constant memory) — see
+    agg_approx_percentile."""
+    li = sources.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            (F.round(F.percentile("l_extendedprice", F.lit(q)) * 1e4) / 1e4).alias(name)
+            for q, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+        ]
+    )
+
+
+@register("agg_approx_percentile")  # rows-only: sketch values are engine-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles — the constant-memory sketch the exact
+    version trades into at scale."""
+    li = sources.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_approx")
+    )
+
+
+_ZSCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_mktsegment", T.StringType()),
+        T.StructField("zscore", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "grouped_zscore",
+    """
+    WITH stats AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             avg(c_acctbal) OVER (PARTITION BY c_mktsegment) AS mu,
+             stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment) AS sigma
+      FROM customer
+    )
+    SELECT c_custkey, c_mktsegment,
+           round((c_acctbal - mu) / sigma * 1e6) / 1e6 AS zscore
+    FROM stats
+    """,
+)
+def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group normalization via applyInPandas (grouped-map UDF —
+    the per-group pandas escape hatch A19's pivot alternatives call
+    for). Each group becomes one pandas DataFrame on one executor:
+    fine for bounded groups (segments), the wrong tool for skewed
+    billion-row groups — that regime belongs to the window-function
+    oracle formulation, which is also the 100 TB path."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["c_acctbal"].mean()
+        # ddof=1 matches stddev_samp in both engines
+        sigma = pdf["c_acctbal"].std(ddof=1)
+        import numpy as np
+
+        z = (pdf["c_acctbal"] - mu) / sigma
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "zscore": np.round(z * 1e6) / 1e6,
+            }
+        )
+
+    c = sources.load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").applyInPandas(zscore, _ZSCORE_SCHEMA)
+
+
+@register(
+    "fn_vector_literal",
+    """
+    WITH parsed AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(CAST(x AS VARCHAR) AS DOUBLE)) AS p
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(p) AS BIGINT) AS n_parsed,
+           round(list_aggregate(p, 'sum') * 1e6) / 1e6 AS sum_parsed
+    FROM parsed
+    """,
+)
+def fn_vector_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector <-> string-literal round trip (ref A22: pgvector '[...]'
+    literals built at load_skill_vectors_pg.py:38 and parsed back with
+    ast.literal_eval at skills_for_jobs.py:313,385). Each engine
+    formats with its own float repr then parses its own format — the
+    parsed NUMBERS must round-trip exactly; only those are compared.
+    Internally the engine never stringifies vectors (SURVEY §1.3)."""
+    e = sources.load(spark, sf_dir, "embeddings")
+    literal = F.concat(
+        F.lit("["),
+        F.concat_ws(",", F.transform("embedding", lambda x: x.cast("double").cast("string"))),
+        F.lit("]"),
+    )
+    parsed = F.from_json(literal, "array<double>")
+    return e.select(
+        "vec_id",
+        F.size(parsed).cast("long").alias("n_parsed"),
+        (F.round(F.aggregate(parsed, F.lit(0.0), lambda s, x: s + x) * 1e6) / 1e6).alias(
+            "sum_parsed"
+        ),
+    )

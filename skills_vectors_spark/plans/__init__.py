@@ -1,0 +1,56 @@
+"""Physical-plan inspection utilities — the engine's Catalyst
+feedback loop. Used by tests to ASSERT plan shape (broadcasts chosen,
+filters pushed to the scan, window top-k rewritten to group limits)
+instead of hoping, and by developers via `explain_report`.
+
+The reference has no optimizer to inspect (SURVEY §4 — straight-line
+client code); these utilities are how this engine keeps itself honest
+about the plans Catalyst actually picks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@dataclass
+class PlanFacts:
+    has_broadcast: bool
+    has_window_group_limit: bool
+    pushed_filters: bool
+    whole_stage_codegen: bool
+    n_exchanges: int
+
+    @classmethod
+    def of(cls, df: DataFrame) -> "PlanFacts":
+        p = physical_plan(df)
+        fmt = formatted_plan(df)
+        return cls(
+            has_broadcast="BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p,
+            has_window_group_limit="WindowGroupLimit" in p,
+            pushed_filters="PushedFilters: [" in fmt and "PushedFilters: []" not in fmt,
+            whole_stage_codegen="WholeStageCodegen" in fmt,
+            n_exchanges=p.count("Exchange"),
+        )
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Columns actually read from the parquet scan (column pruning
+    check): parse ReadSchema out of the formatted plan."""
+    import re
+
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", formatted_plan(df)):
+        cols.extend(part.split(":")[0].strip() for part in m.group(1).split(",") if part)
+    return cols

@@ -23,6 +23,11 @@ def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
+            if "--" in oracle:
+                raise ValueError(
+                    f"oracle for {name!r} contains a '--' SQL comment; whitespace "
+                    "collapsing would comment out the rest of the statement"
+                )
             ORACLES[name] = " ".join(oracle.split())
         return fn
 
@@ -32,6 +37,7 @@ def register(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every operator module so registration side-effects run."""
     import skills_vectors_spark.operators.relational  # noqa: F401
+    import skills_vectors_spark.operators.relational2  # noqa: F401
     import skills_vectors_spark.operators.functions_suite  # noqa: F401
     import skills_vectors_spark.operators.knn  # noqa: F401
     import skills_vectors_spark.operators.ann  # noqa: F401

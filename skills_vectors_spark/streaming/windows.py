@@ -156,6 +156,77 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stateful",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value) * 100) / 100 AS total_value,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    a per-user running profile (event count, value total, distinct
+    type set) maintained in the state store across micro-batches —
+    the applyInPandasWithState seat from SURVEY §2 UDF surface. For
+    fully-arrived bounded input the final state equals the batch
+    GROUP BY, which is the oracle."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("n_types", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("types", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        n, total, types = (state.get if state.exists else (lambda: (0, 0.0, [])))()
+        types = set(types or [])
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            types |= set(pdf["event_type"])
+        state.update((n, total, sorted(types)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total * 100) / 100],
+                "n_types": [len(types)],
+            }
+        )
+
+    ev = stream_events(spark, sf_dir)
+    profiled = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(update, out_schema, state_schema, "update", "NoTimeout")
+    )
+    out = run_to_completion(profiled, mode="update")
+    # update-mode sink may emit several versions per key (one per
+    # micro-batch); the final per-user row is the one with max n_events
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "total_value", "n_types")
+    )
+
+
+@register(
     "stream_dedup_late",
     """
     SELECT DISTINCT user_id, event_type FROM events

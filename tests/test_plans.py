@@ -1,0 +1,44 @@
+"""Plan-shape assertions: the engine's Catalyst-awareness contract.
+These fail if a code change silently degrades a plan (lost broadcast,
+lost pushdown, lost window group limit) even when results stay right.
+"""
+
+from pyspark.sql import functions as F
+
+from skills_vectors_spark import sources
+from skills_vectors_spark.operators import knn, relational
+from skills_vectors_spark.plans import PlanFacts, read_schema_columns
+
+
+def test_scan_parquet_pushdown_and_pruning(spark, sf_dir):
+    df = relational.scan_parquet(spark, sf_dir)
+    facts = PlanFacts.of(df)
+    assert facts.pushed_filters, "l_quantity filter should reach the parquet scan"
+    cols = read_schema_columns(df)
+    assert set(cols) == {"l_orderkey", "l_quantity", "l_extendedprice"}, cols
+
+
+def test_join_broadcast_is_broadcast(spark, sf_dir):
+    assert PlanFacts.of(relational.join_broadcast(spark, sf_dir)).has_broadcast
+
+
+def test_knn_uses_window_group_limit_and_broadcast(spark, sf_dir):
+    facts = PlanFacts.of(knn.knn_exact(spark, sf_dir))
+    assert facts.has_broadcast, "query side must broadcast"
+    assert facts.has_window_group_limit, "top-k must use partial group limits"
+
+
+def test_win_rank_topk_group_limit(spark, sf_dir):
+    assert PlanFacts.of(relational.win_rank_topk(spark, sf_dir)).has_window_group_limit
+
+
+def test_agg_hash_single_shuffle(spark, sf_dir):
+    facts = PlanFacts.of(relational.agg_hash(spark, sf_dir))
+    assert facts.n_exchanges <= 2, "hash agg should shuffle once (plus AQE read)"
+
+
+def test_projection_prunes_unused_columns(spark, sf_dir):
+    df = sources.load(spark, sf_dir, "lineitem").select("l_orderkey").filter(
+        F.col("l_orderkey") > 0
+    )
+    assert read_schema_columns(df) == ["l_orderkey"]

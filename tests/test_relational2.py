@@ -1,0 +1,57 @@
+from collections import defaultdict
+
+from skills_vectors_spark import sources
+from skills_vectors_spark.operators import relational2
+from skills_vectors_spark.streaming import windows
+
+
+def test_join_asof_semantics(spark, sf_dir):
+    """Check the carry-forward as-of result against a plain-python replay."""
+    ev = sources.load(spark, sf_dir, "events").collect()
+    got = {r.event_id: r.view_event_id for r in relational2.join_asof(spark, sf_dir).collect()}
+
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    expected = {}
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        last_view = None
+        for r in rows:
+            if r.event_type == "view":
+                last_view = r.event_id
+            elif r.event_type == "purchase":
+                expected[r.event_id] = last_view
+    assert got == expected
+
+
+def test_agg_pivot_row_per_nation(spark, sf_dir):
+    rows = relational2.agg_pivot(spark, sf_dir).collect()
+    n_nations = sources.load(spark, sf_dir, "customer").select("c_nationkey").distinct().count()
+    assert len(rows) == n_nations
+    assert rows[0].__fields__ == ["c_nationkey"] + [s.lower() for s in relational2._SEGMENTS]
+
+
+def test_grouped_zscore_stats(spark, sf_dir):
+    import statistics
+
+    rows = relational2.grouped_zscore(spark, sf_dir).collect()
+    by_seg = defaultdict(list)
+    for r in rows:
+        by_seg[r.c_mktsegment].append(r.zscore)
+    for seg, zs in by_seg.items():
+        assert abs(statistics.fmean(zs)) < 1e-3, f"{seg} zscores should center on 0"
+
+
+def test_stream_stateful_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    got = {r.user_id: (r.n_events, r.n_types) for r in windows.stream_stateful(spark, sf_dir).collect()}
+    batch = {
+        r.user_id: (r.n, r.t)
+        for r in sources.load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.countDistinct("event_type").alias("t"))
+        .collect()
+    }
+    assert got == batch
