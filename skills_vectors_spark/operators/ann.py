@@ -107,6 +107,9 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces the knn_exact cross join — candidate count is ~corpus /
     2^bits per table, independent of total corpus size."""
     emb = sources.load(spark, sf_dir, "embeddings")
+    # the query side is tiny (N_QUERIES rows): bucket it in its own
+    # pass rather than re-deriving it from the corpus buckets, which
+    # would force the full-corpus Arrow pass to execute twice
     q = emb.filter(F.col("vec_id") < N_QUERIES)
     buckets_c = hyperplane_buckets(emb).withColumnRenamed("vec_id", "c_id")
     buckets_q = hyperplane_buckets(q).withColumnRenamed("vec_id", "q_id")
@@ -156,20 +159,38 @@ def eval_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CELLS = 16
 N_PROBE = 8  # near-random corpus: half the cells for recall >= 0.8
+MAX_TRAIN = 16384  # coarse-quantizer training sample cap
 
 # The coarse quantizer is an INDEX — the reference builds it once at
 # load time (load_skill_vectors_pg.py:48-59) and searches many times.
 # Cache the fitted centroids per corpus so repeated searches skip the
-# KMeans fit, mirroring that build/search split.
+# fit, mirroring that build/search split.
+#
+# Training runs driver-side on a bounded uniform sample (numpy
+# Lloyd's): this is the standard IVF recipe — FAISS trains coarse
+# quantizers on ~256 vectors per cell, so even at 100 TB the training
+# set is MAX_TRAIN rows, a constant. The full corpus is never
+# collected; only assignment (below) touches it, and that is a
+# per-row codegen expression with no shuffle.
 _IVF_CENTROIDS: dict[str, list[list[float]]] = {}
 
 
-def ivf_centroids(spark: SparkSession, sf_dir: str, feat: DataFrame) -> list[list[float]]:
+def ivf_centroids(spark: SparkSession, sf_dir: str, emb: DataFrame) -> list[list[float]]:
     if sf_dir not in _IVF_CENTROIDS:
-        from pyspark.ml.clustering import KMeans
-
-        model = KMeans(k=N_CELLS, seed=SEED, featuresCol="features").fit(feat)
-        _IVF_CENTROIDS[sf_dir] = [[float(x) for x in c] for c in model.clusterCenters()]
+        sample = np.stack(
+            emb.select("embedding").limit(MAX_TRAIN).toPandas()["embedding"].to_numpy()
+        ).astype(np.float64)
+        rng = np.random.default_rng(SEED)
+        cent = sample[rng.choice(len(sample), N_CELLS, replace=False)].copy()
+        for _ in range(10):
+            # argmin_c ||x - c||^2 = argmin_c (||c||^2 - 2 x.c)
+            d = (cent**2).sum(axis=1)[None, :] - 2.0 * (sample @ cent.T)
+            assign = d.argmin(axis=1)
+            for c in range(N_CELLS):
+                members = sample[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        _IVF_CENTROIDS[sf_dir] = [[float(x) for x in c] for c in cent]
     return _IVF_CENTROIDS[sf_dir]
 
 
@@ -182,29 +203,50 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     N_PROBE nearest centroids -> exact re-rank within probed cells.
     Corpus scan per query drops to nprobe/ncells of the data; at
     100 TB the cell assignment is the partitioning key."""
-    from pyspark.ml.functions import array_to_vector
-
-    from skills_vectors_spark.functions.vector import l2_dist
-
     emb = sources.load(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    feat = emb.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
+    cents = ivf_centroids(spark, sf_dir, emb)
     centers = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(ivf_centroids(spark, sf_dir, feat))],
+        [(i, c) for i, c in enumerate(cents)],
         "cell int, center array<double>",
     )
-    # cell assignment = argmin L2 to the cached centroids (exactly the
-    # KMeans prediction rule), expressed relationally
-    wa = Window.partitionBy("vec_id").orderBy(F.col("cd").asc(), F.col("cell").asc())
-    assigned = (
-        emb.crossJoin(F.broadcast(centers))
-        .withColumn("cd", l2_dist("embedding", "center"))
-        .withColumn("arnk", F.row_number().over(wa))
-        .filter(F.col("arnk") == 1)
-        .select("vec_id", "embedding", "cell")
+    # cell assignment = argmin L2 to the cached centroids (the KMeans
+    # prediction rule) as one Arrow-vectorized matmul per batch —
+    # zero shuffle, zero row blow-up, linear in corpus size (vs the
+    # naive corpus x centroids explode + window, which shuffles
+    # N_CELLS x corpus rows)
+    C = np.array(cents, dtype=np.float64)  # (N_CELLS, DIM)
+    c_sq = (C**2).sum(axis=1)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cell = (c_sq[None, :] - 2.0 * (V @ C.T)).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": cell.astype(np.int32),
+                }
+            )
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign,
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+                T.StructField("cell", T.IntegerType()),
+            ]
+        ),
     )
-    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+    # queries don't need their own cell — pull them straight from the
+    # source so the assignment pass only ever runs once (filters do
+    # not push through mapInPandas)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     # rank centroids per query by cosine, keep N_PROBE

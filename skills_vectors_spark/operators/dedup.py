@@ -23,8 +23,11 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from skills_vectors_spark import sources
 from skills_vectors_spark.functions.text import normalize_text, word_shingles
@@ -146,19 +149,52 @@ def _perms(seed: int = 42) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(N_PERM)]
 
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, sig array<long>[N_PERM]) from the exploded shingle
-    table. One aggregation: min((a*h + b) mod p) per permutation,
-    where h = xxhash64(shingle) — all JVM-side, partial-aggregated
-    (each executor folds its local shingles before the shuffle, so
-    shuffle volume is n_docs x N_PERM regardless of corpus size)."""
-    h = F.pmod(F.xxhash64("s"), F.lit(_MERSENNE))
-    aggs = [
-        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
-        for i, (a, b) in enumerate(_perms())
-    ]
-    sigs = sh.groupBy("doc_id").agg(*aggs)
-    return sigs.select("doc_id", F.array(*[f"m{i}" for i in range(N_PERM)]).alias("sig"))
+def doc_shingle_sets(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """(doc_id, ss array<string>) — the distinct word-n-gram set of
+    each document as ONE row (no explode). Everything MinHash needs
+    is per-document, so keeping the set as an array column lets both
+    the signature and the verification stage run as zero-shuffle
+    per-row expressions."""
+    d = sources.load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return d.select("doc_id", F.array_distinct(word_shingles("text", n)).alias("ss")).filter(
+        F.size("ss") > 0
+    )
+
+
+def minhash_signatures(sets: DataFrame) -> DataFrame:
+    """(doc_id, sig array<long>[N_PERM]) from the per-doc shingle-set
+    column. Shingle -> 31-bit hash stays JVM-side (xxhash64 mod p in
+    one codegen transform); the N_PERM universal-hash mins are one
+    vectorized numpy broadcast per Arrow batch (a (N_PERM x m) modmul
+    + row-min — the signature hot loop, like the LSH plane matmul).
+    No explode, no groupBy, no shuffle: one corpus scan at any scale,
+    and (a*h+b) < 2^62 so int64 never overflows."""
+    import pandas as pd
+
+    hashed = sets.select(
+        "doc_id", F.transform("ss", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))).alias("hs")
+    )
+    perms = _perms()
+    A = np.array([a for a, _ in perms], dtype=np.int64)[:, None]  # (N_PERM, 1)
+    B = np.array([b for _, b in perms], dtype=np.int64)[:, None]
+
+    def run(batches):
+        for pdf in batches:
+            sigs = [
+                ((np.asarray(hs, dtype=np.int64)[None, :] * A + B) % _MERSENNE).min(axis=1)
+                for hs in pdf["hs"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+    return hashed.mapInPandas(run, schema)
 
 
 @register("dedup_minhash")  # rows-only: hash-seeded, not SQL-expressible
@@ -168,8 +204,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> 32 bands of 4 rows -> candidate pairs from band-bucket
     collisions only -> exact Jaccard verification of candidates.
     Verified against dedup_ngram_jaccard by a recall unit test."""
-    sh = shingle_df(spark, sf_dir).persist()
-    sigs = minhash_signatures(sh)
+    sets0 = doc_shingle_sets(spark, sf_dir)
+    sigs = minhash_signatures(sets0)
     rows_per_band = N_PERM // N_BANDS
     bands = sigs.select(
         "doc_id",
@@ -189,22 +225,30 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verification of candidates via the inverted index
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .join(cand, ["doc_a", "doc_b"], "left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
+    # exact verification of the (few) candidates: fetch the shingle
+    # SETS of just the docs that appear in some candidate pair and
+    # intersect them per pair with array_intersect. The expensive
+    # inverted-index self-join never runs — candidate count, not
+    # corpus size, bounds this stage (per-doc sets are bounded by
+    # document length, so the collect_set state is O(doc), fine at
+    # any corpus scale).
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    sets_ = sets0.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    paired = cand.join(
+        F.broadcast(sets_.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))),
+        "doc_a",
+    ).join(
+        F.broadcast(sets_.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))),
+        "doc_b",
+    )
+    i = F.size(F.array_intersect("sa", "sb"))
+    jac = i.cast("double") / (F.size("sa") + F.size("sb") - i)
     return (
-        inter.join(F.broadcast(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))), "doc_a")
-        .join(F.broadcast(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))), "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
+        paired.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", (F.round(jac * 1e6) / 1e6).alias("jaccard"))
     )
 

@@ -148,11 +148,18 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for approx_percentile (t-digest sketch, constant memory) — see
     agg_approx_percentile."""
     li = sources.load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    # one percentile(col, array(..)) aggregate = one sort buffer per
+    # group for all three quantiles (3x less agg state than three
+    # separate percentile calls)
+    ps = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("ps")
+    )
+    return ps.select(
+        "l_returnflag",
         *[
-            (F.round(F.percentile("l_extendedprice", F.lit(q)) * 1e4) / 1e4).alias(name)
-            for q, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
-        ]
+            (F.round(F.col("ps")[i] * 1e4) / 1e4).alias(name)
+            for i, name in enumerate(["p50", "p90", "p99"])
+        ],
     )
 
 

@@ -54,14 +54,25 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_to_completion(agg: DataFrame, mode: str = "complete") -> DataFrame:
     """Start -> drain -> stop a streaming aggregation against a memory
-    sink; return the final result as a batch DataFrame."""
-    name = f"svs_mem_{uuid.uuid4().hex[:12]}"
-    q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    sink; return the final result as a batch DataFrame.
+
+    Stateful operators create one state-store instance per shuffle
+    partition, each with per-batch snapshot/commit overhead; for the
+    bounded local test stream we drop to 8 partitions while the query
+    runs (a real deployment sizes this to key cardinality x executor
+    count, and it is fixed for the checkpoint's lifetime)."""
     spark = agg.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    name = f"svs_mem_{uuid.uuid4().hex[:12]}"
+    try:
+        q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
