@@ -48,6 +48,9 @@ HEADLINE = [
     "join_asof",
     "agg_percentile",
     "grouped_zscore",
+    "join_skew_salted",
+    "rollup_hypertable",
+    "dedup_clusters",
     "stream_tumbling",
     "stream_session",
     "stream_stateful",

@@ -88,9 +88,9 @@ def shingle_df(
     return sh
 
 
-@register(
-    "dedup_ngram_jaccard",
-    f"""
+# the exact Jaccard pair computation, reused by the dedup_clusters
+# oracle as its edge set
+_JACCARD_PAIRS_SQL = f"""
     WITH sh AS (
       SELECT DISTINCT doc_id, unnest({D_SHINGLES}) AS s FROM documents
     ), sz AS (
@@ -106,8 +106,10 @@ def shingle_df(
     JOIN sz sa ON sa.doc_id = doc_a
     JOIN sz sb ON sb.doc_id = doc_b
     WHERE i::DOUBLE / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
-    """,
-)
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_PAIRS_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join:
     explode distinct 3-shingles, self-join on shingle (only docs
@@ -346,6 +348,84 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ------------------------------------------------- duplicate clustering
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id
+    )
+    SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc
+    gets cluster_id = min doc_id reachable through near-dup edges
+    (singletons keep their own id). This is the step that turns
+    pairwise dedup output into actionable keep/drop groups ("keep
+    the lowest id per cluster" = ref A16's keep-first semantics,
+    /root/reference/skills_for_jobs.py:371-379, lifted to the
+    transitive closure).
+
+    Iterative min-label propagation: label(v) <- min(label(v),
+    min label(neighbors)). Each round is one broadcast-sized join +
+    partial-aggregating groupBy; lineage is cut with localCheckpoint
+    each round (the Pregel pattern — without it the plan doubles per
+    iteration); convergence is detected by a changed-count action.
+    Rounds needed = component diameter, which for near-dup clusters
+    is tiny (they are near-cliques); the same loop is the standard
+    100 TB connected-components recipe (large-star/small-star).
+    Oracle: DuckDB recursive CTE computing min reachable id."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .toDF("src", "dst")
+        .localCheckpoint()  # pair mining runs once, not once per round
+    )
+    labels = (
+        sources.load(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter bound; loop exits on convergence
+        prop = (
+            edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
 
 
 # ------------------------------------------------- embedding-cosine near-dup
