@@ -203,3 +203,64 @@ def fn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, "vec_id").select(
         "vec_id", F.round(l2_dist("ea", "eb"), 6).alias("l2_next")
     )
+
+
+@register(
+    "fn_regex",
+    """
+    SELECT o_orderkey,
+           regexp_extract(o_orderpriority, '^([0-9]+)-', 1) AS prio_code,
+           CAST(regexp_matches(o_orderpriority, 'URGENT|HIGH') AS VARCHAR) AS is_hot,
+           regexp_replace(o_orderpriority, '[0-9]+-', '', 'g') AS prio_word
+    FROM orders
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family: extract a capture group, boolean match, global
+    replace — all codegen'd JVM regex (compiled once per task, not
+    per row). Booleans compare as strings because engines disagree
+    on bool<->pandas dtypes."""
+    o = sources.load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"^([0-9]+)-", 1).alias("prio_code"),
+        F.col("o_orderpriority").rlike("URGENT|HIGH").cast("string").alias("is_hot"),
+        F.regexp_replace("o_orderpriority", "[0-9]+-", "").alias("prio_word"),
+    )
+
+
+@register(
+    "fn_conditional",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity >= 40 THEN 'bulk'
+                WHEN l_quantity >= 10 THEN 'mid'
+                ELSE 'small' END AS qty_band,
+           coalesce(nullif(l_returnflag, 'N'), 'kept') AS flag_or_kept,
+           CASE WHEN l_discount > 0.05 THEN round(l_extendedprice * (1 - l_discount) * 100) / 100
+                ELSE l_extendedprice END AS eff_price
+    FROM lineitem
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: CASE/WHEN banding, nullif/coalesce null
+    plumbing, conditional arithmetic — pure row-local expressions,
+    fused into the scan's codegen stage (zero extra passes)."""
+    li = sources.load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") >= 40, "bulk")
+        .when(F.col("l_quantity") >= 10, "mid")
+        .otherwise("small")
+        .alias("qty_band"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("kept")).alias(
+            "flag_or_kept"
+        ),
+        F.when(
+            F.col("l_discount") > 0.05,
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100) / 100,
+        )
+        .otherwise(F.col("l_extendedprice"))
+        .alias("eff_price"),
+    )

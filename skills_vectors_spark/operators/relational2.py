@@ -259,3 +259,105 @@ def fn_vector_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_parsed"
         ),
     )
+
+
+@register(
+    "join_full_outer",
+    """
+    SELECT s.s_suppkey, s.s_name, n.n_nationkey, n.n_name
+    FROM supplier s FULL OUTER JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — unmatched rows on BOTH sides survive with
+    nulls (completes the join family: inner/broadcast/outer/semi/
+    anti/theta/cross/asof). Full outer cannot broadcast either side
+    (both must be shuffle-complete), so it is always a shuffled
+    SMJ/hash join — the one join shape where AQE skew handling is
+    the only skew lever."""
+    s = sources.load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = sources.load(spark, sf_dir, "nation")
+    return s.join(n, s.s_nationkey == n.n_nationkey, "full_outer").select(
+        "s_suppkey", "s_name", "n_nationkey", "n_name"
+    )
+
+
+@register(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice) * 1e4) / 1e4 AS price_stddev,
+           round(var_samp(l_quantity) * 1e4) / 1e4 AS qty_var,
+           round(corr(l_extendedprice, l_quantity) * 1e6) / 1e6 AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_discount) * 1e4) / 1e4 AS price_disc_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation/covariance)
+    — single-pass streaming moments, partial-aggregated map-side like
+    any hash agg: the per-group state is O(1) (sum, sum-of-squares,
+    co-moments), so 100 TB costs one shuffle of 5 tiny rows per
+    mapper."""
+    li = sources.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.stddev_samp("l_extendedprice") * 1e4) / 1e4).alias("price_stddev"),
+        (F.round(F.var_samp("l_quantity") * 1e4) / 1e4).alias("qty_var"),
+        (F.round(F.corr("l_extendedprice", "l_quantity") * 1e6) / 1e6).alias("price_qty_corr"),
+        (F.round(F.covar_samp("l_extendedprice", "l_discount") * 1e4) / 1e4).alias(
+            "price_disc_covar"
+        ),
+    )
+
+
+@register(
+    "win_first_last",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           round(first_value(o_totalprice) OVER w * 100) / 100 AS first_price,
+           round(last_value(o_totalprice) OVER w * 100) / 100 AS last_price,
+           round(nth_value(o_totalprice, 2) OVER w * 100) / 100 AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/nth_value over a full-partition frame —
+    each customer's first, latest, and second order price on every
+    row. Unbounded-both-ends frames evaluate once per partition, not
+    per row."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    o = sources.load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        (F.round(F.first("o_totalprice").over(w) * 100) / 100).alias("first_price"),
+        (F.round(F.last("o_totalprice").over(w) * 100) / 100).alias("last_price"),
+        (F.round(F.nth_value("o_totalprice", 2).over(w) * 100) / 100).alias("second_price"),
+    )
+
+
+@register("sample_stratified")  # rows-only: RNG sampling isn't SQL-expressible
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling — per-stratum fractions via sampleBy (the
+    training-data curation primitive: rebalance a corpus by source/
+    language/quality bucket without a shuffle; sampling is a narrow
+    map-side filter). Seeded for reproducibility; proportions are
+    asserted by a unit test since RNG output isn't SQL-expressible."""
+    c = sources.load(spark, sf_dir, "customer")
+    fractions = {
+        "AUTOMOBILE": 0.5,
+        "BUILDING": 0.25,
+        "FURNITURE": 1.0,
+        "HOUSEHOLD": 0.1,
+        "MACHINERY": 0.0,
+    }
+    return c.sampleBy("c_mktsegment", fractions, seed=42).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )

@@ -252,3 +252,37 @@ def stream_dedup_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = ev.withWatermark("ts", "10 minutes").dropDuplicates(["user_id", "event_type"])
     out = run_to_completion(dedup.select("user_id", "event_type"), mode="append")
     return out.select("user_id", "event_type").distinct()
+
+
+@register(
+    "stream_enrich",
+    """
+    SELECT c.c_mktsegment,
+           date_trunc('minute', CAST(e.ts AS TIMESTAMP)) AS window_start,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value) * 100) / 100 AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the
+    static customer dimension BEFORE the windowed aggregation — the
+    canonical streaming-ETL shape (dimension lookup per micro-batch;
+    Spark re-plans the static side each batch, so a broadcast hash
+    join with no stream-side shuffle). Oracle is the equivalent batch
+    join + GROUP BY."""
+    from skills_vectors_spark import sources
+
+    ev = stream_events(spark, sf_dir)
+    dim = sources.load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+    agg = (
+        enriched.withWatermark("ts", "10 minutes")
+        .groupBy("c_mktsegment", F.window("ts", "1 minute"))
+        .agg(F.count("*").alias("n"), (F.round(F.sum("value") * 100) / 100).alias("sum_value"))
+    )
+    out = run_to_completion(agg)
+    return out.select(
+        "c_mktsegment", F.col("window.start").alias("window_start"), "n", "sum_value"
+    )

@@ -55,3 +55,30 @@ def test_stream_stateful_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == batch
+
+
+def test_sample_stratified_proportions(spark, sf_dir):
+    from skills_vectors_spark import sources
+    from skills_vectors_spark.operators.relational2 import sample_stratified
+
+    got = {
+        r.c_mktsegment: r.n
+        for r in sample_stratified(spark, sf_dir)
+        .groupBy("c_mktsegment")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    base = {
+        r.c_mktsegment: r.n
+        for r in sources.load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert "MACHINERY" not in got  # fraction 0.0 drops the stratum
+    # FURNITURE keeps every row; others land near their fraction
+    assert got["FURNITURE"] == base["FURNITURE"]
+    for seg, frac in [("AUTOMOBILE", 0.5), ("BUILDING", 0.25), ("HOUSEHOLD", 0.1)]:
+        assert abs(got.get(seg, 0) / base[seg] - frac) < 0.25, (seg, got.get(seg), base[seg])
