@@ -62,8 +62,23 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers with one tiny action
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warm the JVM, codegen, and shuffle machinery with one tiny
+    # join+window+agg on the smallest tables so the first timed query
+    # measures the engine, not cold-start compilation
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .withColumn("rn", F.row_number().over(Window.partitionBy("r_regionkey").orderBy("n_name")))
+        .groupBy("r_regionkey")
+        .agg(F.count("*"), F.avg("rn"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -300,3 +300,62 @@ def ann_brp_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= K)
         .select("q_id", "rnk", "c_id", (F.round(F.col("l2") * 1e6) / 1e6).alias("l2_dist"))
     )
+
+
+@register("eval_backend_compare")  # rows-only: aggregates seeded ANN output
+def eval_backend_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's closing report (skills_for_jobs.py:435-456):
+    every ANN backend scored side-by-side against the exact gold
+    standard — avg recall@K (match counting :199-200,209-211) and avg
+    cosine of returned hits (:204-211) per backend, one row each.
+    Backends = hyperplane cosine LSH, IVF cell probing, and MLlib
+    BRP-L2 (the reference compares mixed-metric backends the same
+    way: Milvus L2 beside pgvector cosine). All per-backend results
+    union into ONE long DataFrame before a single semi-join + agg —
+    one pass over gold, not one per backend."""
+    from skills_vectors_spark.functions.vector import cosine_sim as _cos
+    from skills_vectors_spark.operators.knn import K, N_QUERIES, ranked_knn
+
+    gold = ranked_knn(spark, sf_dir, "cosine").select("q_id", "c_id")
+    parts = [
+        fn(spark, sf_dir).select(F.lit(name).alias("backend"), "q_id", "c_id")
+        for name, fn in [
+            ("hyperplane_lsh", ann_lsh),
+            ("ivf", ann_ivf),
+            ("brp_l2", ann_brp_l2),
+        ]
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+
+    emb = sources.load(spark, sf_dir, "embeddings")
+    qv = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    cv = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    hits = allr.join(gold, ["q_id", "c_id"], "left_semi").groupBy("backend").agg(
+        F.count("*").alias("n_hits")
+    )
+    sims = (
+        allr.join(F.broadcast(qv), "q_id")
+        .join(cv, "c_id")
+        .withColumn("cs", _cos("q_emb", "c_emb"))
+        .groupBy("backend")
+        .agg(
+            F.count("*").alias("n_returned"),
+            (F.round(F.avg("cs") * 1e6) / 1e6).alias("avg_cos_sim"),
+        )
+    )
+    return (
+        sims.join(hits, "backend", "left")
+        .select(
+            "backend",
+            "n_returned",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(K * N_QUERIES)) * 1e6)
+                / 1e6
+            ).alias("avg_recall"),
+            "avg_cos_sim",
+        )
+        .orderBy("backend")
+    )

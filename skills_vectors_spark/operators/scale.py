@@ -195,3 +195,15 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.sum("value") * 100) / 100).alias("sum_value"),
         )
     )
+
+
+@register("sink_orc", "SELECT s_suppkey, s_name, s_acctbal FROM supplier")
+def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + re-scan round trip — the second columnar format the
+    engine speaks natively (same writer parallelism and reader
+    pushdown/pruning story as parquet; the oracle reads the original
+    table, so the round trip must be lossless)."""
+    path = _scratch(sf_dir, "supplier_orc")
+    s = sources.load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    s.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)

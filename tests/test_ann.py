@@ -37,3 +37,17 @@ def test_eval_recall_lsh_shape(spark, sf_dir):
     assert len(rows) == N_QUERIES
     for r in rows:
         assert 0 <= r.n_match <= K
+
+
+def test_eval_backend_compare_report(spark, sf_dir):
+    from skills_vectors_spark.operators.ann import eval_backend_compare
+
+    rows = {r.backend: r for r in eval_backend_compare(spark, sf_dir).collect()}
+    assert set(rows) == {"hyperplane_lsh", "ivf", "brp_l2"}
+    for name, r in rows.items():
+        assert 0.0 <= r.avg_recall <= 1.0, (name, r.avg_recall)
+        assert -1.0 <= r.avg_cos_sim <= 1.0, (name, r.avg_cos_sim)
+    # the cosine-metric backends must beat chance comfortably on the
+    # small corpus; brp_l2 optimizes a different metric, so only bound it
+    assert rows["hyperplane_lsh"].avg_recall >= 0.5
+    assert rows["ivf"].avg_recall >= 0.5
