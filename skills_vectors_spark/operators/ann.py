@@ -55,9 +55,12 @@ N_TABLES = 40  # independent hash tables (union of candidates)
 SEED = 42
 
 
-def _plane_matrix() -> np.ndarray:
+def _plane_matrix(dim: int = DIM) -> np.ndarray:
+    """Seeded hyperplane normals for `dim`-dimensional vectors —
+    deterministic per dimension, so corpus and query sides always
+    hash with the same planes."""
     rng = np.random.default_rng(SEED)
-    return rng.standard_normal((N_TABLES * N_PLANES, DIM)).astype(np.float64)
+    return rng.standard_normal((N_TABLES * N_PLANES, dim)).astype(np.float64)
 
 
 _SIG_SCHEMA = T.StructType(
@@ -75,12 +78,14 @@ def hyperplane_buckets(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
     hot loop stays vectorized, output is long-format for equi-joins."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        planes = _plane_matrix()  # (T*P, DIM)
+        planes = None
         weights = (1 << np.arange(N_PLANES)).astype(np.int64)
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)  # (n, DIM)
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)  # (n, dim)
+            if planes is None:
+                planes = _plane_matrix(V.shape[1])  # (T*P, dim)
             bits = (V @ planes.T) > 0  # (n, T*P)
             bits = bits.reshape(len(pdf), N_TABLES, N_PLANES)
             buckets = (bits * weights).sum(axis=2)  # (n, T)

@@ -297,27 +297,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks (pigeonhole: hamming<=3 implies an identical chunk);
     verified by bit_count(xor) <= 3. Token hashing and bit votes stay
     JVM-side; chunk blocking makes candidate generation subquadratic."""
+    import pandas as pd
+
     d = sources.load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks = d.select(
-        "doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("t")
-    ).withColumn("h", F.xxhash64("t"))
-    # per-bit votes: sum(+1 if bit set else -1) over tokens, 64 bits
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(64)
-        ]
+    # token -> 64-bit hash stays JVM-side; the 64 per-bit votes and
+    # signature assembly are one numpy unpackbits + column-sum per
+    # Arrow batch (same zero-shuffle shape as minhash_signatures —
+    # replaces an explode + 64-aggregate groupBy shuffle). Bit 63 is
+    # kept zero so the signature stays a positive long.
+    hashed = d.select(
+        "doc_id",
+        F.transform(F.split(normalize_text("text"), " "), lambda t: F.xxhash64(t)).alias("hs"),
     )
-    # assemble signature: set bit b when vote > 0 (bit 63 kept zero to
-    # stay in positive long range under ANSI overflow checking)
-    sig = F.lit(0).cast("long")
-    for b in range(63):
-        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
-    sigs = votes.select("doc_id", sig.alias("sig"))
+
+    def run(batches):
+        weights = (1 << np.arange(63, dtype=np.uint64)).astype(np.uint64)
+        for pdf in batches:
+            sigs_out = []
+            for hs in pdf["hs"]:
+                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                # bits[i, b] = bit b of token i's hash
+                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+                votes = (2 * bits - 1).sum(axis=0)  # +1/-1 vote per bit
+                sig = int(((votes[:63] > 0).astype(np.uint64) * weights).sum())
+                sigs_out.append(sig)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs_out})
+
+    sigs = hashed.mapInPandas(
+        run,
+        T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("sig", T.LongType())]
+        ),
+    )
     chunks = sigs.select(
         "doc_id",
         "sig",

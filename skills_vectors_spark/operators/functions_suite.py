@@ -264,3 +264,31 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("l_extendedprice"))
         .alias("eff_price"),
     )
+
+
+@register(
+    "fn_bitwise",
+    """
+    SELECT o_orderkey,
+           o_orderkey & 255 AS key_and,
+           xor(o_orderkey, 4095) AS key_xor,
+           o_orderkey << 2 AS key_shl,
+           o_orderkey >> 3 AS key_shr,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS key_bits
+    FROM orders
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/xor/shifts/popcount on 64-bit keys — the
+    primitives the engine's own SimHash and band-hash operators build
+    on, exposed as a declared query."""
+    o = sources.load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("key_and"),
+        k.bitwiseXOR(F.lit(4095)).alias("key_xor"),
+        F.shiftleft(k, 2).alias("key_shl"),
+        F.shiftright(k, 3).alias("key_shr"),
+        F.bit_count(k).cast("long").alias("key_bits"),
+    )

@@ -361,3 +361,60 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.sampleBy("c_mktsegment", fractions, seed=42).select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
+
+
+@register(
+    "win_range_interval",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id
+             ORDER BY date_trunc('second', CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW
+           ) * 100) / 100 AS v_10min
+    FROM events
+    """,
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: each event's rolling 10-minute value
+    total per user — the frame is defined by the ORDER-BY value (event
+    time in seconds), not row offsets, so gaps and bursts are handled
+    correctly. Both engines order by second-truncated time so their
+    inclusive frame boundaries agree. One sort per user partition at
+    any scale."""
+    ev = sources.load(spark, sf_dir, "events")
+    secs = F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.round(F.sum("value").over(w) * 100) / 100).alias("v_10min"),
+    )
+
+
+@register(
+    "agg_median_bool",
+    """
+    SELECT l_returnflag,
+           round(median(l_quantity) * 100) / 100 AS med_qty,
+           round(median(l_extendedprice) * 1e4) / 1e4 AS med_price,
+           CAST(bool_and(l_quantity > 0) AS VARCHAR) AS all_positive,
+           CAST(bool_or(l_discount > 0.09) AS VARCHAR) AS any_deep_discount
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_median_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median (exact continuous, = percentile 0.5) and boolean
+    every/any aggregates per group. Booleans compare as strings
+    (engine<->pandas bool dtype mismatch)."""
+    li = sources.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.median("l_quantity") * 100) / 100).alias("med_qty"),
+        (F.round(F.median("l_extendedprice") * 1e4) / 1e4).alias("med_price"),
+        F.bool_and(F.col("l_quantity") > 0).cast("string").alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).cast("string").alias("any_deep_discount"),
+    )

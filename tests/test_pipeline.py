@@ -1,0 +1,54 @@
+"""End-to-end pipeline facade: embed -> index -> search -> evaluate
+-> report, the reference's full workflow in one chained Catalyst plan."""
+
+from pyspark.sql import functions as F
+
+from skills_vectors_spark import pipeline, sources
+
+
+def test_full_pipeline_end_to_end(spark, sf_dir):
+    docs = sources.load(spark, sf_dir, "documents")
+    emb = pipeline.embed(docs).select("doc_id", "embedding")
+    assert emb.columns == ["doc_id", "embedding"]
+
+    queries = emb.filter(F.col("doc_id") < 5).withColumnRenamed("doc_id", "q_id")
+    index = pipeline.build_index(emb)
+    approx = pipeline.search(index, queries, k=10)
+    gold = pipeline.search_exact(emb, queries, k=10)
+
+    ev = pipeline.evaluate(approx, gold, k=10).collect()
+    assert len(ev) == 5
+    mean_recall = sum(r.recall for r in ev) / len(ev)
+    assert mean_recall >= 0.6, f"pipeline ANN recall too low: {mean_recall}"
+
+    rep = pipeline.report_wide(gold, k=10)
+    assert rep.count() == 5
+    assert "id0" in rep.columns and "score9" in rep.columns
+    row = rep.filter(F.col("q_id") == 0).collect()[0]
+    # rank-0 hit must be the gold rank-1 neighbor
+    top = gold.filter((F.col("q_id") == 0) & (F.col("rnk") == 1)).collect()[0]
+    assert row.id0 == top.c_id
+
+
+def test_search_exact_matches_registered_knn(spark, sf_dir):
+    from skills_vectors_spark.operators.knn import N_QUERIES, ranked_knn
+
+    emb = sources.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed("vec_id", "q_id")
+    # exclude self-matches the same way ranked_knn does
+    got = (
+        pipeline.search_exact(emb, queries, k=11, id_col="vec_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "rnk2",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "q_id"
+                ).orderBy(F.col("score").desc(), F.col("c_id"))
+            ),
+        )
+        .filter(F.col("rnk2") <= 10)
+        .select("q_id", "c_id")
+    )
+    want = ranked_knn(spark, sf_dir, "cosine").select("q_id", "c_id")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
