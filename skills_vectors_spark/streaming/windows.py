@@ -286,3 +286,64 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "c_mktsegment", F.col("window.start").alias("window_start"), "n", "sum_value"
     )
+
+
+@register(
+    "stream_join_interval",
+    """
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+           CAST(date_diff('second', CAST(v.ts AS TIMESTAMP),
+                          CAST(p.ts AS TIMESTAMP)) AS BIGINT) AS secs_before
+    FROM events p JOIN events v
+      ON p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.user_id = p.user_id
+     AND CAST(v.ts AS TIMESTAMP)
+         BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL 5 MINUTE
+             AND CAST(p.ts AS TIMESTAMP)
+    """,
+)
+def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    every (purchase, view-from-the-same-user-within-5-minutes) pair.
+    Both sides carry watermarks, so the join state for a purchase is
+    dropped once the view-side watermark passes its 5-minute window —
+    bounded state on unbounded streams, which is the whole point of
+    interval joins over naive stream buffering. Oracle is the batch
+    interval self-join."""
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "v_user_id = p_user_id AND "
+            "v_ts BETWEEN p_ts - INTERVAL 5 MINUTES AND p_ts"
+        ),
+    )
+    out = run_to_completion(
+        joined.select(
+            "purchase_id",
+            "view_id",
+            F.col("p_user_id").alias("user_id"),
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("secs_before"),
+        ),
+        mode="append",
+    )
+    return out
