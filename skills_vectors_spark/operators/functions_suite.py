@@ -292,3 +292,32 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("key_shr"),
         F.bit_count(k).cast("long").alias("key_bits"),
     )
+
+
+@register(
+    "fn_explode",
+    """
+    WITH pos AS (
+      SELECT vec_id, embedding,
+             unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+           round(embedding[i]::DOUBLE * 1e6) / 1e6 AS val
+    FROM pos
+    """,
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array column -> (row, ordinal, element) long form —
+    the expansion primitive under the shingle/band/bucket operators,
+    declared standalone. Expansions multiply rows, so real pipelines
+    repartition BEFORE exploding (see dedup.shingle_df); here the
+    corpus is pre-spread by the source scan."""
+    e = sources.load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "raw")
+    ).select(
+        "vec_id", "pos", (F.round(F.col("raw").cast("double") * 1e6) / 1e6).alias("val")
+    )

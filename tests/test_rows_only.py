@@ -1,0 +1,71 @@
+"""Behavior gates for rows-only queries (no SQL oracle): sketches vs
+their exact twins, MLlib MinHash vs the exact Jaccard tier, pipeline
+determinism, fingerprint shape."""
+
+from pyspark.sql import functions as F
+
+from skills_vectors_spark import sources
+from skills_vectors_spark.operators import dedup, embed, textstats
+from skills_vectors_spark.operators.relational2 import agg_approx_percentile, agg_percentile
+
+
+def test_agg_approx_distinct_near_exact(spark, sf_dir):
+    from skills_vectors_spark.operators.relational import agg_approx_distinct
+
+    approx = {r[0]: r[1] for r in agg_approx_distinct(spark, sf_dir).collect()}
+    li = sources.load(spark, sf_dir, "lineitem")
+    exact = {
+        r[0]: r[1]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / max(n, 1) < 0.1, (k, approx[k], n)
+
+
+def test_agg_approx_percentile_near_exact(spark, sf_dir):
+    approx = {r[0]: r[1] for r in agg_approx_percentile(spark, sf_dir).collect()}
+    exact = {r[0]: r[1] for r in agg_percentile(spark, sf_dir).collect()}  # p50 col
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / max(abs(exact[k]), 1e-9) < 0.05, (
+            k,
+            approx[k],
+            exact[k],
+        )
+
+
+def test_dedup_near_overlaps_exact_tier(spark, sf_dir):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    near = {(r.doc_a, r.doc_b) for r in dedup.dedup_near(spark, sf_dir).collect()}
+    assert exact, "exact tier must find near-dups in the test corpus"
+    recall = len(exact & near) / len(exact)
+    assert recall >= 0.5, f"MLlib MinHash recall vs exact tier too low: {recall}"
+
+
+def test_embed_knn_pipeline_deterministic(spark, sf_dir):
+    a = embed.embed_knn_pipeline(spark, sf_dir)
+    rows = sorted(map(tuple, a.collect()))
+    assert len(rows) > 0
+    assert sorted(map(tuple, embed.embed_knn_pipeline(spark, sf_dir).collect())) == rows
+    # 10 query docs x top-5 each
+    n_q = a.select("q_id").distinct().count()
+    assert n_q == 10
+    assert a.groupBy("q_id").count().agg(F.max("count")).collect()[0][0] <= 5
+
+
+def test_fingerprint_rolling_shape(spark, sf_dir):
+    fp = textstats.fingerprint_rolling(spark, sf_dir)
+    n_docs = sources.load(spark, sf_dir, "documents").count()
+    rows = fp.collect()
+    assert len(rows) == n_docs
+    assert all(r.rolling_fp is not None for r in rows)
+    # order sensitivity: identical docs share a fingerprint, and there
+    # are fewer distinct fingerprints than docs iff duplicates exist
+    n_distinct = fp.select("rolling_fp").distinct().count()
+    assert n_distinct <= n_docs
