@@ -235,3 +235,83 @@ def fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-sensitive (catches reorderings md5-of-sorted misses)."""
     d = sources.load(spark, sf_dir, "documents")
     return d.select("doc_id", _rolling_hash(tokens("text")).alias("rolling_fp"))
+
+
+CHUNK_SIZE = 50  # tokens per chunk
+CHUNK_STRIDE = 40  # overlap = size - stride
+
+
+@register(
+    "text_chunk",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks), 1) + 1, {CHUNK_STRIDE})) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_STRIDE} AS INT) AS chunk_id,
+           CAST(len(toks[start:start + {CHUNK_SIZE - 1}]) AS BIGINT) AS n_tokens,
+           array_to_string(toks[start:start + {CHUNK_SIZE - 1}], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: {size}-token chunks with
+    {overlap}-token overlap — the packing step between raw documents
+    and a context-length-bounded training set. Pure array expressions
+    (sequence + posexplode + slice), no Python; the explode is the
+    only row expansion and the input is pre-spread. Chunk ids are
+    deterministic (ordinal of the window start)."""
+    d = sources.load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split(normalize_text("text"), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(CHUNK_STRIDE))
+    chunked = d.select("doc_id", toks.alias("toks"), F.posexplode(starts).alias("chunk_id", "start"))
+    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_SIZE)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+@register(
+    "diag_skew",
+    """
+    WITH per_key AS (
+      SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(c) AS BIGINT) AS max_rows,
+           round(avg(c) * 100) / 100 AS avg_rows,
+           round(quantile_cont(c, 0.5) * 100) / 100 AS p50_rows,
+           round(quantile_cont(c, 0.99) * 100) / 100 AS p99_rows,
+           round(max(c) / avg(c) * 1e4) / 1e4 AS skew_ratio
+    FROM per_key
+    """,
+)
+def diag_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: the distribution of per-key group sizes
+    (count, max, avg, p50, p99, max/avg ratio) for a prospective
+    join/agg key. This is the measurement that decides between plain
+    shuffle, AQE skew-join, and explicit salting (join_skew_salted) —
+    measure, don't guess. Two cheap aggregations, the second over one
+    row per key."""
+    ev = sources.load(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    qs = F.percentile("c", F.array(F.lit(0.5), F.lit(0.99)))
+    return per_key.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_rows"),
+        (F.round(F.avg("c") * 100) / 100).alias("avg_rows"),
+        (F.round(qs[0] * 100) / 100).alias("p50_rows"),
+        (F.round(qs[1] * 100) / 100).alias("p99_rows"),
+        (F.round(F.max("c") / F.avg("c") * 1e4) / 1e4).alias("skew_ratio"),
+    )
