@@ -227,6 +227,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
+    # candidates feed two consumers (the pair join and the cand_ids
+    # semi-filter); the subtree recomputes rather than checkpointing —
+    # signature mining is a cheap zero-shuffle map, and keeping the
+    # plan lazy lets Catalyst optimize end-to-end (an A/B showed no
+    # wall-clock win from a localCheckpoint barrier here)
     # exact verification of the (few) candidates: fetch the shingle
     # SETS of just the docs that appear in some candidate pair and
     # intersect them per pair with array_intersect. The expensive

@@ -418,3 +418,42 @@ def agg_median_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("l_quantity") > 0).cast("string").alias("all_positive"),
         F.bool_or(F.col("l_discount") > 0.09).cast("string").alias("any_deep_discount"),
     )
+
+
+@register(
+    "sql_api_topk_revenue",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100) / 100 AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def sql_api_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entry point: a TPC-H Q3-shaped query submitted
+    as literal SQL over registered views (the same Catalyst plan the
+    DataFrame API builds — one parser in front of one optimizer).
+    Segment filter pushes to the customer scan; the global top-10
+    becomes TakeOrderedAndProject, so only 10 rows per partition ever
+    reach the driver-side merge."""
+    sources.register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT o.o_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100) / 100 AS revenue,
+               o.o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o.o_orderkey
+        LIMIT 10
+        """
+    )
