@@ -321,3 +321,29 @@ def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", "pos", (F.round(F.col("raw").cast("double") * 1e6) / 1e6).alias("val")
     )
+
+
+@register(
+    "fn_map",
+    """
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           array_to_string(json_keys(props), ',') AS keys_csv,
+           json_extract_string(props, '$.k') AS k_val
+    FROM events
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType family: parse the JSON props payload into a
+    map<string,string> once, then map_keys / size / element_at —
+    the typed alternative to repeated get_json_object calls (one
+    parse, many lookups; SURVEY §1.3 maps metadata dicts to typed
+    columns)."""
+    ev = sources.load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
+        F.element_at(m, "k").alias("k_val"),
+    )

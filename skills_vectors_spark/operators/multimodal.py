@@ -167,3 +167,61 @@ def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
         (F.round(F.avg(F.col("meta.n_bytes")) * 100) / 100).alias("avg_bytes"),
     )
+
+
+def _fake_decode_audio(payload: bytes, sr: int = 16000) -> np.ndarray:
+    """STUB DECODE — deterministic fake standing in for
+    torchaudio.load / soundfile.read. Derives a 1-D float32 waveform
+    (0.5-2.0 s at `sr`) from the payload hash so tests are hermetic.
+    Replace with a real decoder in production."""
+    digest = hashlib.md5(payload + b"audio").digest()
+    n = sr // 2 + int.from_bytes(digest[:2], "big") % (3 * sr // 2)
+    rng = np.random.default_rng(int.from_bytes(digest[2:10], "big"))
+    return (rng.standard_normal(n) * 0.1).astype(np.float32)
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_cross_rate", T.DoubleType()),
+    ]
+)
+
+
+@register("mm_audio_features")  # rows-only: fake decoder, not SQL-expressible
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> waveform feature extraction over audio payloads
+    (duration, RMS energy, peak, zero-crossing rate — the standard
+    cheap audio quality/filtering features). Same contract as
+    mm_image_features: media_type predicate prunes before decode,
+    waveforms never leave the executor, the shuffle carries only the
+    6-column feature rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sr = 16000
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w = _fake_decode_audio(bytes(payload), sr)
+                zc = float(np.mean(np.abs(np.diff(np.signbit(w)))))
+                rows.append(
+                    (
+                        int(mid),
+                        len(w),
+                        round(len(w) / sr, 4),
+                        round(float(np.sqrt(np.mean(w**2))), 6),
+                        round(float(np.abs(w).max()), 6),
+                        round(zc, 6),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _AUDIO_SCHEMA.fields])
+
+    media = media_table(spark, sf_dir).filter(F.col("media_type") == "audio")
+    spread = media.select("media_id", "payload").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(run, _AUDIO_SCHEMA)

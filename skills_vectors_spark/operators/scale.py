@@ -207,3 +207,32 @@ def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = sources.load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
     s.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+CLUSTER_USER = 42
+
+
+@register(
+    "sink_clustered",
+    f"""
+    SELECT event_id, user_id, value FROM events WHERE user_id = {CLUSTER_USER}
+    """,
+)
+def sink_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered layout: repartitionByRange(user_id) +
+    sortWithinPartitions before the write puts each key's rows in few
+    files AND few row groups, so a key-predicate read prunes via
+    parquet min/max statistics (PushedFilters actually skip pages) —
+    the poor-man's z-order, and the difference between touching 1/N
+    files and all of them at 100 TB. The write itself demonstrates
+    the one justified pre-write shuffle: pay once at load, save on
+    every read."""
+    path = _scratch(sf_dir, "events_clustered")
+    ev = sources.load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id", "event_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).filter(F.col("user_id") == CLUSTER_USER)

@@ -347,3 +347,45 @@ def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     return out
+
+
+@register(
+    "stream_foreach_batch",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value) * 100) / 100 AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: per-micro-batch partial aggregates merged
+    into an external upsert target (a driver-side dict stands in for
+    the KV/OLTP store; the merge arithmetic is the real pattern —
+    additive state, idempotent per batch id). This is how streaming
+    results reach systems Spark has no native sink for; for bounded
+    input the merged store equals the batch GROUP BY, the oracle."""
+    store: dict[str, tuple[int, float]] = {}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .collect()
+        )
+        for r in rows:
+            n0, s0 = store.get(r.event_type, (0, 0.0))
+            store[r.event_type] = (n0 + r.n, s0 + float(r.s))
+
+    ev = stream_events(spark, sf_dir)
+    q = ev.writeStream.outputMode("append").foreachBatch(upsert).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.createDataFrame(
+        [(k, n, s) for k, (n, s) in sorted(store.items())],
+        "event_type string, n bigint, s double",
+    )
+    return out.select(
+        "event_type", "n", (F.round(F.col("s") * 100) / 100).alias("sum_value")
+    )

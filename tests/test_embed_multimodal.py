@@ -38,3 +38,15 @@ def test_mm_frame_sample_fanout(spark, sf_dir):
         idxs = sorted(f.frame_idx for f in frames)
         assert idxs == list(range(len(frames)))
         assert all(f.n_frames == len(frames) for f in frames)
+
+
+def test_mm_audio_features_deterministic(spark, sf_dir):
+    from skills_vectors_spark.operators.multimodal import mm_audio_features
+
+    rows = sorted(map(tuple, mm_audio_features(spark, sf_dir).collect()))
+    assert rows, "audio subset must be non-empty"
+    assert rows == sorted(map(tuple, mm_audio_features(spark, sf_dir).collect()))
+    for r in rows:
+        _, n, dur, rms, peak, zcr = r
+        assert 8000 <= n <= 32000 and 0.5 <= dur <= 2.0
+        assert 0 < rms <= peak and 0 <= zcr <= 1
