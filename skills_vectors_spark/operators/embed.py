@@ -111,3 +111,53 @@ def embed_knn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("q_id", "rnk", "c_id", (F.round(F.col("score") * 1e6) / 1e6).alias("cos_sim"))
     )
+
+
+_EMBED_STATUS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("status", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+MIN_EMBED_CHARS = 20  # the mock "API" rejects degenerate inputs
+
+
+@register("embed_with_status")  # rows-only: hash-seeded vectors
+def embed_with_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row error surfacing (ref A21: every remote call is wrapped
+    in try/except-continue with an error counter,
+    /root/reference/skills_for_jobs.py:75-79,421-426,
+    load_skill_vectors_pg.py:35-43). The engine's rendering: a failed
+    row keeps flowing with status='error' + message and a null vector
+    instead of killing the job or being silently dropped — at 100 TB
+    a 0.001% failure rate is thousands of rows you must be able to
+    retry, so failures are DATA, queryable and re-drivable
+    (``WHERE status = 'error'`` is the retry queue)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, embs, statuses, errors = [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                ids.append(did)
+                try:
+                    # the mock client enforces a minimal contract the
+                    # way a real API rejects empty/oversized payloads
+                    if text is None or len(text.strip()) < MIN_EMBED_CHARS:
+                        raise ValueError(f"input below {MIN_EMBED_CHARS} chars")
+                    embs.append(_mock_embed_batch(pd.Series([text]))[0])
+                    statuses.append("ok")
+                    errors.append(None)
+                except Exception as exc:  # the A21 continue-on-error seat
+                    embs.append(None)
+                    statuses.append("error")
+                    errors.append(str(exc))
+            yield pd.DataFrame(
+                {"doc_id": ids, "embedding": embs, "status": statuses, "error": errors}
+            )
+
+    d = sources.load(spark, sf_dir, "documents").select("doc_id", "text")
+    spread = d.repartition(spark.sparkContext.defaultParallelism)
+    return spread.mapInPandas(run, _EMBED_STATUS_SCHEMA)

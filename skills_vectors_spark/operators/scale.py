@@ -209,7 +209,7 @@ def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path)
 
 
-CLUSTER_USER = 42
+CLUSTER_USER = 7  # present at every scale factor (sf0.001 has ~15 users)
 
 
 @register(

@@ -54,3 +54,14 @@ def read_schema_columns(df: DataFrame) -> list[str]:
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", formatted_plan(df)):
         cols.extend(part.split(":")[0].strip() for part in m.group(1).split(",") if part)
     return cols
+
+
+def explain_report(df: DataFrame) -> str:
+    """One-stop plan summary for interactive tuning: the formatted
+    plan plus the extracted PlanFacts header."""
+    facts = PlanFacts.of(df)
+    return (
+        f"broadcast={facts.has_broadcast} window_group_limit={facts.has_window_group_limit} "
+        f"pushed_filters={facts.pushed_filters} codegen={facts.whole_stage_codegen} "
+        f"exchanges={facts.n_exchanges}\n\n{formatted_plan(df)}"
+    )

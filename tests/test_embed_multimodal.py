@@ -50,3 +50,20 @@ def test_mm_audio_features_deterministic(spark, sf_dir):
         _, n, dur, rms, peak, zcr = r
         assert 8000 <= n <= 32000 and 0.5 <= dur <= 2.0
         assert 0 < rms <= peak and 0 <= zcr <= 1
+
+
+def test_embed_with_status_surfaces_errors(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from skills_vectors_spark import sources
+    from skills_vectors_spark.operators.embed import embed_with_status
+
+    out = embed_with_status(spark, sf_dir)
+    n_docs = sources.load(spark, sf_dir, "documents").count()
+    assert out.count() == n_docs, "every input row must come out, ok or error"
+    ok = out.filter(F.col("status") == "ok")
+    err = out.filter(F.col("status") == "error")
+    assert ok.filter(F.col("embedding").isNull()).count() == 0
+    assert err.filter(F.col("embedding").isNotNull()).count() == 0
+    assert err.filter(F.col("error").isNull()).count() == 0
+    assert ok.count() > 0

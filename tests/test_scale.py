@@ -78,3 +78,13 @@ def test_dedup_clusters_match_union_find(spark, sf_dir):
     assert got == want
     # non-trivial at sf0.001: at least one multi-doc cluster
     assert any(v != k for k, v in got.items()), "expected at least one merged cluster"
+
+
+def test_sink_clustered_pushes_key_filter(spark, sf_dir):
+    df = scale.sink_clustered(spark, sf_dir)
+    fmt = formatted_plan(df)
+    assert "PushedFilters: [" in fmt and "EqualTo(user_id" in fmt, (
+        "key predicate must reach the parquet scan for row-group pruning"
+    )
+    users = df.select("user_id").distinct().collect()
+    assert [r.user_id for r in users] == [scale.CLUSTER_USER]
