@@ -364,3 +364,132 @@ def eval_backend_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("backend")
     )
+
+
+# ---------------------------------------------------------------- PQ (ADC)
+
+PQ_M = 8  # subvectors per vector
+PQ_K = 16  # centroids per subspace -> 4 bits; code = 8 bytes/vector
+PQ_OVERSHOOT = 8  # ADC candidates per final result before exact re-rank
+
+_PQ_CODEBOOKS: dict[str, np.ndarray] = {}
+
+
+def pq_codebooks(spark: SparkSession, sf_dir: str, emb: DataFrame) -> np.ndarray:
+    """(M, K, DIM/M) product-quantization codebooks, trained
+    driver-side on a bounded sample exactly like the IVF coarse
+    quantizer (per-subspace Lloyd's) — the index-build step."""
+    if sf_dir not in _PQ_CODEBOOKS:
+        sample = np.stack(
+            emb.select("embedding").limit(MAX_TRAIN).toPandas()["embedding"].to_numpy()
+        ).astype(np.float64)
+        d_sub = sample.shape[1] // PQ_M
+        rng = np.random.default_rng(SEED)
+        books = np.empty((PQ_M, PQ_K, d_sub))
+        for m in range(PQ_M):
+            sub = sample[:, m * d_sub : (m + 1) * d_sub]
+            cent = sub[rng.choice(len(sub), PQ_K, replace=False)].copy()
+            for _ in range(10):
+                d = (cent**2).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
+                assign = d.argmin(axis=1)
+                for c in range(PQ_K):
+                    members = sub[assign == c]
+                    if len(members):
+                        cent[c] = members.mean(axis=0)
+            books[m] = cent
+        _PQ_CODEBOOKS[sf_dir] = books
+    return _PQ_CODEBOOKS[sf_dir]
+
+
+@register("ann_pq")  # rows-only
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the memory-bound scale tier: 8-byte
+    codes instead of 256-byte vectors — at 100 TB the codes for the
+    WHOLE corpus fit in cluster RAM). Encode: per-subspace nearest
+    codebook entry, one matmul per Arrow batch. Search: asymmetric
+    distance computation — each query precomputes an (M x K) lookup
+    table of exact subspace distances, scoring a code is M table
+    gathers; top candidates get an exact cosine re-rank (the same
+    overshoot-then-verify shape as the reference's gold query,
+    skills_for_jobs.py:363,371-379)."""
+    emb = sources.load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    books = pq_codebooks(spark, sf_dir, emb)  # (M, K, d_sub)
+    d_sub = books.shape[2]
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    Q = np.stack(q_rows["embedding"].to_numpy()).astype(np.float64)  # (nq, DIM)
+    q_ids = q_rows["vec_id"].to_numpy()
+    # per-query ADC tables: luts[q, m, k] = ||Q[q, sub m] - books[m, k]||^2
+    luts = np.empty((len(Q), PQ_M, PQ_K))
+    for m in range(PQ_M):
+        qs = Q[:, m * d_sub : (m + 1) * d_sub]
+        diff = qs[:, None, :] - books[m][None, :, :]
+        luts[:, m, :] = (diff**2).sum(axis=2)
+    n_cand = K * PQ_OVERSHOOT
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(V), PQ_M), dtype=np.int64)
+            for m in range(PQ_M):
+                sub = V[:, m * d_sub : (m + 1) * d_sub]
+                cent = books[m]
+                codes[:, m] = (
+                    (cent**2).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
+                ).argmin(axis=1)
+            # adc[q, i] = sum_m luts[q, m, codes[i, m]] — gather via
+            # flattened (m, k) indices: one fancy-index per batch
+            flat = codes + (np.arange(PQ_M) * PQ_K)[None, :]  # (n, M)
+            adc = luts.reshape(len(luts), PQ_M * PQ_K)[:, flat].sum(axis=2)
+            ids = pdf["vec_id"].to_numpy()
+            out = {"q_id": [], "c_id": [], "adc": []}
+            keep = min(n_cand, adc.shape[1])
+            for qi in range(adc.shape[0]):
+                top = np.argpartition(adc[qi], keep - 1)[:keep]
+                out["q_id"].extend([int(q_ids[qi])] * len(top))
+                out["c_id"].extend(int(ids[t]) for t in top)
+                out["adc"].extend(float(adc[qi, t]) for t in top)
+            yield pd.DataFrame(out)
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("c_id", T.LongType()),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+    # per-partition candidates: each partition returns its local ADC
+    # top keep; the global window below merges them (candidates per
+    # query = keep x n_partitions upper bound, still << corpus)
+    cand = emb.select("vec_id", "embedding").mapInPandas(score, cand_schema)
+    w_adc = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id"))
+    shortlist = (
+        cand.filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("arnk", F.row_number().over(w_adc))
+        .filter(F.col("arnk") <= n_cand)
+    )
+    qv = sources.load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cv = sources.load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        shortlist.join(F.broadcast(qv), "q_id")
+        .join(cv, "c_id")
+        .withColumn("score", cosine_sim("q_emb", "c_emb"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= K)
+        .select("q_id", "rnk", "c_id", (F.round(F.col("score") * 1e6) / 1e6).alias("cos_sim"))
+    )

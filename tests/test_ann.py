@@ -51,3 +51,16 @@ def test_eval_backend_compare_report(spark, sf_dir):
     # small corpus; brp_l2 optimizes a different metric, so only bound it
     assert rows["hyperplane_lsh"].avg_recall >= 0.5
     assert rows["ivf"].avg_recall >= 0.5
+
+
+def test_ann_pq_recall(spark, sf_dir):
+    from skills_vectors_spark.operators.ann import ann_pq
+    from skills_vectors_spark.operators.knn import ranked_knn
+
+    gold = {
+        (r.q_id, r.c_id)
+        for r in ranked_knn(spark, sf_dir, "cosine").select("q_id", "c_id").collect()
+    }
+    got = {(r.q_id, r.c_id) for r in ann_pq(spark, sf_dir).select("q_id", "c_id").collect()}
+    recall = len(gold & got) / len(gold)
+    assert recall >= 0.6, f"PQ+ADC recall vs exact too low: {recall}"
