@@ -476,3 +476,41 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= COSINE_DUP_THRESHOLD)
         .select("id_a", "id_b", (F.round(F.col("cos_raw") * 1e6) / 1e6).alias("cos_sim"))
     )
+
+
+@register(
+    "dedup_apply",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id
+    ),
+    clusters AS (
+      SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
+    WHERE c.cluster_id = d.doc_id
+    """,
+)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product of the dedup family: the CLEANED corpus.
+    Keep-first semantics lifted to transitive near-dup clusters
+    (ref A16, skills_for_jobs.py:371-379): a document survives iff it
+    is its cluster's minimum id — singletons (most of the corpus)
+    survive trivially. One semi-join of the cluster assignment
+    against the corpus; at 100 TB the assignment table is tiny
+    relative to the corpus and broadcasts."""
+    clusters = dedup_clusters(spark, sf_dir)
+    keepers = clusters.filter(F.col("cluster_id") == F.col("doc_id")).select("doc_id")
+    d = sources.load(spark, sf_dir, "documents")
+    return d.join(F.broadcast(keepers), "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )

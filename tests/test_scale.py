@@ -88,3 +88,14 @@ def test_sink_clustered_pushes_key_filter(spark, sf_dir):
     )
     users = df.select("user_id").distinct().collect()
     assert [r.user_id for r in users] == [scale.CLUSTER_USER]
+
+
+def test_dedup_apply_keeps_cluster_minima(spark, sf_dir):
+    from skills_vectors_spark import sources
+
+    clusters = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(spark, sf_dir).collect()}
+    kept = {r.doc_id for r in dedup.dedup_apply(spark, sf_dir).collect()}
+    want = {d for d, c in clusters.items() if c == d}
+    assert kept == want
+    n_docs = sources.load(spark, sf_dir, "documents").count()
+    assert len(kept) < n_docs, "test corpus contains near-dups to drop"
