@@ -54,6 +54,10 @@ HEADLINE = [
     "stream_tumbling",
     "stream_session",
     "stream_stateful",
+    "join_range_binned",
+    "sessionize_batch",
+    "agg_hll_sketch",
+    "quality_filter_apply",
 ]
 
 

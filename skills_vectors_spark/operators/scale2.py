@@ -1,0 +1,358 @@
+"""Scale-path operators, part 2 (SURVEY §2.C additions).
+
+Each entry is a 100 TB-motivated physical strategy whose *semantics*
+stay oracle-checkable:
+
+  * join_range_binned — the big×big band join: bucketize the range key
+    and equi-join on bin (replicating one side into neighbor bins), so
+    a BroadcastNestedLoopJoin becomes a shuffled hash join that scales
+    with data, not with |L|×|R|.
+  * sessionize_batch — gap-based sessionization of the events log
+    (lag + running sum of session-break flags), the batch twin of
+    streaming session_window.
+  * agg_minmax_by — argmax/argmin aggregation via lexicographic struct
+    max: one pass, map-side combinable, deterministic under ties.
+  * agg_hll_sketch — mergeable HyperLogLog sketches: per-group sketch
+    build + estimate + a grand union. The pre-aggregation pattern for
+    distinct counting at 100 TB (sketches persist and re-merge, so
+    daily partials compose into any rollup without a re-scan).
+  * quality_filter_apply — the end-product corpus filter: language
+    known + quality score above threshold + length band.
+  * fn_url — URL parsing family (host/path/query-param extraction),
+    the web-corpus normalization primitive.
+  * sink_zorder — Morton (Z-order) interleaved layout on two
+    dimensions so parquet min/max row-group stats prune on BOTH
+    predicates, not just the leading sort key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from skills_vectors_spark import sources
+from skills_vectors_spark.operators.relational import _scratch
+from skills_vectors_spark.operators.textstats import D_TOKENS, _d_stop_hits, quality_score
+from skills_vectors_spark.registry import register
+
+BAND = 100  # acctbal band half-width; also the bin width
+SESSION_GAP_US = 1800 * 1_000_000  # 30-min inactivity gap
+ZBITS = 8
+
+
+@register(
+    "join_range_binned",
+    f"""
+    SELECT c.c_custkey, s.s_suppkey,
+           round(c.c_acctbal - s.s_acctbal, 2) AS bal_diff
+    FROM customer c JOIN supplier s
+      ON c.c_acctbal BETWEEN s.s_acctbal - {BAND} AND s.s_acctbal + {BAND}
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join via range binning — the scale path for join_theta_range
+    (ref A13's full-scan compare, skills_for_jobs.py:363). Each customer
+    lands in bin floor(bal/W); each supplier is replicated into every
+    bin its ±W band can touch (≤3 rows). The join is then a plain
+    equi-join on bin + residual filter: shuffled hash join, partial
+    partition pruning, AQE skew handling — all of which a nested-loop
+    range join forfeits. Replication factor is band/W + 2 ≈ constant,
+    so cost is O(|L|+|R|) shuffle instead of O(|L|×|R|) compare."""
+    c = sources.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", F.floor(F.col("c_acctbal") / BAND).alias("bin")
+    )
+    s = (
+        sources.load(spark, sf_dir, "supplier")
+        .select(
+            "s_suppkey",
+            "s_acctbal",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("s_acctbal") - BAND) / BAND),
+                    F.floor((F.col("s_acctbal") + BAND) / BAND),
+                )
+            ).alias("bin"),
+        )
+    )
+    return (
+        c.join(s, "bin")
+        .filter(
+            (F.col("c_acctbal") >= F.col("s_acctbal") - BAND)
+            & (F.col("c_acctbal") <= F.col("s_acctbal") + BAND)
+        )
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.round(F.col("c_acctbal") - F.col("s_acctbal"), 2).alias("bal_diff"),
+        )
+    )
+
+
+@register(
+    "sessionize_batch",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, epoch_us(ts) AS t_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                    OR lag(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+      SELECT user_id, t_us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY t_us
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(t_us) AS start_us, max(t_us) AS end_us,
+           round((max(t_us) - min(t_us)) / 1e6, 3) AS duration_s
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a session break is >30 min of user
+    inactivity; session id is the running count of breaks. Batch twin
+    of stream_session (session_window) — one shuffle on user_id feeds
+    both windows and the final aggregate, and the window never sorts
+    more than one user's rows per task. Timestamps flow as integer
+    epoch-µs (unix_micros/epoch_us) so Spark-vs-oracle comparison is
+    exact — events.ts is µs-aligned at every SF."""
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    ev = sources.load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t_us")
+    )
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.col("t_us") - F.lag("t_us").over(w) > SESSION_GAP_US, 1
+        )
+        .when(F.lag("t_us").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_new")
+        .over(Window.partitionBy("user_id").orderBy("t_us").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("t_us").alias("start_us"),
+        F.max("t_us").alias("end_us"),
+        F.round((F.max("t_us") - F.min("t_us")) / 1e6, 3).alias("duration_s"),
+    )
+
+
+@register(
+    "agg_minmax_by",
+    """
+    WITH ranked AS (
+      SELECT event_type, user_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, user_id DESC) AS rmax,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, user_id ASC) AS rmin
+      FROM events
+    )
+    SELECT event_type,
+           max(CASE WHEN rmax = 1 THEN user_id END) AS top_user,
+           max(CASE WHEN rmin = 1 THEN user_id END) AS bottom_user,
+           round(max(value), 6) AS max_value,
+           round(min(value), 6) AS min_value
+    FROM ranked GROUP BY event_type
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin per group in ONE aggregation pass via lexicographic
+    struct min/max — no window, no self-join, map-side combinable, and
+    deterministic under value ties (user_id is the tiebreaker inside
+    the struct). The classic "who had the largest event" query that a
+    window-based top-1 would pay a full sort for."""
+    ev = sources.load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.max(F.struct("value", "user_id"))["user_id"].alias("top_user"),
+        F.min(F.struct("value", "user_id"))["user_id"].alias("bottom_user"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+    )
+
+
+@register("agg_hll_sketch")  # estimates: no SQL oracle -> rows-only + tolerance test
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog distinct-count sketches (Datasketches HLL,
+    built into Spark 3.5+): per event_type build a sketch over user_id,
+    estimate its cardinality, then UNION the binary sketches into a
+    grand total WITHOUT re-scanning rows. At 100 TB this is the whole
+    point: persist per-partition/day sketch bytes (~1 KB each), and any
+    later rollup (week, month, all-time) is a merge of kilobytes, not a
+    re-aggregation of the log. The exact distinct count rides along for
+    the accuracy gate in tests (|est/exact - 1| < 5%)."""
+    ev = sources.load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count_distinct("user_id").alias("exact_distinct"),
+    )
+    est = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").alias("est_distinct"),
+        "exact_distinct",
+    )
+    grand = per_type.agg(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_distinct"),
+        F.lit(None).cast("long").alias("exact_distinct"),
+    )
+    return est.unionByName(grand)
+
+
+_QUALITY_MIN = 0.5
+_CHARS_LO, _CHARS_HI = 120, 20000
+
+
+@register(
+    "quality_filter_apply",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             least(n_chars / 500.0, 1.0) AS len_score,
+             len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+               / greatest(length(text), 1) AS punct_ratio,
+             {_d_stop_hits("en")}::DOUBLE
+               / greatest(len({D_TOKENS}), 1) AS stop_ratio
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             round((0.4 * len_score
+                  + 0.3 * (1 - least(5 * punct_ratio, 1.0))
+                  + 0.3 * least(10 * stop_ratio, 1.0)) * 1e6) / 1e6 AS quality
+      FROM feats
+    )
+    SELECT d.doc_id, d.lang, d.source, s.quality
+    FROM documents d JOIN scored s USING (doc_id)
+    WHERE s.quality >= {_QUALITY_MIN}
+      AND d.lang <> 'und'
+      AND d.n_chars BETWEEN {_CHARS_LO} AND {_CHARS_HI}
+    """,
+)
+def quality_filter_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline end-product: keep documents whose heuristic quality
+    clears a threshold, whose language is identified, and whose length
+    sits inside the training band — the standard pretraining-corpus
+    filter (quality_score made actionable, like dedup_apply is for the
+    dedup family). The score is recomputed inline from the same
+    expressions as quality_score, so the whole filter is one
+    codegen'd scan — no join against a materialized score table."""
+    scored = quality_score(spark, sf_dir).select("doc_id", "quality")
+    docs = sources.load(spark, sf_dir, "documents")
+    return (
+        docs.join(scored, "doc_id")
+        .filter(
+            (F.col("quality") >= _QUALITY_MIN)
+            & (F.col("lang") != "und")
+            & F.col("n_chars").between(_CHARS_LO, _CHARS_HI)
+        )
+        .select("doc_id", "lang", "source", "quality")
+    )
+
+
+@register(
+    "fn_url",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.org/docs/' || doc_id
+               || '?lang=' || lang || '&v=2' AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM u
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing family — host/path/query/param extraction with
+    parse_url (codegen builtin), the first normalization step of any
+    web-crawl corpus pipeline (canonical host grouping, per-domain
+    dedup, parameter stripping)."""
+    d = sources.load(spark, sf_dir, "documents")
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/docs/"),
+            F.col("doc_id"),
+            F.lit("?lang="),
+            F.col("lang"),
+            F.lit("&v=2"),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+def _morton(x: Column, y: Column, bits: int = ZBITS) -> Column:
+    """Interleave the low `bits` of x and y into a Z-order key —
+    pure bitwise builtins, stays inside whole-stage codegen."""
+    z = F.lit(0)
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return z
+
+
+_ZMAX = 3  # probe the [0, _ZMAX] × [0, _ZMAX] bucket square
+
+
+@register(
+    "sink_zorder",
+    f"""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE user_id % 256 BETWEEN 0 AND {_ZMAX}
+      AND CAST(floor(value) AS BIGINT) % 256 BETWEEN 0 AND {_ZMAX}
+    """,
+)
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered layout: Morton-interleave (user bucket, value
+    bucket), range-partition + sort by the Z key, write parquet. Points
+    near each other in BOTH dimensions land in the same row groups, so
+    parquet min/max stats prune a 2-D predicate — a linear sort key
+    clusters only its leading column and scans everything for the
+    second. This is the multi-dim generalization of sink_clustered,
+    and the standard lakehouse answer (Delta/Iceberg Z-ORDER) re-built
+    from bitwise primitives."""
+    path = _scratch(sf_dir, "events_zorder")
+    ev = sources.load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.pmod(F.col("user_id"), F.lit(256)).cast("int").alias("ub"),
+        F.pmod(F.floor("value").cast("long"), F.lit(256)).cast("int").alias("vb"),
+    )
+    z = ev.withColumn("zkey", _morton(F.col("ub"), F.col("vb")))
+    (
+        z.repartitionByRange(8, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("ub").between(0, _ZMAX) & F.col("vb").between(0, _ZMAX))
+        .select("event_id", "user_id", "value")
+    )

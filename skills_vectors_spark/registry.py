@@ -39,6 +39,7 @@ def load_all() -> None:
     import skills_vectors_spark.operators.relational  # noqa: F401
     import skills_vectors_spark.operators.relational2  # noqa: F401
     import skills_vectors_spark.operators.scale  # noqa: F401
+    import skills_vectors_spark.operators.scale2  # noqa: F401
     import skills_vectors_spark.operators.functions_suite  # noqa: F401
     import skills_vectors_spark.operators.knn  # noqa: F401
     import skills_vectors_spark.operators.ann  # noqa: F401

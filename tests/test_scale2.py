@@ -1,0 +1,103 @@
+"""Scale-surface part 2: binned range join equivalence, batch
+sessionization invariants, HLL sketch accuracy, z-order layout, and
+the quality-filter end product."""
+
+from pyspark.sql import functions as F
+
+from skills_vectors_spark import sources
+from skills_vectors_spark.operators import scale2
+
+
+def test_join_range_binned_equals_nested_loop_band_join(spark, sf_dir):
+    binned = {
+        (r.c_custkey, r.s_suppkey) for r in scale2.join_range_binned(spark, sf_dir).collect()
+    }
+    c = sources.load(spark, sf_dir, "customer")
+    s = sources.load(spark, sf_dir, "supplier")
+    plain = {
+        (r.c_custkey, r.s_suppkey)
+        for r in c.join(
+            s,
+            (c.c_acctbal >= s.s_acctbal - scale2.BAND) & (c.c_acctbal <= s.s_acctbal + scale2.BAND),
+        ).collect()
+    }
+    assert binned == plain and len(binned) > 0
+
+
+def test_join_range_binned_is_equi_join_not_nested_loop(spark, sf_dir):
+    from skills_vectors_spark.plans import physical_plan
+
+    plan = physical_plan(scale2.join_range_binned(spark, sf_dir))
+    assert "NestedLoop" not in plan, f"binned join must not be a nested loop:\n{plan}"
+
+
+def test_sessionize_batch_gap_invariants(spark, sf_dir):
+    sess = scale2.sessionize_batch(spark, sf_dir)
+    rows = sess.orderBy("user_id", "session_id").collect()
+    assert rows, "at least one session"
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user_rows in by_user.values():
+        # session ids are 1..n dense per user
+        assert [r.session_id for r in user_rows] == list(range(1, len(user_rows) + 1))
+        for prev, nxt in zip(user_rows, user_rows[1:]):
+            # consecutive sessions are separated by more than the gap
+            assert nxt.start_us - prev.end_us > scale2.SESSION_GAP_US
+    # event count is conserved
+    n_events = sources.load(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == n_events
+
+
+def test_agg_hll_sketch_accuracy(spark, sf_dir):
+    rows = {r.event_type: r for r in scale2.agg_hll_sketch(spark, sf_dir).collect()}
+    grand = rows.pop("__all__")
+    assert rows, "per-type sketch rows"
+    for r in rows.values():
+        assert abs(r.est_distinct / r.exact_distinct - 1) < 0.05, r
+    # the union estimate must cover at least the largest per-type set
+    assert grand.est_distinct >= max(r.exact_distinct for r in rows.values()) * 0.95
+
+
+def test_sink_zorder_matches_direct_filter(spark, sf_dir):
+    z = {r.event_id for r in scale2.sink_zorder(spark, sf_dir).collect()}
+    ev = sources.load(spark, sf_dir, "events")
+    direct = {
+        r.event_id
+        for r in ev.filter(
+            F.pmod(F.col("user_id"), F.lit(256)).between(0, scale2._ZMAX)
+            & F.pmod(F.floor("value").cast("long"), F.lit(256)).between(0, scale2._ZMAX)
+        ).collect()
+    }
+    assert z == direct and len(z) > 0
+
+
+def test_morton_interleaves_bits():
+    from pyspark.sql import Row
+
+    from skills_vectors_spark.session import get_spark
+
+    spark = get_spark("tests", cpus="8")
+    df = spark.createDataFrame([Row(x=0b1010, y=0b0110)])
+    (z,) = df.select(scale2._morton(F.col("x"), F.col("y")).alias("z")).collect()[0]
+    # bit i of x -> bit 2i; bit i of y -> bit 2i+1
+    expect = sum(((0b1010 >> i) & 1) << (2 * i) | ((0b0110 >> i) & 1) << (2 * i + 1) for i in range(8))
+    assert z == expect
+
+
+def test_quality_filter_apply_subset_and_thresholds(spark, sf_dir):
+    kept = scale2.quality_filter_apply(spark, sf_dir)
+    rows = kept.collect()
+    assert rows, "filter keeps something at smoke SF"
+    assert all(r.quality >= scale2._QUALITY_MIN for r in rows)
+    assert all(r.lang != "und" for r in rows)
+    n_docs = sources.load(spark, sf_dir, "documents").count()
+    assert kept.count() < n_docs, "filter must drop something"
+
+
+def test_fn_url_roundtrip(spark, sf_dir):
+    rows = scale2.fn_url(spark, sf_dir).collect()
+    for r in rows[:20]:
+        assert r.host.endswith(".example.org")
+        assert r.path == f"/docs/{r.doc_id}"
+        assert r.lang_param and "&" not in r.lang_param
