@@ -26,6 +26,7 @@ HEADLINE = [
     "knn_exact_l2",
     "ann_lsh",
     "ann_ivf",
+    "ann_ivf_pq",
     "eval_recall",
     "report_pivot",
     "embed_knn_pipeline",

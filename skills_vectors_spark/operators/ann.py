@@ -493,3 +493,175 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= K)
         .select("q_id", "rnk", "c_id", (F.round(F.col("score") * 1e6) / 1e6).alias("cos_sim"))
     )
+
+
+# ------------------------------------------------------------- IVF + PQ
+
+_PQRES_CODEBOOKS: dict[str, np.ndarray] = {}
+
+
+def pq_residual_codebooks(spark: SparkSession, sf_dir: str, emb: DataFrame) -> np.ndarray:
+    """PQ codebooks trained on RESIDUALS (x - nearest centroid) — the
+    FAISS IVFADC formulation: the coarse quantizer removes the
+    between-cell variance, so the 4-bit-per-subspace budget is spent
+    on the (much smaller) within-cell displacement."""
+    if sf_dir not in _PQRES_CODEBOOKS:
+        sample = np.stack(
+            emb.select("embedding").limit(MAX_TRAIN).toPandas()["embedding"].to_numpy()
+        ).astype(np.float64)
+        C = np.array(ivf_centroids(spark, sf_dir, emb), dtype=np.float64)
+        cell = ((C**2).sum(axis=1)[None, :] - 2.0 * (sample @ C.T)).argmin(axis=1)
+        resid = sample - C[cell]
+        d_sub = resid.shape[1] // PQ_M
+        rng = np.random.default_rng(SEED + 1)
+        books = np.empty((PQ_M, PQ_K, d_sub))
+        for m in range(PQ_M):
+            sub = resid[:, m * d_sub : (m + 1) * d_sub]
+            cent = sub[rng.choice(len(sub), PQ_K, replace=False)].copy()
+            for _ in range(10):
+                d = (cent**2).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
+                assign = d.argmin(axis=1)
+                for c in range(PQ_K):
+                    members = sub[assign == c]
+                    if len(members):
+                        cent[c] = members.mean(axis=0)
+            books[m] = cent
+        _PQRES_CODEBOOKS[sf_dir] = books
+    return _PQRES_CODEBOOKS[sf_dir]
+
+
+@register("ann_ivf_pq")  # rows-only: seeded quantizers, gated by recall test
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed (the FAISS IVFADC architecture, and what the
+    reference's two index choices — IVFFlat lists
+    /root/reference/load_skill_vectors_pg.py:51 and a compressed
+    in-RAM graph load_skill_vectors_milvus.py:55-63 — converge to at
+    scale): coarse cells bound WHICH vectors each query scores
+    (nprobe/ncells of the corpus), packed 32-bit PQ codes bound WHAT
+    moves through the shuffle (4 bytes/vector instead of 256), ADC
+    table lookups bound the per-candidate cost, and an exact cosine
+    re-rank of the shortlist restores accuracy (the reference's own
+    overshoot-then-verify shape, skills_for_jobs.py:363,371-379).
+    The candidate join carries only (q_id, cell, c_id, code) — at
+    100 TB no embedding ever crosses the wire until the final
+    re-rank join fetches the few shortlisted vectors."""
+    emb = sources.load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cents = ivf_centroids(spark, sf_dir, emb)
+    books = pq_residual_codebooks(spark, sf_dir, emb)
+    C = np.array(cents, dtype=np.float64)
+    c_sq = (C**2).sum(axis=1)
+    d_sub = books.shape[2]
+
+    # --- index build: one Arrow pass emits (vec_id, cell, packed code)
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cell = (c_sq[None, :] - 2.0 * (V @ C.T)).argmin(axis=1)
+            R = V - C[cell]
+            code = np.zeros(len(V), dtype=np.int64)
+            for m in range(PQ_M):
+                sub = R[:, m * d_sub : (m + 1) * d_sub]
+                cent = books[m]
+                cm = ((cent**2).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)).argmin(axis=1)
+                code |= cm.astype(np.int64) << (4 * m)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cell.astype(np.int32), "code": code}
+            )
+
+    index = emb.select("vec_id", "embedding").mapInPandas(
+        encode,
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("cell", T.IntegerType()),
+                T.StructField("code", T.LongType()),
+            ]
+        ),
+    )
+
+    # --- query side: probe lists + per-(query, cell) ADC tables,
+    # all driver-side over N_QUERIES rows (constant work)
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    Q = np.stack(q_rows["embedding"].to_numpy()).astype(np.float64)
+    q_ids = q_rows["vec_id"].to_numpy()
+    qc_d2 = c_sq[None, :] - 2.0 * (Q @ C.T)  # (nq, ncells) L2 rank
+    probe_cells = np.argsort(qc_d2, axis=1)[:, :N_PROBE]
+    probes = spark.createDataFrame(
+        [
+            (int(q_ids[qi]), int(c))
+            for qi in range(len(Q))
+            for c in probe_cells[qi]
+        ],
+        "q_id long, cell int",
+    )
+    # luts[q, cell, m, k] = ||(Q[q] - C[cell])[sub m] - books[m, k]||^2
+    nq = len(Q)
+    luts = np.zeros((nq, len(C), PQ_M, PQ_K))
+    for qi in range(nq):
+        for c in probe_cells[qi]:
+            r = Q[qi] - C[c]
+            for m in range(PQ_M):
+                diff = r[m * d_sub : (m + 1) * d_sub][None, :] - books[m]
+                luts[qi, c, m] = (diff**2).sum(axis=1)
+    luts_flat = luts.reshape(-1)
+    n_cells = len(C)
+
+    # --- candidate scoring: ADC gather over (q_id, cell, code) rows;
+    # the join payload is ids + 4-byte codes only
+    cand = index.join(F.broadcast(probes), "cell").filter(F.col("q_id") != F.col("vec_id"))
+
+    def adc_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = pdf["q_id"].to_numpy()
+            cell = pdf["cell"].to_numpy().astype(np.int64)
+            code = pdf["code"].to_numpy().astype(np.int64)
+            adc = np.zeros(len(pdf))
+            base = (q * n_cells + cell) * PQ_M * PQ_K
+            for m in range(PQ_M):
+                sub_code = (code >> (4 * m)) & 0xF
+                adc += luts_flat[base + m * PQ_K + sub_code]
+            yield pd.DataFrame({"q_id": q, "c_id": pdf["vec_id"], "adc": adc})
+
+    scored_cand = cand.mapInPandas(
+        adc_score,
+        T.StructType(
+            [
+                T.StructField("q_id", T.LongType()),
+                T.StructField("c_id", T.LongType()),
+                T.StructField("adc", T.DoubleType()),
+            ]
+        ),
+    )
+    n_cand = K * PQ_OVERSHOOT
+    w_adc = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id"))
+    shortlist = scored_cand.withColumn("arnk", F.row_number().over(w_adc)).filter(
+        F.col("arnk") <= n_cand
+    )
+    qv = sources.load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cv = sources.load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    reranked = (
+        shortlist.join(F.broadcast(qv), "q_id")
+        .join(cv, "c_id")
+        .withColumn("score", cosine_sim("q_emb", "c_emb"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    return (
+        reranked.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= K)
+        .select("q_id", "rnk", "c_id", (F.round(F.col("score") * 1e6) / 1e6).alias("cos_sim"))
+    )

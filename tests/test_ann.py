@@ -64,3 +64,15 @@ def test_ann_pq_recall(spark, sf_dir):
     got = {(r.q_id, r.c_id) for r in ann_pq(spark, sf_dir).select("q_id", "c_id").collect()}
     recall = len(gold & got) / len(gold)
     assert recall >= 0.6, f"PQ+ADC recall vs exact too low: {recall}"
+
+
+def test_ann_ivf_pq_recall(spark, sf_dir):
+    from skills_vectors_spark.operators.ann import ann_ivf_pq
+    from skills_vectors_spark.operators.knn import knn_exact
+
+    gold = {(r.q_id, r.c_id) for r in knn_exact(spark, sf_dir).select("q_id", "c_id").collect()}
+    got = {(r.q_id, r.c_id) for r in ann_ivf_pq(spark, sf_dir).select("q_id", "c_id").collect()}
+    recall = len(gold & got) / len(gold)
+    # bounded by the IVF probe recall (~0.8 on near-random vectors);
+    # residual-PQ ADC + exact re-rank should not lose much more
+    assert recall >= 0.6, f"IVF+PQ recall vs exact too low: {recall}"
