@@ -356,3 +356,88 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ub").between(0, _ZMAX) & F.col("vb").between(0, _ZMAX))
         .select("event_id", "user_id", "value")
     )
+
+
+PACK_BUDGET = 256  # tokens per training sequence
+
+
+@register(
+    "text_pack_tokens",
+    f"""
+    WITH counted AS (
+      SELECT doc_id, source,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tok
+      FROM documents
+    ), packed AS (
+      SELECT source, doc_id, n_tok,
+             CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) - n_tok)
+                        / {PACK_BUDGET}) AS BIGINT) AS pack_id
+      FROM counted
+    )
+    SELECT source, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM packed GROUP BY source, pack_id
+    """,
+)
+def text_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget
+    training sequences (the step after text_chunk in an LLM data
+    pipeline — concatenate short docs so no context window is
+    wasted). Distributed formulation: pack_id = floor(running-token-
+    offset / budget) per source stream — boundary documents straddle
+    two budgets (standard in distributed packing, where exact
+    first-fit would serialize the corpus). One window + one agg,
+    both on the same source partitioning: a single shuffle."""
+    d = sources.load(spark, sf_dir, "documents")
+    from skills_vectors_spark.functions.text import tokens
+
+    counted = d.select("doc_id", "source", F.size(tokens("text")).alias("n_tok"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = counted.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_BUDGET).cast("long"),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+COMPACT_TARGET_BYTES = 32 * 1024 * 1024  # per-file target for the rewrite
+
+
+@register(
+    "sink_compact",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the table-maintenance operator every
+    long-lived 100 TB table needs (streaming sinks and per-partition
+    upserts fragment tables into thousands of KB-sized files whose
+    open/footer cost dominates scans). Simulate the fragmented state
+    (64-way write), size it from the filesystem, rewrite at
+    ceil(bytes/target) files via coalesce — coalesce, not
+    repartition: compaction must not pay a shuffle, it only glues
+    existing partitions. Content round-trips unchanged (the oracle);
+    the file-count collapse is asserted in tests."""
+    import math
+    from pathlib import Path as P
+
+    frag = _scratch(sf_dir, "events_fragmented")
+    compact = _scratch(sf_dir, "events_compacted")
+    ev = sources.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    n_bytes = sum(f.stat().st_size for f in P(frag).glob("*.parquet"))
+    n_files = max(1, math.ceil(n_bytes / COMPACT_TARGET_BYTES))
+    spark.read.parquet(frag).coalesce(n_files).write.mode("overwrite").parquet(compact)
+    return spark.read.parquet(compact)

@@ -1,0 +1,45 @@
+"""Registry-wide physical-plan lint: no operator may plan a
+nested-loop or cartesian join unless it is on the justified
+allowlist. This is the guardrail that keeps "works on 60k rows"
+from hiding an O(n^2) plan that dies at 100 TB — a new query that
+accidentally loses its equi-join condition (or its broadcast hint)
+fails here even though its results are correct.
+"""
+
+import pytest
+
+from skills_vectors_spark import registry
+from skills_vectors_spark.plans import physical_plan
+
+# Every entry here is an INTENTIONAL nested-loop: the build side is
+# constant-size (N_QUERIES=20 query vectors, N_CELLS=16 centroids) or
+# the query is the declared exact/oracle tier whose scale twin exists.
+BNLJ_ALLOWED = {
+    "knn_exact",  # 20 broadcast query vecs x corpus — the exact tier
+    "knn_exact_l2",  # same, L2
+    "eval_recall",  # consumes knn_exact
+    "eval_avgsim",  # consumes knn_exact
+    "eval_recall_lsh",  # consumes knn_exact as gold
+    "eval_backend_compare",  # consumes all ANN tiers + gold
+    "report_pivot",  # consumes knn_exact
+    "embed_knn_pipeline",  # embeds then knn_exact
+    "ann_ivf",  # 20 queries x 16 centroids probe ranking
+    "join_cross_topk",  # declared brute-force cross+topk primitive
+    "join_theta_range",  # declared band-join primitive (scale twin: join_range_binned)
+    "dedup_embed_cosine",  # declared exact all-pairs tier (scale twins: blas/lsh)
+    "sim_topk_bruteforce",  # declared brute-force baseline (GEMM-side)
+}
+
+registry.load_all()
+
+
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_no_unjustified_nested_loop(spark, sf_dir, name):
+    try:
+        plan = physical_plan(registry.QUERIES[name](spark, sf_dir))
+    except Exception:
+        pytest.skip("no static batch plan (streaming or side-effect query)")
+    bad = ("BroadcastNestedLoopJoin" in plan) or ("CartesianProduct" in plan)
+    if name in BNLJ_ALLOWED:
+        return  # justified; nothing to assert (plan may improve freely)
+    assert not bad, f"{name} plans a nested-loop/cartesian join:\n{plan}"

