@@ -441,3 +441,82 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_files = max(1, math.ceil(n_bytes / COMPACT_TARGET_BYTES))
     spark.read.parquet(frag).coalesce(n_files).write.mode("overwrite").parquet(compact)
     return spark.read.parquet(compact)
+
+
+LEV_MAX = 4  # max edit distance for a fuzzy match
+
+
+@register(
+    "join_fuzzy_blocked",
+    f"""
+    WITH named AS (
+      SELECT p_partkey, p_name,
+             string_split(p_name, ' ')[-1] AS block
+      FROM part
+    )
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM named a JOIN named b
+      ON a.block = b.block AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= {LEV_MAX}
+    """,
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: fuzzy self-match of part names within
+    a bounded edit distance, BLOCKED on the head noun so the O(n^2)
+    Levenshtein never runs corpus-wide — pairs are generated by an
+    equi-join on the blocking key and only same-block pairs pay the
+    edit-distance compare. The canonical dedup shape for catalog /
+    record-linkage data: at 100 TB the blocking key bounds every
+    task's candidate set, and a skewed block (a too-common noun)
+    is exactly the diag_skew + join_skew_salted case."""
+    p = sources.load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("block"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"), "block"
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= LEV_MAX)
+        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+    )
+
+
+HIST_WIDTH = 10.0
+
+
+@register(
+    "agg_hist",
+    f"""
+    SELECT CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 6) AS lo,
+           round(max(value), 6) AS hi
+    FROM events GROUP BY bucket
+    """,
+)
+def agg_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the event value distribution — one
+    map-side-combinable aggregation (the profiling primitive behind
+    diag_skew's decisions and any quality-score threshold choice).
+    Bucket ids are explicit floor arithmetic, identical in both
+    engines, rather than width_bucket (whose edge rounding is
+    engine-specific)."""
+    ev = sources.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / HIST_WIDTH).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
