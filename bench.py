@@ -59,6 +59,8 @@ HEADLINE = [
     "sessionize_batch",
     "agg_hll_sketch",
     "quality_filter_apply",
+    "text_tfidf_sim",
+    "text_bm25_search",
 ]
 
 

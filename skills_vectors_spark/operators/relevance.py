@@ -1,0 +1,201 @@
+"""Sparse text relevance: TF-IDF similarity and BM25 search.
+
+The dense-vector family (knn/ann) finds neighbors in embedding space;
+this module is its sparse twin — the lexical similarity/search tier
+every corpus pipeline keeps alongside embeddings (hybrid retrieval).
+Same computational skeleton as dedup_ngram_jaccard: explode to an
+inverted index, equi-join on term, aggregate per pair — never an
+all-pairs comparison.
+
+Scale notes: the term join is the classic skewed workload (stop-words
+are hot keys); the df-cap filter drops terms whose document frequency
+makes them both useless for ranking and quadratic for pair
+generation — the same max_df lever as the dedup family. Weights,
+norms, and scores are all single-pass grouped aggregations; the
+query side is a filtered subset broadcast into the index join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from skills_vectors_spark import sources
+from skills_vectors_spark.registry import register
+
+D_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+D_TOKS = f"string_split({D_NORM}, ' ')"
+
+N_Q_DOCS = 10  # tf-idf: first N docs act as similarity queries
+TOPK = 10
+BM25_TERMS = ("vector", "hash", "join")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPN = 20
+
+
+def _term_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok, tf) term frequencies from the normalized text —
+    the inverted-index base both scorers share."""
+    d = sources.load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    return (
+        d.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+@register(
+    "text_tfidf_sim",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest({D_TOKS}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    idf AS (
+      SELECT tok, ln((n.n_docs + 1) / (count(*) + 1)) + 1 AS idf
+      FROM tf, n GROUP BY tok, n.n_docs
+    ), w AS (
+      SELECT tf.doc_id, tf.tok, (1 + ln(tf.tf)) * idf.idf AS w
+      FROM tf JOIN idf USING (tok)
+    ), nrm AS (
+      SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
+    ), pairs AS (
+      SELECT q.doc_id AS q_doc, c.doc_id AS c_doc, sum(q.w * c.w) AS dot
+      FROM w q JOIN w c ON q.tok = c.tok AND q.doc_id <> c.doc_id
+      WHERE q.doc_id < {N_Q_DOCS}
+      GROUP BY q.doc_id, c.doc_id
+    ), scored AS (
+      SELECT q_doc, c_doc, dot / (nq.nrm * nc.nrm) AS sim,
+             row_number() OVER (PARTITION BY q_doc
+                                ORDER BY dot / (nq.nrm * nc.nrm) DESC, c_doc) AS rnk
+      FROM pairs
+      JOIN nrm nq ON nq.doc_id = q_doc
+      JOIN nrm nc ON nc.doc_id = c_doc
+    )
+    SELECT q_doc, CAST(rnk AS BIGINT) AS rnk, c_doc,
+           round(sim * 1e6) / 1e6 AS sim
+    FROM scored WHERE rnk <= {TOPK}
+    """,
+)
+def text_tfidf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K most-similar documents per query doc under TF-IDF cosine
+    (log-damped tf, smoothed idf). Sparse formulation: weights join on
+    token through the inverted index, so only docs SHARING a term are
+    ever paired, and the per-pair work is a sum of products — the
+    lexical mirror of knn_exact's dense cosine. The query side is
+    filtered before the join (broadcast), the corpus side streams."""
+    tf = _term_freqs(spark, sf_dir)
+    n_docs = tf.select(F.count_distinct("doc_id").alias("n_docs"))
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("tok", (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1).alias("idf"))
+    )
+    w = tf.join(idf, "tok").select(
+        "doc_id", "tok", ((1 + F.log("tf")) * F.col("idf")).alias("w")
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    q = w.filter(F.col("doc_id") < N_Q_DOCS).select(
+        F.col("doc_id").alias("q_doc"), "tok", F.col("w").alias("wq")
+    )
+    c = w.select(F.col("doc_id").alias("c_doc"), "tok", F.col("w").alias("wc"))
+    pairs = (
+        F.broadcast(q)
+        .join(c, "tok")
+        .filter(F.col("q_doc") != F.col("c_doc"))
+        .groupBy("q_doc", "c_doc")
+        .agg(F.sum(F.col("wq") * F.col("wc")).alias("dot"))
+    )
+    nq = nrm.select(F.col("doc_id").alias("q_doc"), F.col("nrm").alias("nq"))
+    nc = nrm.select(F.col("doc_id").alias("c_doc"), F.col("nrm").alias("nc"))
+    scored = (
+        pairs.join(F.broadcast(nq), "q_doc")
+        .join(F.broadcast(nc), "c_doc")
+        .withColumn("sim", F.col("dot") / (F.col("nq") * F.col("nc")))
+    )
+    win = Window.partitionBy("q_doc").orderBy(F.col("sim").desc(), F.col("c_doc"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rnk") <= TOPK)
+        .select("q_doc", "rnk", "c_doc", (F.round(F.col("sim") * 1e6) / 1e6).alias("sim"))
+    )
+
+
+@register(
+    "text_bm25_search",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest({D_TOKS}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ), dl AS (
+      SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+    ), stats AS (
+      SELECT (SELECT count(*) FROM dl) AS n_docs,
+             (SELECT avg(dl) FROM dl) AS avgdl
+    ), qtf AS (
+      SELECT doc_id, tok, tf FROM tf
+      WHERE tok IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+    ), idf AS (
+      SELECT tok, ln(1 + (stats.n_docs - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+      FROM qtf, stats GROUP BY tok, stats.n_docs
+    ), scored AS (
+      SELECT qtf.doc_id,
+             sum(idf.idf * qtf.tf * ({BM25_K1} + 1)
+                 / (qtf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+             ) AS score
+      FROM qtf
+      JOIN idf USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY qtf.doc_id
+    )
+    SELECT doc_id, round(score * 1e6) / 1e6 AS score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+    FROM scored
+    ORDER BY rnk LIMIT {BM25_TOPN}
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search: score every document for a fixed term set
+    and return the top hits — the classic lexical retrieval scorer
+    (k1={BM25_K1}, b={BM25_B}). The term filter prunes the inverted
+    index BEFORE any join (only rows for the query's terms survive the
+    scan), document length and avgdl are one grouped agg + one scalar
+    broadcast, and the final top-N is a TakeOrdered, not a full sort."""
+    tf = _term_freqs(spark, sf_dir)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtf = tf.filter(F.col("tok").isin(*BM25_TERMS))
+    idf = (
+        qtf.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "tok",
+            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+        )
+    )
+    term_score = F.col("idf") * F.col("tf") * (BM25_K1 + 1) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        qtf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    win = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rnk") <= BM25_TOPN)
+        .select("doc_id", (F.round(F.col("score") * 1e6) / 1e6).alias("score"), "rnk")
+        .orderBy("rnk")
+    )

@@ -46,6 +46,7 @@ def load_all() -> None:
     import skills_vectors_spark.operators.dedup  # noqa: F401
     import skills_vectors_spark.operators.vector_blas  # noqa: F401
     import skills_vectors_spark.operators.textstats  # noqa: F401
+    import skills_vectors_spark.operators.relevance  # noqa: F401
     import skills_vectors_spark.operators.embed  # noqa: F401
     import skills_vectors_spark.operators.multimodal  # noqa: F401
     import skills_vectors_spark.streaming.windows  # noqa: F401

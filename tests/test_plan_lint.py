@@ -28,6 +28,8 @@ BNLJ_ALLOWED = {
     "join_theta_range",  # declared band-join primitive (scale twin: join_range_binned)
     "dedup_embed_cosine",  # declared exact all-pairs tier (scale twins: blas/lsh)
     "sim_topk_bruteforce",  # declared brute-force baseline (GEMM-side)
+    "text_tfidf_sim",  # 1-row corpus-size scalar broadcast into idf
+    "text_bm25_search",  # 1-row (n_docs, avgdl) scalar broadcast
 }
 
 registry.load_all()

@@ -69,3 +69,36 @@ def test_fingerprint_rolling_shape(spark, sf_dir):
     # are fewer distinct fingerprints than docs iff duplicates exist
     n_distinct = fp.select("rolling_fp").distinct().count()
     assert n_distinct <= n_docs
+
+
+def test_text_tfidf_sim_self_consistency(spark, sf_dir):
+    from skills_vectors_spark.operators import relevance
+
+    rows = relevance.text_tfidf_sim(spark, sf_dir).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.q_doc, []).append(r)
+    for q_rows in by_q.values():
+        q_rows.sort(key=lambda r: r.rnk)
+        sims = [r.sim for r in q_rows]
+        assert sims == sorted(sims, reverse=True), "ranked by descending sim"
+        assert all(0.0 <= s <= 1.0 + 1e-9 for s in sims)
+        assert all(r.c_doc != r.q_doc for r in q_rows), "self excluded"
+
+
+def test_text_bm25_search_hits_contain_terms(spark, sf_dir):
+    from skills_vectors_spark import sources
+    from skills_vectors_spark.operators import relevance
+
+    rows = relevance.text_bm25_search(spark, sf_dir).collect()
+    assert rows and all(r.score > 0 for r in rows)
+    top_ids = [r.doc_id for r in rows[:5]]
+    texts = {
+        r.doc_id: r.text
+        for r in sources.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(top_ids))
+        .collect()
+    }
+    for did in top_ids:
+        assert any(t in texts[did].lower() for t in relevance.BM25_TERMS)
