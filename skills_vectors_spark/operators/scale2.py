@@ -520,3 +520,59 @@ def agg_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("hi"),
         )
     )
+
+
+@register(
+    "scan_npy",
+    """
+    SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+           round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 1e6)
+             / 1e6 AS norm
+    FROM embeddings
+    """,
+)
+def scan_npy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel scan of the reference's native embedding artifact — a
+    positional .npy matrix (ref A2, create_skill_embeddings.py:54-55,
+    np.load at skills_for_jobs.py:399-400) — via a custom Python Data
+    Source (Spark 4 API, sources/npy.py). The driver parses only the
+    8-byte-aligned npy header; each task memory-maps its row slice
+    and emits Arrow RecordBatches, so a 100 GB matrix scans with full
+    executor parallelism and never touches driver memory. The row
+    index surfaces as an explicit vec_id column (the positional join
+    made explicit, SURVEY §1.3), which is exactly why the result is
+    oracle-checkable against the embeddings table that seeded it."""
+    import numpy as np
+
+    from skills_vectors_spark.sources.npy import register_npy_source
+
+    register_npy_source(spark)
+    path = _scratch(sf_dir, "embeddings.npy")
+    # seed the reference-format artifact once per sf (vec_id order =
+    # row order; small at test SFs — production would use the
+    # parallel reader against an existing matrix, not this adapter)
+    import os
+
+    if not os.path.exists(path):
+        pdf = (
+            sources.load(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .toPandas()
+        )
+        np.save(path, np.stack(pdf["embedding"].to_numpy()).astype(np.float32))
+    from skills_vectors_spark.functions.vector import l2_norm
+
+    # project to scalars for the value compare (the harness hashes
+    # scalar columns): id + dimension + norm pin the round trip
+    return (
+        spark.read.format("npy")
+        .option("path", path)
+        .option("num_partitions", "8")
+        .load()
+        .select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            (F.round(l2_norm("embedding") * 1e6) / 1e6).alias("norm"),
+        )
+    )

@@ -134,3 +134,21 @@ def test_sink_compact_reduces_file_count(spark, sf_dir):
     n_compact = len(list(compact.glob("*.parquet")))
     assert n_frag == 64
     assert n_compact < n_frag
+
+
+def test_npy_source_parallel_scan_round_trip(spark, sf_dir):
+    df = scale2.scan_npy(spark, sf_dir)
+    emb = sources.load(spark, sf_dir, "embeddings")
+    assert df.count() == emb.count()
+    # the reader must actually split the matrix into input partitions
+    raw = (
+        spark.read.format("npy")
+        .option("path", scale2._scratch(sf_dir, "embeddings.npy"))
+        .option("num_partitions", "8")
+        .load()
+    )
+    assert raw.rdd.getNumPartitions() > 1
+    # spot-check vector content survives the mmap -> Arrow path
+    row = raw.filter(F.col("vec_id") == 3).collect()[0]
+    gold = emb.filter(F.col("vec_id") == 3).collect()[0]
+    assert [round(x, 5) for x in row.embedding] == [round(x, 5) for x in gold.embedding]
