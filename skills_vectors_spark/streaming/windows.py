@@ -389,3 +389,115 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "n", (F.round(F.col("s") * 100) / 100).alias("sum_value")
     )
+
+
+def transform_with_state_available() -> bool:
+    """transformWithStateInPandas speaks protobuf to its state server;
+    the runtime lacks google.protobuf (no installs in this container),
+    so the query registers only where the dependency exists."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user high-water-mark profile via transformWithStateInPandas —
+    the Spark 4 arbitrary-state API (typed ValueState in the RocksDB
+    state store, timers available) that succeeds
+    applyInPandasWithState (stream_stateful keeps the older seat).
+    State is one fixed-size tuple per user regardless of stream
+    length; for fully-arrived bounded input the final state equals
+    the batch GROUP BY, which is the oracle. Ties on max value break
+    toward the lowest event_id in both formulations."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("max_value", T.DoubleType()),
+            T.StructField("argmax_event", T.LongType()),
+        ]
+    )
+
+    class HighWaterProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "profile", "n BIGINT, max_value DOUBLE, argmax_event BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx, arg = (
+                self._state.get() if self._state.exists() else (0, float("-inf"), None)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                for v, eid in zip(pdf["value"], pdf["event_id"]):
+                    v, eid = float(v), int(eid)
+                    if v > mx or (v == mx and (arg is None or eid < arg)):
+                        mx, arg = v, eid
+            self._state.update((n, mx, arg))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "max_value": [round(mx * 100) / 100],
+                    "argmax_event": [arg],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = stream_events(spark, sf_dir).select("user_id", "event_id", "value")
+        profiled = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=HighWaterProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        out = run_to_completion(profiled, mode="update")
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "max_value", "argmax_event")
+    )
+
+
+if transform_with_state_available():  # pragma: no cover - env-dependent
+    register(
+        "stream_transform_state",
+        """
+        WITH ranked AS (
+          SELECT user_id, value, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id ASC) AS r
+          FROM events
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(max(value) * 100) / 100 AS max_value,
+               max(CASE WHEN r = 1 THEN event_id END) AS argmax_event
+        FROM ranked GROUP BY user_id
+        """,
+    )(stream_transform_state)

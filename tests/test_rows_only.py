@@ -102,3 +102,35 @@ def test_text_bm25_search_hits_contain_terms(spark, sf_dir):
     }
     for did in top_ids:
         assert any(t in texts[did].lower() for t in relevance.BM25_TERMS)
+
+
+def test_stream_transform_state_matches_batch(spark, sf_dir):
+    import pytest
+
+    from skills_vectors_spark.streaming.windows import (
+        stream_transform_state,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf not available in this runtime")
+
+    got = {
+        r.user_id: (r.n_events, r.max_value, r.argmax_event)
+        for r in stream_transform_state(spark, sf_dir).collect()
+    }
+    ev = sources.load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    gold_df = (
+        ev.withColumn("r", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            (F.round(F.max("value") * 100) / 100).alias("mx"),
+            F.max(F.when(F.col("r") == 1, F.col("event_id"))).alias("arg"),
+        )
+    )
+    gold = {r.user_id: (r.n, r.mx, r.arg) for r in gold_df.collect()}
+    assert got == gold
