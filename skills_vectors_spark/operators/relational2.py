@@ -457,3 +457,35 @@ def sql_api_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+
+
+_Q5_SQL = """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100) / 100 AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+"""
+
+
+@register("sql_api_region_revenue", _Q5_SQL)
+def sql_api_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier-volume query as literal SQL —
+    the 6-table join exercise for Catalyst's join reordering +
+    broadcast selection over registered views (nation/region broadcast,
+    the local-supplier equi-condition rides the big join, region
+    filter prunes before any fact row moves). The ORDER BY on a
+    5-row result is driver-trivial; everything expensive is one
+    reordered join tree. Oracle runs the IDENTICAL statement in
+    DuckDB (one SQL text, two engines)."""
+    sources.register_views(
+        spark, sf_dir, ["customer", "orders", "lineitem", "supplier", "nation", "region"]
+    )
+    return spark.sql(_Q5_SQL)

