@@ -489,3 +489,91 @@ def sql_api_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, ["customer", "orders", "lineitem", "supplier", "nation", "region"]
     )
     return spark.sql(_Q5_SQL)
+
+
+@register(
+    "seq_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN v ON v.user_id = e.user_id AND epoch_us(e.ts) > v.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN c ON c.user_id = e.user_id AND epoch_us(e.ts) > c.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase
+    """,
+)
+def seq_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: users who viewed, then clicked AFTER
+    their first view, then purchased AFTER that click — the canonical
+    event-sequence query (the time-ordering makes it a different
+    beast from three independent counts). Each stage is one filtered
+    aggregate joined to the previous stage's first-passage time; all
+    joins are on user_id so the whole funnel rides a single shuffle
+    partitioning. Timestamps compare as integer epoch-µs (events.ts
+    is µs-aligned, so Spark and the ns-keeping oracle agree)."""
+    ev = sources.load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("t").alias("vt"))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("t") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("t") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("pt"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+    )
+
+
+HIGH_VALUE = 400.0
+
+
+@register(
+    "agg_filtered",
+    f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(CASE WHEN value > {HIGH_VALUE} THEN 1 END) AS BIGINT) AS n_high,
+           round(sum(CASE WHEN value > {HIGH_VALUE} THEN value ELSE 0 END) * 100) / 100
+             AS sum_high,
+           round(count(CASE WHEN value > {HIGH_VALUE} THEN 1 END)
+                 / count(*) * 1e6) / 1e6 AS share_high
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregates (conditional count/sum/share) in one pass —
+    the SQL FILTER clause expressed as CASE-guarded aggs so one scan
+    feeds every conditional metric (vs one scan per WHERE). All
+    map-side combinable."""
+    ev = sources.load(spark, sf_dir, "events")
+    high = F.when(F.col("value") > HIGH_VALUE, 1)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count(high).alias("n_high"),
+        (
+            F.round(F.sum(F.when(F.col("value") > HIGH_VALUE, F.col("value")).otherwise(0.0)) * 100)
+            / 100
+        ).alias("sum_high"),
+        (F.round(F.count(high).cast("double") / F.count("*") * 1e6) / 1e6).alias("share_high"),
+    )
