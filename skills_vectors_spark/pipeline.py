@@ -219,3 +219,23 @@ def prepare_corpus(
         "pack_id",
         F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / pack_budget).cast("long"),
     )
+
+
+def observed(df: DataFrame, name: str = "metrics", *, value_col: str | None = None):
+    """Attach zero-cost in-flight metrics to a plan (ref A7: the
+    reference prints running counts/latency every 25 rows,
+    create_skill_embeddings.py:44-52 — here the metrics ride the
+    SAME job as the data instead of a second pass). Returns
+    (df, Observation); read `obs.get` after any action. Metrics:
+    row count, and min/max/sum of `value_col` if given."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    if value_col is not None:
+        metrics += [
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+            F.sum(value_col).alias("sum_v"),
+        ]
+    return df.observe(obs, *metrics), obs

@@ -80,3 +80,16 @@ def test_prepare_corpus_end_to_end(spark, sf_dir):
     # deterministic: re-running the lazy plan yields identical packs
     again = [r.pack_id for r in prepare_corpus(docs, pack_budget=128).orderBy("id").collect()]
     assert again == packs
+
+
+def test_observed_metrics_ride_the_job(spark, sf_dir):
+    from skills_vectors_spark import sources
+    from skills_vectors_spark.pipeline import observed
+
+    ev = sources.load(spark, sf_dir, "events").filter(F.col("value") > 100)
+    df, obs = observed(ev, "ev_metrics", value_col="value")
+    n = df.count()  # one action runs BOTH the query and the metrics
+    got = obs.get
+    assert got["n_rows"] == n > 0
+    assert got["min_v"] > 100
+    assert got["sum_v"] >= got["max_v"] >= got["min_v"]
