@@ -219,3 +219,61 @@ def report_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rnk") == r + 1, F.col("label"))).cast("int").alias(f"level{r}")
         )
     return ranked.groupBy("q_id").agg(*aggs)
+
+
+FILTER_LABEL = 1  # metadata predicate for the filtered search
+
+
+@register(
+    "knn_filtered",
+    f"""
+    WITH scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label,
+             list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS score
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES} AND c.label = {FILTER_LABEL}
+    ), ranked AS (
+      SELECT q_id, c_id, label, score,
+             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, CAST(label AS INT) AS label,
+           round(score * 1e6) / 1e6 AS cos_sim
+    FROM ranked WHERE rnk <= {K}
+    """,
+)
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: top-K cosine among only the corpus rows
+    passing a metadata predicate — the vector-store table-stakes
+    feature the reference exercises as Weaviate's `Like` filter
+    (load_skill_vectors_weaviate.py:49-53) and every backend exposes
+    as payload filtering. PRE-filter semantics (predicate first, then
+    rank — post-filtering top-K would return < K rows when the filter
+    is selective). In Spark the predicate is just a pushed parquet
+    filter feeding the same broadcast-join + window top-k as
+    knn_exact: filtered search costs LESS than unfiltered, the
+    opposite of most ANN index structures, because candidate
+    generation is a scan, not a graph walk."""
+    emb = sources.load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = (
+        emb.filter(F.col("label") == FILTER_LABEL)
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "label")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    joined = corpus.crossJoin(F.broadcast(q)).where(F.col("q_id") != F.col("c_id"))
+    scored = joined.withColumn("score", cosine_sim("q_emb", "c_emb"))
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= K)
+        .select(
+            "q_id",
+            "rnk",
+            "c_id",
+            "label",
+            (F.round(F.col("score") * 1e6) / 1e6).alias("cos_sim"),
+        )
+    )

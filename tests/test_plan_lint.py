@@ -16,6 +16,7 @@ from skills_vectors_spark.plans import physical_plan
 # the query is the declared exact/oracle tier whose scale twin exists.
 BNLJ_ALLOWED = {
     "knn_exact",  # 20 broadcast query vecs x corpus — the exact tier
+    "knn_filtered",  # same shape, metadata predicate pre-filters the corpus
     "knn_exact_l2",  # same, L2
     "eval_recall",  # consumes knn_exact
     "eval_avgsim",  # consumes knn_exact

@@ -42,3 +42,14 @@ def test_projection_prunes_unused_columns(spark, sf_dir):
         F.col("l_orderkey") > 0
     )
     assert read_schema_columns(df) == ["l_orderkey"]
+
+
+def test_knn_filtered_pushes_label_predicate(spark, sf_dir):
+    from skills_vectors_spark.operators.knn import knn_filtered
+    from skills_vectors_spark.plans import PlanFacts, formatted_plan
+
+    df = knn_filtered(spark, sf_dir)
+    facts = PlanFacts.of(df)
+    assert facts.pushed_filters, "label predicate must reach the parquet scan"
+    assert "label" in formatted_plan(df), "filter column visible in scan"
+    assert facts.has_window_group_limit, "top-k must use partial group limits"
