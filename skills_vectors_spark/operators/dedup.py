@@ -545,3 +545,55 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(F.broadcast(keepers), "doc_id", "left_semi").select(
         "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+CONTAINMENT_THRESHOLD = 0.6
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({D_SHINGLES}) AS s FROM documents
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(i::DOUBLE / least(sa.n, sb.n) * 1e6) / 1e6 AS containment
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE i::DOUBLE / least(sa.n, sb.n) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: |A ∩ B| / min(|A|, |B|) — the
+    asymmetric metric that catches a short document EMBEDDED in a
+    longer one (quote inclusion, boilerplate wrapping, excerpt pages),
+    which symmetric Jaccard misses because the union is dominated by
+    the longer side. Same inverted-index skeleton as
+    dedup_ngram_jaccard: only docs sharing a shingle are ever paired,
+    one shuffle on the shingle key, one on the pair key."""
+    sh = shingle_df(spark, sf_dir)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("i").cast("double") / F.least("na", "nb")
+    return (
+        inter.join(F.broadcast(sza), "doc_a")
+        .join(F.broadcast(szb), "doc_b")
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", (F.round(cont * 1e6) / 1e6).alias("containment"))
+    )
