@@ -61,6 +61,8 @@ HEADLINE = [
     "quality_filter_apply",
     "text_tfidf_sim",
     "text_bm25_search",
+    "knn_filtered",
+    "dedup_containment",
 ]
 
 
