@@ -180,23 +180,66 @@ MAX_TRAIN = 16384  # coarse-quantizer training sample cap
 _IVF_CENTROIDS: dict[str, list[list[float]]] = {}
 
 
+def train_ivf_centroids(
+    emb: DataFrame, n_cells: int = N_CELLS, seed: int = SEED
+) -> list[list[float]]:
+    """Lloyd's k-means on a bounded driver-side sample — the coarse-
+    quantizer training step (corpus-size-independent: MAX_TRAIN rows)."""
+    sample = np.stack(
+        emb.select("embedding").limit(MAX_TRAIN).toPandas()["embedding"].to_numpy()
+    ).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), n_cells, replace=False)].copy()
+    for _ in range(10):
+        # argmin_c ||x - c||^2 = argmin_c (||c||^2 - 2 x.c)
+        d = (cent**2).sum(axis=1)[None, :] - 2.0 * (sample @ cent.T)
+        assign = d.argmin(axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return [[float(x) for x in c] for c in cent]
+
+
 def ivf_centroids(spark: SparkSession, sf_dir: str, emb: DataFrame) -> list[list[float]]:
     if sf_dir not in _IVF_CENTROIDS:
-        sample = np.stack(
-            emb.select("embedding").limit(MAX_TRAIN).toPandas()["embedding"].to_numpy()
-        ).astype(np.float64)
-        rng = np.random.default_rng(SEED)
-        cent = sample[rng.choice(len(sample), N_CELLS, replace=False)].copy()
-        for _ in range(10):
-            # argmin_c ||x - c||^2 = argmin_c (||c||^2 - 2 x.c)
-            d = (cent**2).sum(axis=1)[None, :] - 2.0 * (sample @ cent.T)
-            assign = d.argmin(axis=1)
-            for c in range(N_CELLS):
-                members = sample[assign == c]
-                if len(members):
-                    cent[c] = members.mean(axis=0)
-        _IVF_CENTROIDS[sf_dir] = [[float(x) for x in c] for c in cent]
+        _IVF_CENTROIDS[sf_dir] = train_ivf_centroids(emb)
     return _IVF_CENTROIDS[sf_dir]
+
+
+def assign_cells(emb: DataFrame, centers: list[list[float]]) -> DataFrame:
+    """(vec_id, embedding, cell) — nearest-centroid assignment as one
+    Arrow-vectorized matmul per batch (the KMeans prediction rule):
+    zero shuffle, zero row blow-up, linear in corpus size."""
+    import pandas as pd
+
+    C = np.array(centers, dtype=np.float64)
+    c_sq = (C**2).sum(axis=1)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cell = (c_sq[None, :] - 2.0 * (V @ C.T)).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": cell.astype(np.int32),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign,
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+                T.StructField("cell", T.IntegerType()),
+            ]
+        ),
+    )
 
 
 @register("ann_ivf")  # rows-only
@@ -221,33 +264,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero shuffle, zero row blow-up, linear in corpus size (vs the
     # naive corpus x centroids explode + window, which shuffles
     # N_CELLS x corpus rows)
-    C = np.array(cents, dtype=np.float64)  # (N_CELLS, DIM)
-    c_sq = (C**2).sum(axis=1)
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            cell = (c_sq[None, :] - 2.0 * (V @ C.T)).argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "embedding": pdf["embedding"],
-                    "cell": cell.astype(np.int32),
-                }
-            )
-
-    assigned = emb.select("vec_id", "embedding").mapInPandas(
-        assign,
-        T.StructType(
-            [
-                T.StructField("vec_id", T.LongType()),
-                T.StructField("embedding", T.ArrayType(T.FloatType())),
-                T.StructField("cell", T.IntegerType()),
-            ]
-        ),
-    )
+    assigned = assign_cells(emb, cents)
     # queries don't need their own cell — pull them straight from the
     # source so the assignment pass only ever runs once (filters do
     # not push through mapInPandas)

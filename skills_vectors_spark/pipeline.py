@@ -43,10 +43,11 @@ class VectorIndex:
     (load_skill_vectors_pg.py:48-59, load_skill_vectors_milvus.py:
     53-68): a pre-materialized table keyed for candidate equi-joins."""
 
-    method: str  # "hyperplane_lsh"
+    method: str  # "hyperplane_lsh" | "ivf"
     corpus: DataFrame  # (id, embedding)
-    buckets: DataFrame  # (id, table, bucket)
+    buckets: DataFrame  # (id, table, bucket) | (id, cell)
     id_col: str
+    centers: list[list[float]] | None = None  # ivf: trained centroids
 
 
 def build_index(
@@ -58,15 +59,31 @@ def build_index(
     load-once / search-many split."""
     from skills_vectors_spark.operators.ann import hyperplane_buckets
 
-    if method != "hyperplane_lsh":
-        raise ValueError(f"unknown index method: {method}")
     emb = corpus.select(F.col(id_col).alias("vec_id"), "embedding")
-    return VectorIndex(
-        method=method,
-        corpus=emb.withColumnRenamed("vec_id", id_col),
-        buckets=hyperplane_buckets(emb).withColumnRenamed("vec_id", id_col),
-        id_col=id_col,
-    )
+    if method == "hyperplane_lsh":
+        return VectorIndex(
+            method=method,
+            corpus=emb.withColumnRenamed("vec_id", id_col),
+            buckets=hyperplane_buckets(emb).withColumnRenamed("vec_id", id_col),
+            id_col=id_col,
+        )
+    if method == "ivf":
+        # pgvector IVFFlat analogue (load_skill_vectors_pg.py:48-59):
+        # train a coarse quantizer, assign every corpus vector to its
+        # nearest cell — the cell id IS the index
+        from skills_vectors_spark.operators.ann import assign_cells, train_ivf_centroids
+
+        centers = train_ivf_centroids(emb)
+        return VectorIndex(
+            method=method,
+            corpus=emb.withColumnRenamed("vec_id", id_col),
+            buckets=assign_cells(emb, centers).select(
+                F.col("vec_id").alias(id_col), "cell"
+            ),
+            id_col=id_col,
+            centers=centers,
+        )
+    raise ValueError(f"unknown index method: {method}")
 
 
 def search_exact(
@@ -108,14 +125,36 @@ def search(index: VectorIndex, queries: DataFrame, k: int = 10, q_id_col: str = 
     from skills_vectors_spark.operators.ann import hyperplane_buckets
 
     qe = queries.select(F.col(q_id_col).alias("vec_id"), "embedding")
-    bq = hyperplane_buckets(qe).withColumnRenamed("vec_id", "q_id")
     bc = index.buckets.withColumnRenamed(index.id_col, "c_id")
-    cand = (
-        bq.join(bc, ["table", "bucket"])
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id")
-        .distinct()
-    )
+    if index.method == "hyperplane_lsh":
+        bq = hyperplane_buckets(qe).withColumnRenamed("vec_id", "q_id")
+        cand = (
+            bq.join(bc, ["table", "bucket"])
+            .filter(F.col("q_id") != F.col("c_id"))
+            .select("q_id", "c_id")
+            .distinct()
+        )
+    else:  # ivf: probe the N_PROBE nearest cells per query
+        from skills_vectors_spark.operators.ann import N_PROBE
+
+        centers_df = queries.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(index.centers)], "cell int, center array<double>"
+        )
+        qc = qe.crossJoin(F.broadcast(centers_df)).withColumn(
+            "c_score", cosine_sim("embedding", "center")
+        )
+        wq = Window.partitionBy("vec_id").orderBy(F.col("c_score").desc(), F.col("cell"))
+        probes = (
+            qc.withColumn("pr", F.row_number().over(wq))
+            .filter(F.col("pr") <= N_PROBE)
+            .select(F.col("vec_id").alias("q_id"), "cell")
+        )
+        cand = (
+            F.broadcast(probes)
+            .join(bc, "cell")
+            .filter(F.col("q_id") != F.col("c_id"))
+            .select("q_id", "c_id")
+        )
     qv = queries.select(F.col(q_id_col).alias("q_id"), F.col("embedding").alias("q_emb"))
     cv = index.corpus.select(
         F.col(index.id_col).alias("c_id"), F.col("embedding").alias("c_emb")

@@ -93,3 +93,24 @@ def test_observed_metrics_ride_the_job(spark, sf_dir):
     assert got["n_rows"] == n > 0
     assert got["min_v"] > 100
     assert got["sum_v"] >= got["max_v"] >= got["min_v"]
+
+
+def test_build_index_ivf_and_search_recall(spark, sf_dir):
+    from skills_vectors_spark import sources
+    from skills_vectors_spark.pipeline import build_index, search, search_exact
+
+    emb = sources.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    idx = build_index(corpus, method="ivf")
+    approx = {(r.q_id, r.c_id) for r in search(idx, queries, k=10).collect()}
+    gold_df = search_exact(corpus, queries, k=11).filter(F.col("c_id") != F.col("q_id"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy("rnk")
+    gold_df = gold_df.withColumn("r2", F.row_number().over(w)).filter(F.col("r2") <= 10)
+    gold = {(r.q_id, r.c_id) for r in gold_df.collect()}
+    recall = len(gold & approx) / len(gold)
+    assert recall >= 0.7, f"facade IVF recall too low: {recall}"
