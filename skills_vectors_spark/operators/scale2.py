@@ -582,3 +582,52 @@ def scan_npy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(l2_norm("embedding") * 1e6) / 1e6).alias("norm"),
         )
     )
+
+
+UPSERT_DATE = "2024-01-15"  # restated day (present at every SF)
+
+
+@register(
+    "sink_upsert_partition",
+    f"""
+    SELECT event_id, user_id,
+           round(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '{UPSERT_DATE}'
+                      THEN value * 2 ELSE value END, 6) AS value,
+           CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS event_date
+    FROM events
+    """,
+)
+def sink_upsert_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level upsert via DYNAMIC partition overwrite — the
+    incremental-maintenance idiom for hive-layout tables (a late
+    restatement of one day rewrites ONE directory, not the table;
+    without Delta/Iceberg this is the lakehouse merge primitive).
+    Base load writes all days; the restated day (values doubled)
+    then overwrites only its own partition because
+    partitionOverwriteMode=dynamic scopes the overwrite to
+    partitions present in the incoming frame. A static overwrite
+    here would silently wipe every other day — which the oracle
+    (full table, one day doubled) would catch."""
+    path = _scratch(sf_dir, "events_upsert")
+    ev = sources.load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("value").cast("double").alias("value"),
+        F.to_date("ts").alias("event_date"),
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    restated = ev.filter(F.col("event_date") == F.lit(UPSERT_DATE).cast("date")).withColumn(
+        "value", F.col("value") * 2
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.read.parquet(path).select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value"),
+        F.col("event_date").cast("string").alias("event_date"),
+    )
