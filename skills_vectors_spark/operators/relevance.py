@@ -199,3 +199,51 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", (F.round(F.col("score") * 1e6) / 1e6).alias("score"), "rnk")
         .orderBy("rnk")
     )
+
+
+@register(
+    "quality_perplexity",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest({D_TOKS}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ), tot AS (SELECT sum(tf) AS n FROM tf),
+    p AS (
+      SELECT tok, sum(tf) / tot.n AS p FROM tf, tot GROUP BY tok, tot.n
+    )
+    SELECT tf.doc_id,
+           round(sum(tf.tf * -ln(p.p)) / sum(tf.tf) * 1e6) / 1e6 AS avg_nll,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tok
+    FROM tf JOIN p USING (tok)
+    GROUP BY tf.doc_id
+    """,
+)
+def quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model surprisal per document: train token
+    probabilities on the corpus itself (one grouped agg + one scalar
+    broadcast), then score each doc's token-weighted mean negative
+    log-likelihood — the classic perplexity-style quality filter
+    (documents full of rare/garbled tokens score high and get cut;
+    the heavy-tailed real-corpus version of quality_score's
+    heuristics). Model "training" and scoring are the same
+    inverted-index shapes as TF-IDF: no new machinery, one extra
+    join on the token key."""
+    tf = _term_freqs(spark, sf_dir)
+    tot = tf.agg(F.sum("tf").alias("n"))
+    p = (
+        tf.groupBy("tok")
+        .agg(F.sum("tf").alias("ctok"))
+        .crossJoin(F.broadcast(tot))
+        .select("tok", (F.col("ctok") / F.col("n")).alias("p"))
+    )
+    return (
+        tf.join(p, "tok")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.round(F.sum(F.col("tf") * -F.log("p")) / F.sum("tf") * 1e6) / 1e6
+            ).alias("avg_nll"),
+            F.sum("tf").cast("long").alias("n_tok"),
+        )
+    )

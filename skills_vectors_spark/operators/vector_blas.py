@@ -178,3 +178,72 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     return spread.mapInPandas(run, _TOPK_SCHEMA)
+
+
+PCA_DIM = 16  # target dimensionality (from 64)
+_PCA_BASIS: dict[str, np.ndarray] = {}
+
+
+def pca_basis(spark: SparkSession, sf_dir: str, emb: DataFrame, k: int = PCA_DIM) -> np.ndarray:
+    """(DIM, k) principal-component basis from a bounded driver-side
+    sample: covariance + eigh, deterministic sign convention (largest-
+    magnitude coordinate positive). The train step is corpus-size-
+    independent, exactly like the IVF/PQ quantizer training."""
+    key = f"{sf_dir}:{k}"
+    if key not in _PCA_BASIS:
+        sample = np.stack(
+            emb.select("embedding").limit(16384).toPandas()["embedding"].to_numpy()
+        ).astype(np.float64)
+        mu = sample.mean(axis=0)
+        cov = np.cov((sample - mu).T)
+        vals, vecs = np.linalg.eigh(cov)
+        basis = vecs[:, np.argsort(vals)[::-1][:k]]  # top-k eigenvectors
+        for j in range(basis.shape[1]):  # deterministic sign
+            i = np.abs(basis[:, j]).argmax()
+            if basis[i, j] < 0:
+                basis[:, j] = -basis[:, j]
+        _PCA_BASIS[key] = (mu, basis)
+    return _PCA_BASIS[key]
+
+
+@register("embed_project_pca")  # rows-only: eigenbasis, not SQL-expressible
+def embed_project_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction of the embedding column (64 -> 16):
+    train the basis on a bounded sample driver-side, project the whole
+    corpus with one Arrow-batched GEMM — the standard pre-ANN
+    compression step (a 4x narrower vector means 4x less shuffle and
+    4x more of the corpus resident per executor; IVF/PQ compose on
+    top). Emits per-row projected vectors plus the reconstruction
+    error, so the accuracy cost is data, not folklore — the same
+    measure-the-tradeoff pattern as eval_recall for ANN."""
+    emb = sources.load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    mu, basis = pca_basis(spark, sf_dir, emb)
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Z = (V - mu) @ basis  # (n, k)
+            R = Z @ basis.T + mu  # reconstruction
+            err = np.sqrt(((V - R) ** 2).sum(axis=1))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "proj": list(Z.astype(np.float32)),
+                    "recon_err": np.round(err * 1e6) / 1e6,
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        project,
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("proj", T.ArrayType(T.FloatType())),
+                T.StructField("recon_err", T.DoubleType()),
+            ]
+        ),
+    )

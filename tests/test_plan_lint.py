@@ -32,6 +32,7 @@ BNLJ_ALLOWED = {
     "text_tfidf_sim",  # 1-row corpus-size scalar broadcast into idf
     "text_bm25_search",  # 1-row (n_docs, avgdl) scalar broadcast
     "seq_funnel",  # cross of three 1-row stage counts
+    "quality_perplexity",  # 1-row corpus-token-total scalar broadcast
 }
 
 registry.load_all()

@@ -134,3 +134,19 @@ def test_stream_transform_state_matches_batch(spark, sf_dir):
     )
     gold = {r.user_id: (r.n, r.mx, r.arg) for r in gold_df.collect()}
     assert got == gold
+
+
+def test_embed_project_pca_shapes_and_error(spark, sf_dir):
+    from skills_vectors_spark.operators import vector_blas
+
+    rows = vector_blas.embed_project_pca(spark, sf_dir).collect()
+    emb_n = sources.load(spark, sf_dir, "embeddings").count()
+    assert len(rows) == emb_n
+    assert all(len(r.proj) == vector_blas.PCA_DIM for r in rows[:50])
+    assert all(r.recon_err >= 0 for r in rows[:50])
+    # projection is deterministic across runs (seedless but sample+eigh fixed)
+    again = vector_blas.embed_project_pca(spark, sf_dir).collect()
+    assert [r.vec_id for r in rows] is not None
+    a = {r.vec_id: r.recon_err for r in rows}
+    b = {r.vec_id: r.recon_err for r in again}
+    assert a == b
