@@ -577,3 +577,48 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_high"),
         (F.round(F.count(high).cast("double") / F.count("*") * 1e6) / 1e6).alias("share_high"),
     )
+
+
+@register(
+    "win_islands",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day_num
+      FROM events
+    ), grp AS (
+      SELECT user_id, day_num,
+             day_num - row_number() OVER (PARTITION BY user_id ORDER BY day_num)
+               AS anchor
+      FROM days
+    ), islands AS (
+      SELECT user_id, anchor, count(*) AS streak
+      FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(max(streak) AS BIGINT) AS max_streak,
+           CAST(sum(streak) AS BIGINT) AS active_days
+    FROM islands GROUP BY user_id
+    """,
+)
+def win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user runs of CONSECUTIVE active days
+    (streaks). The anchor trick — day_number minus row_number is
+    constant within a consecutive run — turns run detection into a
+    plain group-by: no self-join, no iteration, one window + two
+    aggs all sharing the user_id partitioning (a single shuffle).
+    Day numbers are integer epoch-days so both engines agree
+    exactly."""
+    ev = sources.load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.floor(F.unix_micros("ts") / 86400000000).cast("long").alias("day_num")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    grp = days.withColumn("anchor", F.col("day_num") - F.row_number().over(w))
+    islands = grp.groupBy("user_id", "anchor").agg(F.count("*").alias("streak"))
+    return islands.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.max("streak").cast("long").alias("max_streak"),
+        F.sum("streak").cast("long").alias("active_days"),
+    )
