@@ -682,3 +682,31 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= K)
         .select("q_id", "rnk", "c_id", (F.round(F.col("score") * 1e6) / 1e6).alias("cos_sim"))
     )
+
+
+@register("sink_ann_index")  # rows-only: cell ids are quantizer-seeded
+def sink_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the IVF index as a TABLE partitioned by cell and
+    search against the reloaded copy — the reference's load-once /
+    search-many split made concrete (load_skill_vectors_*.py persist
+    vectors + index server-side; here the 'server' is the lakehouse:
+    a hive-partitioned parquet table whose partition key is the cell
+    id). A query probing nprobe cells reads exactly nprobe
+    directories — partition pruning is the index traversal. Returns
+    the per-cell manifest (cell, n_vectors) as the declared result;
+    the recall-equivalence of searching the reloaded index is gated
+    in tests."""
+    from skills_vectors_spark.operators.relational import _scratch
+
+    emb = sources.load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cents = ivf_centroids(spark, sf_dir, emb)
+    path = _scratch(sf_dir, "ivf_index")
+    assign_cells(emb, cents).write.mode("overwrite").partitionBy("cell").parquet(path)
+    reloaded = spark.read.parquet(path)
+    return (
+        reloaded.groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+        .select(F.col("cell").cast("int"), "n_vectors")
+    )

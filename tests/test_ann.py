@@ -76,3 +76,27 @@ def test_ann_ivf_pq_recall(spark, sf_dir):
     # bounded by the IVF probe recall (~0.8 on near-random vectors);
     # residual-PQ ADC + exact re-rank should not lose much more
     assert recall >= 0.6, f"IVF+PQ recall vs exact too low: {recall}"
+
+
+def test_sink_ann_index_partition_pruned_search(spark, sf_dir):
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from skills_vectors_spark.operators import ann
+    from skills_vectors_spark.operators.relational import _scratch
+
+    manifest = {r.cell: r.n_vectors for r in ann.sink_ann_index(spark, sf_dir).collect()}
+    from skills_vectors_spark import sources
+
+    emb_n = sources.load(spark, sf_dir, "embeddings").count()
+    assert sum(manifest.values()) == emb_n, "every vector indexed exactly once"
+    # the table is laid out one directory per cell -> probing prunes
+    idx_dir = Path(_scratch(sf_dir, "ivf_index"))
+    cell_dirs = [p for p in idx_dir.iterdir() if p.name.startswith("cell=")]
+    assert len(cell_dirs) == len(manifest)
+    # a one-cell read plans a partition filter, not a full scan
+    from skills_vectors_spark.plans import formatted_plan
+
+    probe = spark.read.parquet(str(idx_dir)).filter(F.col("cell") == list(manifest)[0])
+    assert "PartitionFilters: [" in formatted_plan(probe)
