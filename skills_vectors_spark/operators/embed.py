@@ -29,7 +29,11 @@ from skills_vectors_spark import sources
 from skills_vectors_spark.registry import register
 
 EMBED_DIM = 32
-_PROVIDER = "mock-hash-v1"  # stands in for openai ada-002 / gemini embedding-001
+_PROVIDER = "mock-hash-v1"  # default; stands in for openai ada-002
+# the reference switches provider by env var, with different vector
+# dims (openai 1536-d / gemini 768-d — create_skill_embeddings.py:11-20,
+# dims at load_skill_vectors_pg.py:10-13); mirrored here at test scale
+PROVIDERS = {"mock-hash-v1": EMBED_DIM, "mock-openai": 48, "mock-gemini": 24}
 
 
 def _mock_embed_batch(texts: pd.Series, dim: int = EMBED_DIM) -> list[list[float]]:
@@ -54,8 +58,16 @@ _EMBED_SCHEMA = T.StructType(
 )
 
 
-def embed_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """text -> embedding via Arrow-batched mapInPandas (the E2 shape)."""
+def embed_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    provider: str = _PROVIDER,
+) -> DataFrame:
+    """text -> embedding via Arrow-batched mapInPandas (the E2 shape).
+    `provider` selects the (mock) backend and its vector dim — the
+    reference's provider switch (create_skill_embeddings.py:11-20)."""
+    dim = PROVIDERS[provider]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-partition setup: a real impl creates its API client here
@@ -63,8 +75,8 @@ def embed_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "embedding": _mock_embed_batch(pdf[text_col]),
-                    "provider": _PROVIDER,
+                    "embedding": _mock_embed_batch(pdf[text_col], dim),
+                    "provider": provider,
                 }
             )
 
@@ -161,3 +173,24 @@ def embed_with_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = sources.load(spark, sf_dir, "documents").select("doc_id", "text")
     spread = d.repartition(spark.sparkContext.defaultParallelism)
     return spread.mapInPandas(run, _EMBED_STATUS_SCHEMA)
+
+
+@register("embed_provider_switch")  # rows-only: provider dims are config
+def embed_provider_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's provider switch as data: embed the corpus under
+    two providers with different vector dims (openai 1536 / gemini 768
+    in the reference — scaled mocks here) and report per-provider
+    row count and dimensionality. One scan per provider, unioned; at
+    100 TB each provider run is an independent Arrow-batched pass
+    whose dim only changes the output width."""
+    d = sources.load(spark, sf_dir, "documents").limit(200)
+    parts = [
+        embed_documents(d, provider=p).select(
+            "provider", F.size("embedding").alias("dim")
+        )
+        for p in ("mock-openai", "mock-gemini")
+    ]
+    u = parts[0].unionByName(parts[1])
+    return u.groupBy("provider").agg(
+        F.count("*").alias("n_docs"), F.first("dim").alias("dim")
+    )

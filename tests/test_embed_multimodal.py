@@ -67,3 +67,13 @@ def test_embed_with_status_surfaces_errors(spark, sf_dir):
     assert err.filter(F.col("embedding").isNotNull()).count() == 0
     assert err.filter(F.col("error").isNull()).count() == 0
     assert ok.count() > 0
+
+
+def test_embed_provider_switch_dims(spark, sf_dir):
+    from skills_vectors_spark.operators.embed import PROVIDERS, embed_provider_switch
+
+    rows = {r.provider: r for r in embed_provider_switch(spark, sf_dir).collect()}
+    assert set(rows) == {"mock-openai", "mock-gemini"}
+    for p, r in rows.items():
+        assert r.dim == PROVIDERS[p]
+        assert r.n_docs > 0
