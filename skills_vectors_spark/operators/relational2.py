@@ -622,3 +622,70 @@ def win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak").cast("long").alias("max_streak"),
         F.sum("streak").cast("long").alias("active_days"),
     )
+
+
+@register(
+    "agg_mode",
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS c FROM events
+      GROUP BY user_id, event_type
+    ), ranked AS (
+      SELECT user_id, event_type, c,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY c DESC, event_type ASC) AS r
+      FROM counts
+    )
+    SELECT user_id, event_type AS mode_type, CAST(c AS BIGINT) AS n
+    FROM ranked WHERE r = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent event type per
+    user): count + lexicographic struct-max instead of the builtin
+    `mode()`, whose tie-breaking is engine-arbitrary — here ties break
+    toward the alphabetically-first type in BOTH engines. One
+    aggregation tree, no window in the Spark plan (the oracle uses
+    row_number for clarity; the struct-max is the same argmax trick
+    as agg_minmax_by)."""
+    ev = sources.load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    # argmax by (c DESC, event_type ASC): flip the type ordering via a
+    # descending-safe trick — max over struct(c, neg_rank_of_type) is
+    # messy for strings, so rank types by ASC inside min over
+    # struct(-c, event_type)
+    best = counts.groupBy("user_id").agg(
+        F.min(F.struct((-F.col("c")).alias("negc"), F.col("event_type"))).alias("m")
+    )
+    out = best.join(counts, "user_id").filter(
+        (F.col("m.negc") == -F.col("c")) & (F.col("m.event_type") == F.col("event_type"))
+    )
+    return out.select("user_id", F.col("event_type").alias("mode_type"), F.col("c").alias("n"))
+
+
+@register(
+    "fn_try_arith",
+    """
+    SELECT event_id,
+           CASE WHEN CAST(floor(value) AS BIGINT) % 7 = 0 THEN NULL
+                ELSE round(value / (CAST(floor(value) AS BIGINT) % 7), 6) END AS safe_div,
+           TRY_CAST(event_type AS DOUBLE) AS bad_cast,
+           TRY_CAST(CAST(user_id AS VARCHAR) AS BIGINT) AS good_cast
+    FROM events
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error handling family: this engine runs with
+    spark.sql.ansi.enabled=true (arithmetic errors THROW, the
+    correctness-first posture), so recoverable per-row failures use
+    the try_* forms — try_divide yields NULL on /0, try_cast yields
+    NULL on malformed input (the A21 continue-on-error pattern as
+    expressions instead of exception handlers)."""
+    ev = sources.load(spark, sf_dir, "events")
+    den = F.pmod(F.floor("value").cast("long"), F.lit(7))
+    return ev.select(
+        "event_id",
+        F.round(F.try_divide(F.col("value"), F.when(den != 0, den)), 6).alias("safe_div"),
+        F.try_to_number(F.col("event_type"), F.lit("999.99")).cast("double").alias("bad_cast"),
+        F.col("user_id").cast("string").try_cast("long").alias("good_cast"),
+    )
