@@ -93,7 +93,7 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_batch",
     f"""
     WITH flagged AS (
-      SELECT user_id, epoch_us(ts) AS t_us,
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
                     OR lag(epoch_us(ts)) OVER w IS NULL
                   THEN 1 ELSE 0 END AS is_new
@@ -101,7 +101,7 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ), sess AS (
       SELECT user_id, t_us,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY t_us
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY t_us, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )
@@ -135,7 +135,11 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = flagged.withColumn(
         "session_id",
         F.sum("is_new")
-        .over(Window.partitionBy("user_id").orderBy("t_us").rowsBetween(Window.unboundedPreceding, 0))
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("t_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
         .cast("long"),
     )
     return sess.groupBy("user_id", "session_id").agg(
