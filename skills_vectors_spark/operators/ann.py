@@ -710,3 +710,35 @@ def sink_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vectors"))
         .select(F.col("cell").cast("int"), "n_vectors")
     )
+
+
+@register("stream_ann_assign")  # rows-only: quantizer-seeded cells
+def stream_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming index maintenance: newly-arriving vectors are
+    assigned to their IVF cell inside the micro-batch (broadcast
+    centroids + the same Arrow matmul as the batch path) and the
+    per-cell ingest counts update incrementally — how a lakehouse
+    vector index absorbs a live embedding feed without rebuilds
+    (new vectors land in cell partitions; the coarse quantizer
+    retrains only on drift). Bounded input -> final counts equal the
+    batch assignment, asserted in tests."""
+    emb_batch = sources.load(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(spark, sf_dir, emb_batch)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    assigned = assign_cells(stream, cents)
+    counts = assigned.groupBy("cell").count()
+    from skills_vectors_spark.streaming.windows import run_to_completion
+
+    out = run_to_completion(counts, mode="complete")
+    return out.select(F.col("cell").cast("int"), F.col("count").alias("n_vectors"))

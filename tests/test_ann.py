@@ -100,3 +100,22 @@ def test_sink_ann_index_partition_pruned_search(spark, sf_dir):
 
     probe = spark.read.parquet(str(idx_dir)).filter(F.col("cell") == list(manifest)[0])
     assert "PartitionFilters: [" in formatted_plan(probe)
+
+
+def test_stream_ann_assign_matches_batch_assignment(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from skills_vectors_spark import sources
+    from skills_vectors_spark.operators import ann
+
+    streamed = {r.cell: r.n_vectors for r in ann.stream_ann_assign(spark, sf_dir).collect()}
+    emb = sources.load(spark, sf_dir, "embeddings")
+    cents = ann.ivf_centroids(spark, sf_dir, emb)
+    batch = {
+        r.cell: r.n
+        for r in ann.assign_cells(emb, cents)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert streamed == batch
