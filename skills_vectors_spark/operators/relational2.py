@@ -650,17 +650,18 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     as agg_minmax_by)."""
     ev = sources.load(spark, sf_dir, "events")
     counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
-    # argmax by (c DESC, event_type ASC): flip the type ordering via a
-    # descending-safe trick — max over struct(c, neg_rank_of_type) is
-    # messy for strings, so rank types by ASC inside min over
-    # struct(-c, event_type)
+    # argmax by (c DESC, event_type ASC) in one pass: min over
+    # struct(-c, event_type) sorts count-descending then type-
+    # ascending, and the winning struct already CARRIES the count —
+    # no join back to the counts table
     best = counts.groupBy("user_id").agg(
         F.min(F.struct((-F.col("c")).alias("negc"), F.col("event_type"))).alias("m")
     )
-    out = best.join(counts, "user_id").filter(
-        (F.col("m.negc") == -F.col("c")) & (F.col("m.event_type") == F.col("event_type"))
+    return best.select(
+        "user_id",
+        F.col("m.event_type").alias("mode_type"),
+        (-F.col("m.negc")).alias("n"),
     )
-    return out.select("user_id", F.col("event_type").alias("mode_type"), F.col("c").alias("n"))
 
 
 @register(
