@@ -8,11 +8,14 @@ inverted index, equi-join on term, aggregate per pair — never an
 all-pairs comparison.
 
 Scale notes: the term join is the classic skewed workload (stop-words
-are hot keys); the df-cap filter drops terms whose document frequency
-makes them both useless for ranking and quadratic for pair
-generation — the same max_df lever as the dedup family. Weights,
-norms, and scores are all single-pass grouped aggregations; the
-query side is a filtered subset broadcast into the index join.
+are hot keys). The standard lever is a document-frequency cap that
+drops terms too common to rank and too hot to join — implemented as
+`max_df` in the dedup family's shingle_df; kept OFF here so the
+declared queries stay cap-free and oracle-equivalent (idf already
+drives near-zero weight to those terms, so the cap is a cost knob,
+not a quality knob). Weights, norms, and scores are all single-pass
+grouped aggregations; the query side is a filtered subset broadcast
+into the index join.
 """
 
 from __future__ import annotations
