@@ -315,3 +315,27 @@ def diag_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(qs[1] * 100) / 100).alias("p99_rows"),
         (F.round(F.max("c") / F.avg("c") * 1e4) / 1e4).alias("skew_ratio"),
     )
+
+
+@register("diag_partition_stats")  # rows-only: partition ids are runtime state
+def diag_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-balance diagnostic: per-partition row counts of the
+    post-shuffle lineitem scan, summarized as count/min/max/ratio —
+    the operational sibling of diag_skew (that one profiles KEY skew
+    before a join; this one profiles the PHYSICAL layout after a
+    repartition, which is what actually determines straggler tasks).
+    spark_partition_id() is runtime state, so no SQL oracle; the
+    invariants (all rows counted, ratio >= 1) are unit-tested."""
+    li = sources.load(spark, sf_dir, "lineitem").repartition(32, "l_orderkey")
+    per_part = li.groupBy(F.spark_partition_id().alias("pid")).agg(
+        F.count("*").alias("rows")
+    )
+    return per_part.agg(
+        F.count("*").alias("n_partitions"),
+        F.sum("rows").alias("total_rows"),
+        F.min("rows").alias("min_rows"),
+        F.max("rows").alias("max_rows"),
+        (F.round(F.max("rows") / F.greatest(F.min("rows"), F.lit(1)) * 100) / 100).alias(
+            "balance_ratio"
+        ),
+    )

@@ -150,3 +150,11 @@ def test_embed_project_pca_shapes_and_error(spark, sf_dir):
     a = {r.vec_id: r.recon_err for r in rows}
     b = {r.vec_id: r.recon_err for r in again}
     assert a == b
+
+
+def test_diag_partition_stats_invariants(spark, sf_dir):
+    row = textstats.diag_partition_stats(spark, sf_dir).collect()[0]
+    n_rows = sources.load(spark, sf_dir, "lineitem").count()
+    assert row.total_rows == n_rows
+    assert row.n_partitions >= 1
+    assert row.balance_ratio >= 1.0
