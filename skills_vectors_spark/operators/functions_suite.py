@@ -347,3 +347,74 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
         F.element_at(m, "k").alias("k_val"),
     )
+
+
+@register(
+    "fn_variant",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                THEN NULL ELSE 1 END AS missing_val
+    FROM events
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via the VARIANT type (Spark 4): parse
+    the JSON props once into a binary variant and extract typed paths
+    with variant_get — the open-ended-schema lane beside fn_json
+    (per-path string extraction) and fn_map (closed map). At 100 TB
+    variant's advantage is parse-once binary storage: shredded
+    access without re-tokenizing JSON text per path, and missing
+    paths are NULL (try semantics), not errors."""
+    ev = sources.load(spark, sf_dir, "events")
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.try_variant_get(F.col("v"), "$.k", "bigint").alias("k_val"),
+        F.try_variant_get(F.col("v"), "$.missing", "int").alias("missing_val"),
+    )
+
+
+@register(
+    "fn_xml",
+    """
+    WITH x AS (
+      SELECT event_id,
+             '<event id="' || event_id || '" type="' || event_type
+               || '"><v>' || round(value, 2) || '</v></event>' AS xml
+      FROM events
+    )
+    SELECT event_id,
+           regexp_extract(xml, 'type="([^"]*)"', 1) AS xtype,
+           CAST(regexp_extract(xml, '<v>([0-9.]+)</v>', 1) AS DOUBLE) AS xval
+    FROM x
+    """,
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round trip with the native Spark 4 parser: serialize each
+    event to an XML fragment, parse it back with from_xml against a
+    declared schema (attributes via _-prefix convention, nested
+    element as a field). Completes the interchange-format matrix
+    (parquet/csv/json/orc/npy/map/variant/xml); the oracle re-extracts
+    the same fields by regex, so the parser's semantics are pinned."""
+    ev = sources.load(spark, sf_dir, "events")
+    x = ev.select(
+        "event_id",
+        F.concat(
+            F.lit('<event id="'),
+            F.col("event_id"),
+            F.lit('" type="'),
+            F.col("event_type"),
+            F.lit('"><v>'),
+            F.round("value", 2),
+            F.lit("</v></event>"),
+        ).alias("xml"),
+    )
+    schema = "struct<_id: long, _type: string, v: double>"
+    parsed = x.select("event_id", F.from_xml("xml", schema).alias("p"))
+    return parsed.select(
+        "event_id",
+        F.col("p._type").alias("xtype"),
+        F.col("p.v").alias("xval"),
+    )
