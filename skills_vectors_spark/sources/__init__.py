@@ -96,7 +96,7 @@ SCHEMAS: dict[str, T.StructType] = {
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
+            T.StructField("ts", T.TimestampNTZType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -127,19 +127,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     predicate pushdown / column pruning from whatever the caller
     selects downstream.
 
-    events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-    outright; read it as a long (legacy conf) and truncate to the
-    engine's µs TimestampType with integer division — the same
-    truncation DuckDB applies on CAST(ts_ns AS TIMESTAMP), so oracle
-    comparisons line up exactly.
+    events.ts ships as parquet timestamp[us] (isAdjustedToUTC=false),
+    which Spark reads natively as TIMESTAMP_NTZ — same naive-wall-clock
+    semantics DuckDB applies, so oracle comparisons line up with a plain
+    scan. Branch on the dtype actually read rather than assuming a
+    physical encoding: if a corpus ever ships nanos-as-long (e.g. a
+    writer with `spark.sql.legacy.parquet.nanosAsLong` upstream), the
+    long column is truncated to µs here; otherwise pass through.
     """
-    if name == "events":
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:

@@ -26,12 +26,13 @@ from pyspark.sql import types as T
 
 from skills_vectors_spark.registry import register
 
-# streaming file source needs an explicit schema; ts arrives as raw
-# nanos (see sources.load) and is truncated to the engine's µs.
+# streaming file source needs an explicit schema; events.ts ships as
+# parquet timestamp[us] (isAdjustedToUTC=false) -> TIMESTAMP_NTZ,
+# matching the batch loader in sources.load.
 _EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -41,15 +42,17 @@ _EVENTS_RAW = T.StructType(
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file source requires a directory: scan sf_dir with a glob
-    # filter so only the events table streams in
+    # filter so only the events table streams in. Watermarks demand a
+    # TIMESTAMP (with-local-tz) event-time column, so cast the NTZ
+    # wall clock; with a UTC session tz the instant is unchanged and
+    # the batch oracles (naive arithmetic) agree exactly.
     raw = (
         spark.readStream.schema(_EVENTS_RAW)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_completion(agg: DataFrame, mode: str = "complete") -> DataFrame:
