@@ -338,18 +338,28 @@ def eval_backend_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skills_vectors_spark.functions.vector import cosine_sim as _cos
     from skills_vectors_spark.operators.knn import K, N_QUERIES, ranked_knn
 
+    from skills_vectors_spark.cache import cached_df
+
     gold = ranked_knn(spark, sf_dir, "cosine").select("q_id", "c_id")
-    parts = [
-        fn(spark, sf_dir).select(F.lit(name).alias("backend"), "q_id", "c_id")
-        for name, fn in [
-            ("hyperplane_lsh", ann_lsh),
-            ("ivf", ann_ivf),
-            ("brp_l2", ann_brp_l2),
+
+    def build_allr() -> DataFrame:
+        parts = [
+            fn(spark, sf_dir).select(F.lit(name).alias("backend"), "q_id", "c_id")
+            for name, fn in [
+                ("hyperplane_lsh", ann_lsh),
+                ("ivf", ann_ivf),
+                ("brp_l2", ann_brp_l2),
+            ]
         ]
-    ]
-    allr = parts[0]
-    for p in parts[1:]:
-        allr = allr.unionByName(p)
+        allr = parts[0]
+        for p in parts[1:]:
+            allr = allr.unionByName(p)
+        return allr
+
+    # referenced twice below (recall semi-join + similarity join);
+    # without a persist each reference re-runs ALL THREE backend
+    # pipelines — at scale that doubles three corpus-wide passes
+    allr = cached_df("eval_backend_allr", spark, sf_dir, build_allr)
 
     emb = sources.load(spark, sf_dir, "embeddings")
     qv = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
@@ -620,17 +630,30 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "q_id long, cell int",
     )
-    # luts[q, cell, m, k] = ||(Q[q] - C[cell])[sub m] - books[m, k]||^2
+    # ADC tables ONLY for the (query, probed-cell) pairs that can ever
+    # be scored — (nq x N_PROBE x M x K), independent of the total
+    # cell count (at production scale ncells ~ sqrt(N); an all-cells
+    # table would explode on the driver). Executors resolve a
+    # candidate row's (q, cell) to its table via binary search over
+    # the sorted composite keys.
     nq = len(Q)
-    luts = np.zeros((nq, len(C), PQ_M, PQ_K))
+    n_cells = len(C)
+    probe_keys = np.array(
+        sorted(
+            int(q_ids[qi]) * n_cells + int(c)
+            for qi in range(nq)
+            for c in probe_cells[qi]
+        ),
+        dtype=np.int64,
+    )
+    luts = np.empty((len(probe_keys), PQ_M, PQ_K))
     for qi in range(nq):
         for c in probe_cells[qi]:
+            slot = int(np.searchsorted(probe_keys, int(q_ids[qi]) * n_cells + int(c)))
             r = Q[qi] - C[c]
             for m in range(PQ_M):
                 diff = r[m * d_sub : (m + 1) * d_sub][None, :] - books[m]
-                luts[qi, c, m] = (diff**2).sum(axis=1)
-    luts_flat = luts.reshape(-1)
-    n_cells = len(C)
+                luts[slot, m] = (diff**2).sum(axis=1)
 
     # --- candidate scoring: ADC gather over (q_id, cell, code) rows;
     # the join payload is ids + 4-byte codes only
@@ -643,11 +666,13 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             q = pdf["q_id"].to_numpy()
             cell = pdf["cell"].to_numpy().astype(np.int64)
             code = pdf["code"].to_numpy().astype(np.int64)
+            # every candidate came through the probes join, so its
+            # (q, cell) key is guaranteed present in probe_keys
+            slot = np.searchsorted(probe_keys, q * n_cells + cell)
             adc = np.zeros(len(pdf))
-            base = (q * n_cells + cell) * PQ_M * PQ_K
             for m in range(PQ_M):
                 sub_code = (code >> (4 * m)) & 0xF
-                adc += luts_flat[base + m * PQ_K + sub_code]
+                adc += luts[slot, m, sub_code]
             yield pd.DataFrame({"q_id": q, "c_id": pdf["vec_id"], "adc": adc})
 
     scored_cand = cand.mapInPandas(

@@ -219,7 +219,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> 32 bands of 4 rows -> candidate pairs from band-bucket
     collisions only -> exact Jaccard verification of candidates.
     Verified against dedup_ngram_jaccard by a recall unit test."""
-    base = shingle_sigs(spark, sf_dir)
+    from skills_vectors_spark.cache import cached_df
+
+    # the fused Arrow signature pass feeds the band self-join (2x) and
+    # the shingle-set verification (2x more); persist so the corpus is
+    # tokenized+hashed ONCE — at 100 TB recomputing this pass per
+    # reference is the dominant cost (round-1 plan showed 28 Exchanges
+    # re-deriving it)
+    base = cached_df("shingle_sigs", spark, sf_dir, lambda: shingle_sigs(spark, sf_dir))
     sigs = base.select("doc_id", "sig")
     sets0 = base.select("doc_id", F.col("hs").alias("ss"))
     rows_per_band = N_PERM // N_BANDS
@@ -241,11 +248,6 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # candidates feed two consumers (the pair join and the cand_ids
-    # semi-filter); the subtree recomputes rather than checkpointing —
-    # signature mining is a cheap zero-shuffle map, and keeping the
-    # plan lazy lets Catalyst optimize end-to-end (an A/B showed no
-    # wall-clock win from a localCheckpoint barrier here)
     # exact verification of the (few) candidates: fetch the shingle
     # SETS of just the docs that appear in some candidate pair and
     # intersect them per pair with array_intersect. The expensive

@@ -22,29 +22,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from skills_vectors_spark import sources
+from skills_vectors_spark.cache import cached_df as _cached
 from skills_vectors_spark.registry import register
-
-# Persisted shared subtrees, keyed by (session id, sf_dir, stage).
-# Every scorer here re-reads the same corpus-wide inverted index 2-4x
-# per query plan; without a persist Spark recomputes the tokenize +
-# groupBy pipeline once per use (47 Exchanges in the round-1 tfidf
-# plan). At 100 TB that recompute IS the cost — a real deployment
-# checkpoints the weight table once and serves every scorer from it,
-# which is what this cache models in-session. MEMORY_AND_DISK so a
-# too-big index spills instead of OOMing.
-_CACHE: dict[tuple[int, str, str], DataFrame] = {}
-
-
-def _cached(key_stage: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
-    key = (id(spark), sf_dir, key_stage)
-    df = _CACHE.get(key)
-    if df is None:
-        df = build().persist(StorageLevel.MEMORY_AND_DISK)
-        _CACHE[key] = df
-    return df
 
 D_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 D_TOKS = f"string_split({D_NORM}, ' ')"

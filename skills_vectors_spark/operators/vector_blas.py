@@ -4,10 +4,10 @@ The higher-order-function distance macros (functions/vector.py) are
 perfect for per-row expressions, but Catalyst executes HOF folds
 *interpreted* (outside whole-stage codegen): ~10µs per pair, which
 makes all-pairs similarity the slowest query in the suite. This
-module is the measured answer: broadcast the corpus as one numpy
-matrix, stream query rows through mapInPandas, and do each batch's
-scores as a single BLAS matmul (~100 GFLOP/s per core vs ~0.1 for
-the interpreted fold).
+module is the measured answer: each executor reads the corpus matrix
+once from shared storage, query rows stream through mapInPandas, and
+each batch's scores are a single BLAS matmul (~100 GFLOP/s per core
+vs ~0.1 for the interpreted fold).
 
 Regime (document before you scale it): corpus matrix must fit in
 executor memory — the "moderate corpus x arbitrarily large query
@@ -45,15 +45,32 @@ TOPK_K = 5
 PAIR_THRESHOLD = 0.4  # shared with operators/dedup.py dedup_embed_cosine
 
 
-def _corpus_broadcast(spark: SparkSession, sf_dir: str):
-    """Collect the corpus into (ids, matrix, norms) and broadcast once
-    per job — every executor maps queries against local memory."""
-    emb = sources.load(spark, sf_dir, "embeddings")
-    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
-    ids = pdf["vec_id"].to_numpy()
-    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    norms = np.sqrt((V * V).sum(axis=1))
-    return spark.sparkContext.broadcast((ids, V, norms))
+# Per-worker-process corpus cache: Spark reuses Python workers across
+# tasks, so the matrix is read + normalized once per worker, not per
+# task/batch.
+_CORPUS_CACHE: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+
+def _load_corpus(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Executor-side corpus load: each worker reads the parquet matrix
+    artifact directly from shared storage (the driver never collects
+    the corpus — the round-1 driver-side toPandas()+broadcast was the
+    one full-corpus driver hop in the repo). On a cluster the file
+    sits on the object store and every executor streams it once; the
+    'corpus fits in executor memory' regime is unchanged and is the
+    documented boundary where the per-cell ANN tiers take over."""
+    hit = _CORPUS_CACHE.get(path)
+    if hit is None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
+        ids_raw = t.column("vec_id").to_numpy()
+        order = np.argsort(ids_raw)
+        ids = ids_raw[order]
+        V = np.stack(t.column("embedding").to_pylist())[order].astype(np.float64)
+        norms = np.sqrt((V * V).sum(axis=1))
+        hit = _CORPUS_CACHE[path] = (ids, V, norms)
+    return hit
 
 
 _PAIR_SCHEMA = T.StructType(
@@ -82,10 +99,10 @@ def dedup_embed_cosine_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     the all-pairs regime. Each partition scores its rows against the
     broadcast corpus and emits only above-threshold upper-triangle
     pairs, so the shuffle carries hits, not pairs."""
-    bc = _corpus_broadcast(spark, sf_dir)
+    corpus_path = f"{sf_dir}/embeddings.parquet"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, V, norms = bc.value
+        ids, V, norms = _load_corpus(corpus_path)
         pos = {int(v): i for i, v in enumerate(ids)}
         for pdf in batches:
             if not len(pdf):
@@ -143,10 +160,10 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     20-query slice knn_exact uses). One GEMM per Arrow batch +
     argpartition top-k; ties broken by c_id ascending to match the
     oracle's deterministic ordering."""
-    bc = _corpus_broadcast(spark, sf_dir)
+    corpus_path = f"{sf_dir}/embeddings.parquet"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, V, norms = bc.value
+        ids, V, norms = _load_corpus(corpus_path)
         pos = {int(v): i for i, v in enumerate(ids)}
         for pdf in batches:
             if not len(pdf):
