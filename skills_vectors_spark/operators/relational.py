@@ -359,17 +359,39 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+@register(
+    "agg_approx_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate cardinality (ref A11's approx-for-speed
-    tradeoff, load_skill_vectors_pg.py:51 IVFFlat). Sketch values are
-    engine-specific -> no SQL oracle; the unit test bounds the error
-    vs exact instead. At scale this replaces a full shuffle-distinct
-    with a constant-size sketch merge."""
-    return (
+    tradeoff, load_skill_vectors_pg.py:51 IVFFlat). Raw sketch values
+    are engine-specific, so the deterministic contract is emitted
+    instead: the exact cardinality plus a boolean asserting the HLL
+    estimate (rsd 0.02) landed within 5% of it — SQL-checkable AND a
+    live accuracy gate. At scale the sketch replaces a full
+    shuffle-distinct with a constant-size merge."""
+    agg = (
         sources.load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts_exact"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_parts_exact",
+        (
+            F.abs(F.col("approx") - F.col("n_parts_exact"))
+            / F.col("n_parts_exact")
+            <= 0.05
+        ).alias("within_5pct"),
     )
 
 

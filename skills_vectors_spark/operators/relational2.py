@@ -163,13 +163,32 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_percentile")  # rows-only: sketch values are engine-specific
+@register(
+    "agg_approx_percentile",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5) * 1e4) / 1e4 AS p50_exact,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles — the constant-memory sketch the exact
-    version trades into at scale."""
+    version trades into at scale. The sketch value itself is
+    engine-specific, so the deterministic contract is the exact p50
+    plus a boolean asserting the sketch landed within 5% of it (the
+    same emit-the-gate shape as agg_approx_distinct)."""
     li = sources.load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_approx")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_exact"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        (F.round(F.col("p50_exact") * 1e4) / 1e4).alias("p50_exact"),
+        (
+            F.abs(F.col("approx") - F.col("p50_exact")) / F.col("p50_exact") <= 0.05
+        ).alias("within_5pct"),
     )
 
 
@@ -343,13 +362,26 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_stratified")  # rows-only: RNG sampling isn't SQL-expressible
+@register(
+    "sample_stratified",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_total,
+           TRUE AS within_bounds
+    FROM customer
+    WHERE c_mktsegment IN
+      ('AUTOMOBILE', 'BUILDING', 'FURNITURE', 'HOUSEHOLD', 'MACHINERY')
+    GROUP BY c_mktsegment
+    """,
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling — per-stratum fractions via sampleBy (the
     training-data curation primitive: rebalance a corpus by source/
     language/quality bucket without a shuffle; sampling is a narrow
-    map-side filter). Seeded for reproducibility; proportions are
-    asserted by a unit test since RNG output isn't SQL-expressible."""
+    map-side filter). The sampled row set is RNG output, so the
+    deterministic contract is per-stratum: the exact population count
+    plus a boolean asserting the seeded sample size sits inside
+    6-sigma binomial bounds of fraction x population (exact for the
+    degenerate fractions 0.0 and 1.0)."""
     c = sources.load(spark, sf_dir, "customer")
     fractions = {
         "AUTOMOBILE": 0.5,
@@ -358,8 +390,31 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "HOUSEHOLD": 0.1,
         "MACHINERY": 0.0,
     }
-    return c.sampleBy("c_mktsegment", fractions, seed=42).select(
-        "c_custkey", "c_mktsegment", "c_acctbal"
+    sampled = (
+        c.sampleBy("c_mktsegment", fractions, seed=42)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    frac = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )[F.col("c_mktsegment")]
+    totals = (
+        c.filter(F.col("c_mktsegment").isin(*fractions))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_total"))
+    )
+    joined = (
+        totals.join(sampled, "c_mktsegment", "left")
+        .withColumn("n_sampled", F.coalesce("n_sampled", F.lit(0)))
+        .withColumn("mean", frac * F.col("n_total"))
+        .withColumn("slack", 6 * F.sqrt(frac * (1 - frac) * F.col("n_total")) + 0.5)
+    )
+    return joined.select(
+        "c_mktsegment",
+        "n_total",
+        (F.abs(F.col("n_sampled") - F.col("mean")) <= F.col("slack")).alias(
+            "within_bounds"
+        ),
     )
 
 

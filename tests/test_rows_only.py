@@ -12,7 +12,7 @@ from skills_vectors_spark.operators.relational2 import agg_approx_percentile, ag
 def test_agg_approx_distinct_near_exact(spark, sf_dir):
     from skills_vectors_spark.operators.relational import agg_approx_distinct
 
-    approx = {r[0]: r[1] for r in agg_approx_distinct(spark, sf_dir).collect()}
+    rows = agg_approx_distinct(spark, sf_dir).collect()
     li = sources.load(spark, sf_dir, "lineitem")
     exact = {
         r[0]: r[1]
@@ -20,21 +20,19 @@ def test_agg_approx_distinct_near_exact(spark, sf_dir):
         .agg(F.countDistinct("l_partkey").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for k, n in exact.items():
-        assert abs(approx[k] - n) / max(n, 1) < 0.1, (k, approx[k], n)
+    assert {r.l_returnflag for r in rows} == set(exact)
+    for r in rows:
+        assert r.n_parts_exact == exact[r.l_returnflag]
+        assert r.within_5pct, (r.l_returnflag, r.n_parts_exact)
 
 
 def test_agg_approx_percentile_near_exact(spark, sf_dir):
-    approx = {r[0]: r[1] for r in agg_approx_percentile(spark, sf_dir).collect()}
+    rows = agg_approx_percentile(spark, sf_dir).collect()
     exact = {r[0]: r[1] for r in agg_percentile(spark, sf_dir).collect()}  # p50 col
-    assert set(approx) == set(exact)
-    for k in exact:
-        assert abs(approx[k] - exact[k]) / max(abs(exact[k]), 1e-9) < 0.05, (
-            k,
-            approx[k],
-            exact[k],
-        )
+    assert {r.l_returnflag for r in rows} == set(exact)
+    for r in rows:
+        assert abs(r.p50_exact - exact[r.l_returnflag]) < 1e-6
+        assert r.within_5pct, (r.l_returnflag, r.p50_exact)
 
 
 def test_dedup_near_overlaps_exact_tier(spark, sf_dir):
