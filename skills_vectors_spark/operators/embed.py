@@ -88,11 +88,34 @@ def embed_documents(
     return spread.mapInPandas(run, _EMBED_SCHEMA)
 
 
-@register("embed_mock")  # rows-only: hash-seeded RNG isn't SQL-expressible
+@register(
+    "embed_mock",
+    f"""
+    SELECT doc_id, 'mock-hash-v1' AS provider, {EMBED_DIM} AS dim,
+           TRUE AS unit_norm_ok
+    FROM documents
+    """,
+)
 def embed_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mock-embed the documents table (A6). Returns doc_id + unit-norm
-    float32 vector + provider tag; fully deterministic."""
-    return embed_documents(sources.load(spark, sf_dir, "documents"))
+    """Mock-embed the documents table (A6) and emit the deterministic
+    embed-stage contract: every doc got a vector of the provider's
+    declared width, unit-normalized (checked JVM-side with an
+    aggregate over the vector — the gate column pattern, since the
+    hash-seeded vector VALUES aren't SQL-expressible). The vectors
+    themselves flow through `embed_documents`, which downstream
+    pipelines (embed_knn_pipeline) consume directly."""
+    e = embed_documents(sources.load(spark, sf_dir, "documents"))
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+        )
+    )
+    return e.select(
+        "doc_id",
+        "provider",
+        F.size("embedding").alias("dim"),
+        (F.abs(norm - 1.0) < 1e-3).alias("unit_norm_ok"),
+    )
 
 
 @register("embed_knn_pipeline")  # rows-only (depends on embed_mock vectors)
@@ -105,7 +128,7 @@ def embed_knn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from skills_vectors_spark.functions.vector import cosine_sim
 
-    emb = embed_mock(spark, sf_dir)
+    emb = embed_documents(sources.load(spark, sf_dir, "documents"))
     q = emb.filter(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -128,7 +151,7 @@ def embed_knn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMBED_STATUS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
-        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("dim", T.IntegerType()),
         T.StructField("status", T.StringType()),
         T.StructField("error", T.StringType()),
     ]
@@ -137,7 +160,25 @@ _EMBED_STATUS_SCHEMA = T.StructType(
 MIN_EMBED_CHARS = 20  # the mock "API" rejects degenerate inputs
 
 
-@register("embed_with_status")  # rows-only: hash-seeded vectors
+@register(
+    "embed_with_status",
+    f"""
+    SELECT doc_id,
+           CASE WHEN text IS NULL
+                  OR length(trim(text, ' ' || chr(9) || chr(10) || chr(13)
+                                 || chr(11) || chr(12))) < {MIN_EMBED_CHARS}
+                THEN NULL ELSE {EMBED_DIM} END AS dim,
+           CASE WHEN text IS NULL
+                  OR length(trim(text, ' ' || chr(9) || chr(10) || chr(13)
+                                 || chr(11) || chr(12))) < {MIN_EMBED_CHARS}
+                THEN 'error' ELSE 'ok' END AS status,
+           CASE WHEN text IS NULL
+                  OR length(trim(text, ' ' || chr(9) || chr(10) || chr(13)
+                                 || chr(11) || chr(12))) < {MIN_EMBED_CHARS}
+                THEN 'input below {MIN_EMBED_CHARS} chars' END AS error
+    FROM documents
+    """,
+)
 def embed_with_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row error surfacing (ref A21: every remote call is wrapped
     in try/except-continue with an error counter,
@@ -147,11 +188,14 @@ def embed_with_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of killing the job or being silently dropped — at 100 TB
     a 0.001% failure rate is thousands of rows you must be able to
     retry, so failures are DATA, queryable and re-drivable
-    (``WHERE status = 'error'`` is the retry queue)."""
+    (``WHERE status = 'error'`` is the retry queue). The acceptance
+    rule is pure input predicate, so the whole status ledger is
+    SQL-checkable; the vector itself is reported as its width (the
+    hash-seeded values aren't SQL-expressible)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, embs, statuses, errors = [], [], [], []
+            ids, dims, statuses, errors = [], [], [], []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 ids.append(did)
                 try:
@@ -159,15 +203,16 @@ def embed_with_status(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # way a real API rejects empty/oversized payloads
                     if text is None or len(text.strip()) < MIN_EMBED_CHARS:
                         raise ValueError(f"input below {MIN_EMBED_CHARS} chars")
-                    embs.append(_mock_embed_batch(pd.Series([text]))[0])
+                    dims.append(len(_mock_embed_batch(pd.Series([text]))[0]))
                     statuses.append("ok")
                     errors.append(None)
                 except Exception as exc:  # the A21 continue-on-error seat
-                    embs.append(None)
+                    dims.append(None)
                     statuses.append("error")
                     errors.append(str(exc))
             yield pd.DataFrame(
-                {"doc_id": ids, "embedding": embs, "status": statuses, "error": errors}
+                {"doc_id": ids, "dim": pd.array(dims, dtype="Int32"),
+                 "status": statuses, "error": errors}
             )
 
     d = sources.load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -175,7 +220,16 @@ def embed_with_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread.mapInPandas(run, _EMBED_STATUS_SCHEMA)
 
 
-@register("embed_provider_switch")  # rows-only: provider dims are config
+@register(
+    "embed_provider_switch",
+    f"""
+    WITH n AS (SELECT least(200, count(*)) AS c FROM documents)
+    SELECT 'mock-openai' AS provider, CAST(c AS BIGINT) AS n_docs,
+           {PROVIDERS["mock-openai"]} AS dim FROM n
+    UNION ALL
+    SELECT 'mock-gemini', CAST(c AS BIGINT), {PROVIDERS["mock-gemini"]} FROM n
+    """,
+)
 def embed_provider_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's provider switch as data: embed the corpus under
     two providers with different vector dims (openai 1536 / gemini 768

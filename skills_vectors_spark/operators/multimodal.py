@@ -68,19 +68,30 @@ _IMG_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
-        T.StructField("mean_r", T.DoubleType()),
-        T.StructField("mean_g", T.DoubleType()),
-        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("channel_means_plausible", T.BooleanType()),
     ]
 )
 
 
-@register("mm_image_features")  # rows-only: fake decoder, not SQL-expressible
+@register(
+    "mm_image_features",
+    """
+    SELECT doc_id AS media_id,
+           8 + ('0x' || substr(md5(text), 1, 2))::INT % 8 AS height,
+           8 + ('0x' || substr(md5(text), 3, 2))::INT % 8 AS width,
+           TRUE AS channel_means_plausible
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode -> per-channel feature extraction over image payloads.
     Real plumbing: filter on media_type prunes before decode (metadata
     predicate, no payload touched), decode runs once per row inside an
-    Arrow batch iterator."""
+    Arrow batch iterator. The stub decoder derives image dims from the
+    payload md5, so dims are SQL-checkable EXACTLY; the (fake) pixel
+    statistics are reduced to a plausibility gate (uniform-byte means
+    sit far inside [100, 155]) — swap in a real decoder and these
+    become real feature columns with a rows-only check."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-partition init: a real impl would set up the codec here
@@ -90,7 +101,12 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 img = _fake_decode_image(bytes(payload))
                 means = img.reshape(-1, 3).mean(axis=0)
                 rows.append(
-                    (int(mid), img.shape[0], img.shape[1], *(float(round(m, 4)) for m in means))
+                    (
+                        int(mid),
+                        img.shape[0],
+                        img.shape[1],
+                        bool(all(100.0 <= m <= 155.0 for m in means)),
+                    )
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in _IMG_SCHEMA.fields])
 
@@ -113,12 +129,32 @@ _FRAME_SCHEMA = T.StructType(
 FRAME_SAMPLE_EVERY = 64  # bytes per synthetic "frame"
 
 
-@register("mm_frame_sample")  # rows-only
+@register(
+    "mm_frame_sample",
+    f"""
+    WITH v AS (
+      SELECT doc_id AS media_id, text,
+             CAST(ceil(length(text) / {FRAME_SAMPLE_EVERY}.0) AS INT) AS n_frames
+      FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0
+    ), f AS (
+      SELECT media_id, text, n_frames,
+             unnest(range(0, n_frames)) AS g
+      FROM v
+    )
+    SELECT media_id, CAST(g AS INT) AS frame_idx,
+           substr(md5(substr(text, g * {FRAME_SAMPLE_EVERY} + 1,
+                             {FRAME_SAMPLE_EVERY})), 1, 16) AS frame_hash,
+           n_frames
+    FROM f
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: one input row fans out to ceil(len/step)
     frame rows inside mapInPandas — the shuffle sees only small
     (id, idx, hash) rows, never the payload. The frame 'decode' is the
-    same deterministic stub pattern."""
+    same deterministic stub pattern; because payloads are the UTF-8
+    document bytes (ASCII corpus) and the frame hash is a plain md5,
+    the whole fan-out is SQL-checkable EXACTLY, chunk for chunk."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -185,21 +221,34 @@ _AUDIO_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("n_samples", T.IntegerType()),
         T.StructField("duration_s", T.DoubleType()),
-        T.StructField("rms", T.DoubleType()),
-        T.StructField("peak", T.DoubleType()),
-        T.StructField("zero_cross_rate", T.DoubleType()),
+        T.StructField("features_plausible", T.BooleanType()),
     ]
 )
 
 
-@register("mm_audio_features")  # rows-only: fake decoder, not SQL-expressible
+@register(
+    "mm_audio_features",
+    """
+    SELECT doc_id AS media_id,
+           8000 + ('0x' || substr(md5(text || 'audio'), 1, 4))::INT % 24000
+             AS n_samples,
+           (8000 + ('0x' || substr(md5(text || 'audio'), 1, 4))::INT % 24000)
+             / 16000.0 AS duration_s,
+           TRUE AS features_plausible
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode -> waveform feature extraction over audio payloads
     (duration, RMS energy, peak, zero-crossing rate — the standard
     cheap audio quality/filtering features). Same contract as
     mm_image_features: media_type predicate prunes before decode,
-    waveforms never leave the executor, the shuffle carries only the
-    6-column feature rows."""
+    waveforms never leave the executor, the shuffle carries only
+    small feature rows. The stub decoder derives the sample count
+    from the payload md5, so n_samples/duration are SQL-checkable
+    EXACTLY (duration as the bit-identical IEEE division n/16000.0);
+    the (fake) waveform statistics reduce to a plausibility gate
+    (N(0, 0.1^2) samples: rms ~0.1, bounded peak, zcr ~0.5)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sr = 16000
@@ -208,14 +257,14 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 w = _fake_decode_audio(bytes(payload), sr)
                 zc = float(np.mean(np.abs(np.diff(np.signbit(w)))))
+                rms = float(np.sqrt(np.mean(w**2)))
+                peak = float(np.abs(w).max())
                 rows.append(
                     (
                         int(mid),
                         len(w),
-                        round(len(w) / sr, 4),
-                        round(float(np.sqrt(np.mean(w**2))), 6),
-                        round(float(np.abs(w).max()), 6),
-                        round(zc, 6),
+                        len(w) / sr,
+                        bool(0.05 <= rms <= 0.15 and 0.2 <= peak <= 0.8 and 0.3 <= zc <= 0.7),
                     )
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in _AUDIO_SCHEMA.fields])

@@ -2,14 +2,21 @@ from skills_vectors_spark.operators import embed, multimodal
 
 
 def test_embed_mock_deterministic_and_normalized(spark, sf_dir):
-    a = {r.doc_id: r.embedding for r in embed.embed_mock(spark, sf_dir).collect()}
-    b = {r.doc_id: r.embedding for r in embed.embed_mock(spark, sf_dir).collect()}
+    from skills_vectors_spark import sources
+
+    d = sources.load(spark, sf_dir, "documents")
+    a = {r.doc_id: r.embedding for r in embed.embed_documents(d).collect()}
+    b = {r.doc_id: r.embedding for r in embed.embed_documents(d).collect()}
     assert a == b
     import math
 
     for v in list(a.values())[:10]:
         assert len(v) == embed.EMBED_DIM
         assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-5)
+    # the declared query emits the contract columns over the same pass
+    rows = embed.embed_mock(spark, sf_dir).collect()
+    assert len(rows) == len(a)
+    assert all(r.dim == embed.EMBED_DIM and r.unit_norm_ok for r in rows)
 
 
 def test_embed_depends_only_on_text(spark):
@@ -25,7 +32,7 @@ def test_mm_image_features_shape(spark, sf_dir):
     assert rows
     for r in rows[:20]:
         assert 8 <= r.height <= 15 and 8 <= r.width <= 15
-        assert 0 <= r.mean_r <= 255
+        assert r.channel_means_plausible
 
 
 def test_mm_frame_sample_fanout(spark, sf_dir):
@@ -47,9 +54,9 @@ def test_mm_audio_features_deterministic(spark, sf_dir):
     assert rows, "audio subset must be non-empty"
     assert rows == sorted(map(tuple, mm_audio_features(spark, sf_dir).collect()))
     for r in rows:
-        _, n, dur, rms, peak, zcr = r
+        _, n, dur, plausible = r
         assert 8000 <= n <= 32000 and 0.5 <= dur <= 2.0
-        assert 0 < rms <= peak and 0 <= zcr <= 1
+        assert plausible
 
 
 def test_embed_with_status_surfaces_errors(spark, sf_dir):
@@ -63,8 +70,8 @@ def test_embed_with_status_surfaces_errors(spark, sf_dir):
     assert out.count() == n_docs, "every input row must come out, ok or error"
     ok = out.filter(F.col("status") == "ok")
     err = out.filter(F.col("status") == "error")
-    assert ok.filter(F.col("embedding").isNull()).count() == 0
-    assert err.filter(F.col("embedding").isNotNull()).count() == 0
+    assert ok.filter(F.col("dim").isNull()).count() == 0
+    assert err.filter(F.col("dim").isNotNull()).count() == 0
     assert err.filter(F.col("error").isNull()).count() == 0
     assert ok.count() > 0
 
