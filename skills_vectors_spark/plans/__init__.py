@@ -24,6 +24,36 @@ def formatted_plan(df: DataFrame) -> str:
     return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
+def _strip_cached_subtrees(p: str) -> str:
+    """Drop the plan text under InMemoryRelation nodes. The cached
+    child plan is printed again for EVERY reference to the cache, but
+    it executes at most once (cache build) — counting its Exchanges
+    per reference misstates what runs. The build cost is one-time and
+    amortized across consumers; steady-state reads are
+    InMemoryTableScans with no child execution."""
+    tree_chars = set(" :+-*()0123456789")
+
+    def depth(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in tree_chars:
+            i += 1
+        return i
+
+    out: list[str] = []
+    skip_depth: int | None = None
+    for line in p.splitlines():
+        d = depth(line)
+        if skip_depth is not None:
+            if d > skip_depth:
+                continue
+            skip_depth = None
+        if "InMemoryRelation" in line:
+            skip_depth = d
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 @dataclass
 class PlanFacts:
     has_broadcast: bool
@@ -31,6 +61,7 @@ class PlanFacts:
     pushed_filters: bool
     whole_stage_codegen: bool
     n_exchanges: int
+    n_exchanges_live: int  # excludes one-time cache-build subtrees
 
     @classmethod
     def of(cls, df: DataFrame) -> "PlanFacts":
@@ -42,6 +73,7 @@ class PlanFacts:
             pushed_filters="PushedFilters: [" in fmt and "PushedFilters: []" not in fmt,
             whole_stage_codegen="WholeStageCodegen" in fmt,
             n_exchanges=p.count("Exchange"),
+            n_exchanges_live=_strip_cached_subtrees(p).count("Exchange"),
         )
 
 
