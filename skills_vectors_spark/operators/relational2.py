@@ -570,33 +570,48 @@ def seq_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel analysis: users who viewed, then clicked AFTER
     their first view, then purchased AFTER that click — the canonical
     event-sequence query (the time-ordering makes it a different
-    beast from three independent counts). Each stage is one filtered
-    aggregate joined to the previous stage's first-passage time; all
-    joins are on user_id so the whole funnel rides a single shuffle
-    partitioning. Timestamps compare as integer epoch-µs (events.ts
-    is µs-aligned, so Spark and the ns-keeping oracle agree)."""
+    beast from three independent counts). ONE shuffle on user_id:
+    the per-user first-passage times chain as three window minimums
+    over the same partitioning (each stage's threshold is the
+    previous stage's column, so no joins ever form), then a per-user
+    collapse and a single global count — vs the naive three
+    filtered-aggregate-plus-join stages, which shuffle the events
+    table three times. Timestamps compare as integer epoch-µs
+    (events.ts is µs-aligned, so Spark and the oracle agree)."""
     ev = sources.load(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
     )
-    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("t").alias("vt"))
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("t") > F.col("vt"))
-        .groupBy("user_id")
-        .agg(F.min("t").alias("ct"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "vt", F.min(F.when(F.col("event_type") == "view", F.col("t"))).over(w)
+        )
+        .withColumn(
+            "ct",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("t") > F.col("vt")),
+                    F.col("t"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "pt",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("t") > F.col("ct")),
+                    F.col("t"),
+                )
+            ).over(w),
+        )
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("t") > F.col("ct"))
-        .groupBy("user_id")
-        .agg(F.min("t").alias("pt"))
+    per_user = staged.groupBy("user_id").agg(
+        F.first("vt").alias("vt"), F.first("ct").alias("ct"), F.first("pt").alias("pt")
     )
-    return (
-        v.agg(F.count("*").alias("n_view"))
-        .crossJoin(c.agg(F.count("*").alias("n_click")))
-        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+    return per_user.agg(
+        F.count("vt").alias("n_view"),
+        F.count("ct").alias("n_click"),
+        F.count("pt").alias("n_purchase"),
     )
 
 

@@ -53,3 +53,22 @@ def test_knn_filtered_pushes_label_predicate(spark, sf_dir):
     assert facts.pushed_filters, "label predicate must reach the parquet scan"
     assert "label" in formatted_plan(df), "filter column visible in scan"
     assert facts.has_window_group_limit, "top-k must use partial group limits"
+
+
+def test_seq_funnel_single_event_shuffle(spark, sf_dir):
+    from skills_vectors_spark.operators.relational2 import seq_funnel
+
+    facts = PlanFacts.of(seq_funnel(spark, sf_dir))
+    # one shuffle on user_id feeds all three window stages + the
+    # per-user collapse; only the single-row global agg adds one more
+    assert facts.n_exchanges_live <= 3, facts.n_exchanges_live
+
+
+def test_composite_text_queries_persist_shared_subtrees(spark, sf_dir):
+    from skills_vectors_spark.operators.relevance import text_bm25_search, text_tfidf_sim
+
+    # live plans (excluding the one-time cache build) must stay small:
+    # round-1 recomputed the weight subtree per reference (47 printed
+    # Exchanges for tfidf)
+    assert PlanFacts.of(text_tfidf_sim(spark, sf_dir)).n_exchanges_live <= 10
+    assert PlanFacts.of(text_bm25_search(spark, sf_dir)).n_exchanges_live <= 12
