@@ -75,17 +75,32 @@ def shingle_df(
     """(doc_id, shingle) exploded distinct word-n-gram table — the
     inverted index both Jaccard tiers build on. Input is repartitioned
     before the explode: the explode expands ~100x and the source
-    parquet is a single scan partition."""
-    d = sources.load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    sh = d.select(
-        "doc_id", F.explode(F.array_distinct(word_shingles("text", n))).alias("s")
-    )
-    if max_df is not None:
-        df_counts = sh.groupBy("s").agg(F.count("*").alias("df"))
-        sh = sh.join(F.broadcast(df_counts.filter(F.col("df") <= max_df)), "s", "left_semi")
-    return sh
+    parquet is a single scan partition. The default-parameter index is
+    persisted per (session, sf_dir): both Jaccard tiers reference it
+    3x per plan (sizes + both self-join sides), and containment /
+    jaccard / clusters / apply all start from the same table — at
+    corpus scale re-exploding the shingle set per reference is the
+    dominant cost."""
+
+    def build() -> DataFrame:
+        d = sources.load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        sh = d.select(
+            "doc_id", F.explode(F.array_distinct(word_shingles("text", n))).alias("s")
+        )
+        if max_df is not None:
+            df_counts = sh.groupBy("s").agg(F.count("*").alias("df"))
+            sh = sh.join(
+                F.broadcast(df_counts.filter(F.col("df") <= max_df)), "s", "left_semi"
+            )
+        return sh
+
+    if n == 3 and max_df is None:
+        from skills_vectors_spark.cache import cached_df
+
+        return cached_df("shingles_3", spark, sf_dir, build)
+    return build()
 
 
 # the exact Jaccard pair computation, reused by the dedup_clusters
@@ -115,26 +130,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode distinct 3-shingles, self-join on shingle (only docs
     sharing a shingle ever meet — no all-pairs), count intersections,
     Jaccard = i / (|A| + |B| - i). The ground truth the MinHash tier
-    is scored against."""
-    sh = shingle_df(spark, sf_dir)
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
-    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(F.broadcast(sza), "doc_a")
-        .join(F.broadcast(szb), "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", (F.round(jac * 1e6) / 1e6).alias("jaccard"))
-    )
+    is scored against. The pair set itself is persisted per session:
+    dedup_clusters and dedup_apply both start from it."""
+    from skills_vectors_spark.cache import cached_df
+
+    def build() -> DataFrame:
+        sh = shingle_df(spark, sf_dir)
+        sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+        inter = (
+            a.join(b, "s")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("i"))
+        )
+        sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+        szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+        jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+        return (
+            inter.join(F.broadcast(sza), "doc_a")
+            .join(F.broadcast(szb), "doc_b")
+            .filter(jac >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", (F.round(jac * 1e6) / 1e6).alias("jaccard"))
+        )
+
+    return cached_df("ngram_jaccard_pairs", spark, sf_dir, build)
 
 
 # ------------------------------------------------------------ MinHash + LSH
