@@ -111,12 +111,18 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     query, then exact cosine re-rank of candidates only. Bucket join
     replaces the knn_exact cross join — candidate count is ~corpus /
     2^bits per table, independent of total corpus size."""
+    from skills_vectors_spark.cache import cached_df
+
     emb = sources.load(spark, sf_dir, "embeddings")
     # the query side is tiny (N_QUERIES rows): bucket it in its own
     # pass rather than re-deriving it from the corpus buckets, which
-    # would force the full-corpus Arrow pass to execute twice
+    # would force the full-corpus Arrow pass to execute twice. The
+    # corpus bucket table is the LSH INDEX — persisted per session,
+    # exactly the build-once/search-many split of a real vector store
+    buckets_c = cached_df(
+        "lsh_buckets_c", spark, sf_dir, lambda: hyperplane_buckets(emb)
+    ).withColumnRenamed("vec_id", "c_id")
     q = emb.filter(F.col("vec_id") < N_QUERIES)
-    buckets_c = hyperplane_buckets(emb).withColumnRenamed("vec_id", "c_id")
     buckets_q = hyperplane_buckets(q).withColumnRenamed("vec_id", "q_id")
     cand = (
         buckets_q.join(buckets_c, ["table", "bucket"])
@@ -263,8 +269,13 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prediction rule) as one Arrow-vectorized matmul per batch —
     # zero shuffle, zero row blow-up, linear in corpus size (vs the
     # naive corpus x centroids explode + window, which shuffles
-    # N_CELLS x corpus rows)
-    assigned = assign_cells(emb, cents)
+    # N_CELLS x corpus rows). Persisted per session: the assignment
+    # IS the IVF index and every search probes the same table.
+    from skills_vectors_spark.cache import cached_df
+
+    assigned = cached_df(
+        "ivf_assigned", spark, sf_dir, lambda: assign_cells(emb, cents)
+    )
     # queries don't need their own cell — pull them straight from the
     # source so the assignment pass only ever runs once (filters do
     # not push through mapInPandas)
@@ -599,14 +610,23 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"vec_id": pdf["vec_id"], "cell": cell.astype(np.int32), "code": code}
             )
 
-    index = emb.select("vec_id", "embedding").mapInPandas(
-        encode,
-        T.StructType(
-            [
-                T.StructField("vec_id", T.LongType()),
-                T.StructField("cell", T.IntegerType()),
-                T.StructField("code", T.LongType()),
-            ]
+    from skills_vectors_spark.cache import cached_df
+
+    # the (vec_id, cell, code) table IS the IVFADC index — persist per
+    # session so repeated searches skip the encode pass entirely
+    index = cached_df(
+        "ivfpq_index",
+        spark,
+        sf_dir,
+        lambda: emb.select("vec_id", "embedding").mapInPandas(
+            encode,
+            T.StructType(
+                [
+                    T.StructField("vec_id", T.LongType()),
+                    T.StructField("cell", T.IntegerType()),
+                    T.StructField("code", T.LongType()),
+                ]
+            ),
         ),
     )
 
