@@ -9,9 +9,11 @@ every consumer from them — this cache models that build-once /
 read-many split in-session.
 
 MEMORY_AND_DISK so an index larger than executor memory spills
-instead of OOMing. Keyed by (session id, sf_dir, stage) so a new
-session or corpus rebuilds; repeated calls of the same query reuse
-the same persisted DataFrame instead of stacking fresh copies.
+instead of OOMing. Keyed by (Spark application id, sf_dir, stage) so
+a new session/context or corpus rebuilds (an application id is unique
+per context, unlike `id(spark)`, which the allocator can recycle
+after a restart); repeated calls of the same query reuse the same
+persisted DataFrame instead of stacking fresh copies.
 """
 
 from __future__ import annotations
@@ -21,13 +23,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
-_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def cached_df(
     stage: str, spark: SparkSession, sf_dir: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
-    key = (id(spark), sf_dir, stage)
+    key = (spark.sparkContext.applicationId, sf_dir, stage)
     df = _CACHE.get(key)
     if df is None:
         df = build().persist(StorageLevel.MEMORY_AND_DISK)
