@@ -20,8 +20,21 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from skills_vectors_spark import registry  # noqa: E402
+from skills_vectors_spark.deploy import ensure_workers_can_import  # noqa: E402
 
 registry.load_all()
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    """Ship the package to Python workers before the first query runs —
+    the host (driver) may load this file by path from any cwd, and
+    executors must still be able to import the closure modules."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_workers_can_import(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -29,11 +42,12 @@ def entry(spark: SparkSession) -> DataFrame:
     (the Spark rendering of /root/reference/skills_for_jobs.py:416-433)."""
     from skills_vectors_spark.operators.knn import knn_exact
 
+    ensure_workers_can_import(spark)
     return knn_exact(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(registry.QUERIES)
+    return {name: _wrap(fn) for name, fn in registry.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

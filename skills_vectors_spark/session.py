@@ -35,4 +35,7 @@ def get_spark(app_name: str = "skills_vectors_spark", cpus: str | None = None) -
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    from skills_vectors_spark.deploy import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
     return spark
