@@ -29,7 +29,9 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
     """Ship the package to Python workers before the first query runs —
     the host (driver) may load this file by path from any cwd, and
     executors must still be able to import the closure modules."""
+    import functools
 
+    @functools.wraps(fn)
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_workers_can_import(spark)
         return fn(spark, sf_dir)
