@@ -1,0 +1,115 @@
+"""Generate a synthetic 10x-of-sf0.1 corpus ("sf1-like") for the
+flagship operator families, in the same shape/vocabulary style as the
+driver testdata: documents (word-salad text with planted near-dup
+pairs), embeddings (unit-norm float32 vectors), events (user event
+log). Deterministic (seeded). Written to /tmp — never touches
+/root/testdata.
+
+    python tools/gen_scale.py [out_dir] [n_docs] [n_vecs] [n_events]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = (
+    "batch part spark line column order small sort fast value scan stream "
+    "vector query agg table hash filter customer key group join index page "
+    "cache merge shuffle write read block"
+).split()
+
+LANGS = ["en", "en", "en", "zh", "de", "fr"]
+
+
+def gen_documents(out: Path, n_docs: int, seed: int = 42) -> None:
+    rng = np.random.default_rng(seed)
+    texts, langs, sources, n_chars = [], [], [], []
+    for i in range(n_docs):
+        n_words = int(rng.integers(12, 90))
+        words = rng.choice(VOCAB, size=n_words)
+        texts.append(" ".join(words))
+    # plant ~1% near-duplicate pairs: copy an earlier doc and perturb
+    # a couple of words (the dedup tiers need true positives)
+    n_dups = n_docs // 100
+    for k in range(n_dups):
+        src = int(rng.integers(0, n_docs - n_dups))
+        words = texts[src].split()
+        for _ in range(2):
+            words[int(rng.integers(0, len(words)))] = str(rng.choice(VOCAB))
+        texts[n_docs - n_dups + k] = " ".join(words)
+    for t in texts:
+        langs.append(LANGS[int(rng.integers(0, len(LANGS)))])
+        sources.append(f"src{int(rng.integers(0, 8))}")
+        n_chars.append(len(t))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n_docs), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "source": pa.array(sources, pa.string()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+            }
+        ),
+        out / "documents.parquet",
+    )
+
+
+def gen_embeddings(out: Path, n_vecs: int, dim: int = 64, seed: int = 43) -> None:
+    rng = np.random.default_rng(seed)
+    V = rng.standard_normal((n_vecs, dim)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n_vecs), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in V], pa.list_(pa.float32())),
+                "label": pa.array(rng.integers(0, 10, n_vecs), pa.int32()),
+            }
+        ),
+        out / "embeddings.parquet",
+    )
+
+
+def gen_events(out: Path, n_events: int, seed: int = 44) -> None:
+    rng = np.random.default_rng(seed)
+    n_users = max(100, n_events // 100)
+    base_us = 1_700_000_000_000_000  # fixed epoch anchor, µs
+    ts = base_us + np.sort(rng.integers(0, 30 * 86400 * 1_000_000, n_events))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n_events), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array(rng.integers(0, n_users, n_events), pa.int64()),
+                "event_type": pa.array(
+                    rng.choice(["view", "click", "purchase", "scroll"], n_events,
+                               p=[0.6, 0.25, 0.05, 0.1])
+                ),
+                "value": pa.array(np.abs(rng.normal(100, 80, n_events))),
+                "props": pa.array(['{"k":' + str(int(x)) + "}" for x in rng.integers(0, 9, n_events)]),
+            }
+        ),
+        out / "events.parquet",
+    )
+
+
+def main() -> None:
+    out = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/svs_sf1")
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    n_vecs = int(sys.argv[3]) if len(sys.argv) > 3 else 20_000
+    n_events = int(sys.argv[4]) if len(sys.argv) > 4 else 1_000_000
+    out.mkdir(parents=True, exist_ok=True)
+    gen_documents(out, n_docs)
+    gen_embeddings(out, n_vecs)
+    gen_events(out, n_events)
+    print(f"wrote {out}: documents={n_docs} embeddings={n_vecs} events={n_events}")
+
+
+if __name__ == "__main__":
+    main()
