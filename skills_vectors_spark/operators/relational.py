@@ -374,17 +374,22 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     are engine-specific, so the deterministic contract is emitted
     instead: the exact cardinality plus a boolean asserting the HLL
     estimate (rsd 0.02) landed within 5% of it — SQL-checkable AND a
-    live accuracy gate. At scale the sketch replaces a full
-    shuffle-distinct with a constant-size merge."""
-    agg = (
-        sources.load(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("n_parts_exact"),
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
-        )
+    live accuracy gate.
+
+    The exact and approx aggregates run as SEPARATE subplans joined on
+    the tiny group key: fusing them makes Catalyst's distinct-rewrite
+    carry the full HLL register array (408 longs at rsd 0.02) through
+    every (group, value) distinct row — constant-size sketch state per
+    GROUP is the whole point of the sketch, and the split keeps it
+    that way at any cardinality."""
+    li = sources.load(spark, sf_dir, "lineitem")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts_exact")
     )
-    return agg.select(
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx")
+    )
+    return exact.join(F.broadcast(approx), "l_returnflag").select(
         "l_returnflag",
         "n_parts_exact",
         (
