@@ -184,7 +184,16 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_sketch")  # estimates: no SQL oracle -> rows-only + tolerance test
+@register(
+    "agg_hll_sketch",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__', CAST(count(DISTINCT user_id) AS BIGINT), TRUE FROM events
+    """,
+)
 def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HyperLogLog distinct-count sketches (Datasketches HLL,
     built into Spark 3.5+): per event_type build a sketch over user_id,
@@ -192,24 +201,42 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     grand total WITHOUT re-scanning rows. At 100 TB this is the whole
     point: persist per-partition/day sketch bytes (~1 KB each), and any
     later rollup (week, month, all-time) is a merge of kilobytes, not a
-    re-aggregation of the log. The exact distinct count rides along for
-    the accuracy gate in tests (|est/exact - 1| < 5%)."""
+    re-aggregation of the log.
+
+    The sketch and exact aggregates run as separate subplans joined on
+    the group key (fusing them would drag sketch state through the
+    distinct-rewrite's per-value rows), and the declared output is the
+    gate-column contract: exact counts + a boolean that the estimate
+    landed within 5% — fully SQL-checkable while still exercising
+    sketch build, estimate, and union."""
     ev = sources.load(spark, sf_dir, "events")
-    per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sketch"),
-        F.count_distinct("user_id").alias("exact_distinct"),
+    sketches = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    est = sketches.select(
+        "event_type", F.hll_sketch_estimate("sketch").alias("est_distinct")
     )
-    est = per_type.select(
-        "event_type",
-        F.hll_sketch_estimate("sketch").alias("est_distinct"),
-        "exact_distinct",
-    )
-    grand = per_type.agg(
+    grand_est = sketches.agg(
         F.lit("__all__").alias("event_type"),
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_distinct"),
-        F.lit(None).cast("long").alias("exact_distinct"),
     )
-    return est.unionByName(grand)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    grand_exact = ev.agg(
+        F.lit("__all__").alias("event_type"),
+        F.count_distinct("user_id").alias("exact_distinct"),
+    )
+    merged = est.unionByName(grand_est).join(
+        F.broadcast(exact.unionByName(grand_exact)), "event_type"
+    )
+    return merged.select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= 0.05
+        ).alias("within_5pct"),
+    )
 
 
 _QUALITY_MIN = 0.5
