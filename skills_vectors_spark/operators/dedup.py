@@ -175,26 +175,31 @@ def _perms(seed: int = 42) -> list[tuple[int, int]]:
 def shingle_sigs(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     """(doc_id, hs array<long>, sig array<long>[N_PERM]) — hashed
     distinct shingle set AND MinHash signature from ONE fused Arrow
-    pass. The JVM side only tokenizes (split on normalized text);
-    everything per-shingle happens in numpy: crc32 token hashes, a
-    rolling polynomial n-gram mix mod Mersenne-31, np.unique for the
-    set, and the (N_PERM x m) universal-hash modmul + row-min for the
-    signature. Fusing the stages beat the previous JVM higher-order-
-    function pipeline (array_distinct over concat_ws shingles +
-    xxhash64 transform) ~8x at sf0.1: HOF lambdas evaluate
+    pass. The JVM side tokenizes AND hashes each token (xxhash64
+    inside codegen — string hashing was the Python hot loop when done
+    with per-token crc32 calls; the same JVM-hash handoff the SimHash
+    tier uses); numpy then does everything per-shingle fully
+    vectorized: a rolling polynomial n-gram mix mod Mersenne-31,
+    np.unique for the set, and the (N_PERM x m) universal-hash
+    modmul + row-min for the signature. Fusing the stages beat the
+    previous JVM higher-order-function pipeline (array_distinct over
+    concat_ws shingles) ~8x at sf0.1: HOF lambdas evaluate
     interpreted per element, while this path is one Arrow transfer +
     vectorized kernels (same lesson as the LSH plane matmul). No
-    explode, no shuffle: one corpus scan at any scale, and every
-    intermediate stays < 2^62 so int64 never overflows."""
-    import zlib
-
+    explode, no shuffle: one corpus scan at any scale; token hashes
+    are pre-modded to 31 bits so every intermediate stays < 2^62 and
+    int64 never overflows."""
     import pandas as pd
 
     d = sources.load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
     toks = F.split(normalize_text("text"), " ")
-    tdf = d.select("doc_id", toks.alias("toks"))
+    # hash tokens JVM-side: transform(xxhash64) runs in codegen, and
+    # the Arrow batch then carries int64s, not strings
+    tdf = d.select(
+        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th")
+    )
     perms = _perms()
     A = np.array([a for a, _ in perms], dtype=np.int64)[:, None]  # (N_PERM, 1)
     B = np.array([b for _, b in perms], dtype=np.int64)[:, None]
@@ -203,19 +208,17 @@ def shingle_sigs(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     def run(batches):
         for pdf in batches:
             out_id, out_hs, out_sig = [], [], []
-            for did, tk in zip(pdf["doc_id"], pdf["toks"]):
+            for did, tk in zip(pdf["doc_id"], pdf["th"]):
                 m = len(tk)
                 if m == 0:
                     continue
-                th = np.fromiter(
-                    (zlib.crc32(t.encode()) for t in tk), dtype=np.int64, count=m
-                )
+                th = np.asarray(tk, dtype=np.int64) % _MERSENNE  # 31-bit, nonneg
                 if m >= n:
-                    g = th[: m - n + 1] % _MERSENNE
+                    g = th[: m - n + 1]
                     for j in range(1, n):
                         g = (g * poly + th[j : m - n + 1 + j]) % _MERSENNE
                 else:
-                    g = th % _MERSENNE
+                    g = th
                 hs = np.unique(g)
                 sig = ((hs[None, :] * A + B) % _MERSENNE).min(axis=1)
                 out_id.append(did)
