@@ -623,3 +623,75 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= CONTAINMENT_THRESHOLD)
         .select("doc_a", "doc_b", (F.round(cont * 1e6) / 1e6).alias("containment"))
     )
+
+
+# ------------------------------------------------- decontamination
+
+N_BENCH_DOCS = 20  # first N docs act as the held-out benchmark set
+DECON_TAU = 0.6  # benchmark-coverage threshold that flags a train doc
+
+
+@register(
+    "dedup_decontaminate",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({D_SHINGLES}) AS s FROM documents
+    ), bsz AS (
+      SELECT doc_id, count(*) AS n FROM sh
+      WHERE doc_id < {N_BENCH_DOCS} GROUP BY doc_id
+    ), hits AS (
+      SELECT c.doc_id AS c_id, b.doc_id AS b_id, count(*) AS i
+      FROM sh c JOIN sh b ON c.s = b.s
+      WHERE c.doc_id >= {N_BENCH_DOCS} AND b.doc_id < {N_BENCH_DOCS}
+      GROUP BY c.doc_id, b.doc_id
+    ), contaminated AS (
+      SELECT DISTINCT hits.c_id FROM hits JOIN bsz ON bsz.doc_id = hits.b_id
+      WHERE i::DOUBLE / bsz.n >= {DECON_TAU}
+    )
+    SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE d.doc_id >= {N_BENCH_DOCS}
+      AND d.doc_id NOT IN (SELECT c_id FROM contaminated)
+    """,
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-corpus stage that
+    removes documents CONTAINING held-out evaluation content (the
+    n-gram-overlap decontamination recipe used for large LM training
+    sets; the reference has no analogue — this generalizes its A16
+    keep/drop semantics to a train-vs-eval split). The first
+    N_BENCH_DOCS documents stand in for the benchmark set; a training
+    doc is contaminated when it covers >= {DECON_TAU:.0%} of some
+    benchmark doc's distinct 3-shingles (coverage of the BENCHMARK
+    side — the asymmetric direction that catches eval text quoted
+    inside a larger training page).
+
+    Scale shape: the benchmark shingle set is tiny and broadcasts;
+    training docs meet it through the (cached) inverted index on the
+    shingle key, so candidate generation touches only docs sharing a
+    shingle with some benchmark doc — never an all-pairs compare. The
+    contaminated-id set is again tiny and anti-joins broadcast."""
+    sh = shingle_df(spark, sf_dir)
+    bench = sh.filter(F.col("doc_id") < N_BENCH_DOCS)
+    bsz = bench.groupBy("doc_id").agg(F.count("*").alias("n"))
+    hits = (
+        sh.filter(F.col("doc_id") >= N_BENCH_DOCS)
+        .select(F.col("doc_id").alias("c_id"), "s")
+        .join(
+            F.broadcast(bench.select(F.col("doc_id").alias("b_id"), "s")), "s"
+        )
+        .groupBy("c_id", "b_id")
+        .agg(F.count("*").alias("i"))
+    )
+    contaminated = (
+        hits.join(F.broadcast(bsz.withColumnRenamed("doc_id", "b_id")), "b_id")
+        .filter(F.col("i").cast("double") / F.col("n") >= DECON_TAU)
+        .select(F.col("c_id").alias("doc_id"))
+        .distinct()
+    )
+    d = sources.load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= N_BENCH_DOCS
+    )
+    return d.join(F.broadcast(contaminated), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )

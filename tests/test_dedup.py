@@ -50,3 +50,29 @@ def test_embed_cosine_threshold(spark, sf_dir):
     for r in rows:
         assert r.cos_sim >= dedup.COSINE_DUP_THRESHOLD - 1e-6
         assert r.id_a < r.id_b
+
+
+def test_decontaminate_removes_contaminated_and_keeps_clean(spark, sf_dir):
+    from skills_vectors_spark.operators.dedup import (
+        DECON_TAU,
+        N_BENCH_DOCS,
+        dedup_decontaminate,
+        shingle_df,
+    )
+
+    kept = {r.doc_id for r in dedup_decontaminate(spark, sf_dir).collect()}
+    assert all(i >= N_BENCH_DOCS for i in kept), "benchmark docs never in output"
+    # recompute ground truth: coverage of any benchmark doc >= tau
+    sh = shingle_df(spark, sf_dir)
+    rows = sh.collect()
+    bench: dict[int, set] = {}
+    train: dict[int, set] = {}
+    for r in rows:
+        (bench if r.doc_id < N_BENCH_DOCS else train).setdefault(r.doc_id, set()).add(r.s)
+    contaminated = {
+        c
+        for c, cs in train.items()
+        for b, bs in bench.items()
+        if bs and len(cs & bs) / len(bs) >= DECON_TAU
+    }
+    assert kept == set(train) - contaminated
