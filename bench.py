@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_embed_cosine_blas",
+    "dedup_decontaminate",
     "sim_topk_bruteforce",
     "text_stats",
     "lang_id",
