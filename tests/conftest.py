@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -7,7 +8,9 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-SF_SMOKE = "/root/testdata/sf0.001"
+# default smoke scale; override to re-run the whole suite at another SF
+# (SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 python -m pytest tests/)
+SF_SMOKE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
