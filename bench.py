@@ -91,9 +91,17 @@ def main() -> None:
     )
 
     # two passes, min per query: steady-state engine time, not
-    # GC/compilation/host-contention outliers
+    # GC/compilation/host-contention outliers. The session-scoped
+    # subtree cache is CLEARED at each pass start so every pass
+    # computes the shared pipelines at least once — within a pass
+    # later consumers read the persisted stage (the production
+    # amortization), but a cached full result from a previous pass
+    # never masquerades as query execution.
+    from skills_vectors_spark import cache
+
     timings: dict[str, float] = {}
     for _ in range(2):
+        cache.clear()
         for name in HEADLINE:
             fn = registry.QUERIES[name]
             t0 = time.time()

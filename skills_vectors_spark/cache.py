@@ -29,9 +29,19 @@ _CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def cached_df(
     stage: str, spark: SparkSession, sf_dir: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, stage)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, stage)
     df = _CACHE.get(key)
     if df is None:
+        # entries cached under another application id belong to a
+        # stopped (or superseded) session — evict them so a long-lived
+        # process that cycles sessions doesn't pin dead DataFrames
+        for k in [k for k in _CACHE if k[0] != app_id]:
+            try:
+                _CACHE[k].unpersist()
+            except Exception:
+                pass
+            del _CACHE[k]
         df = build().persist(StorageLevel.MEMORY_AND_DISK)
         _CACHE[key] = df
     return df

@@ -661,7 +661,7 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets; the reference has no analogue — this generalizes its A16
     keep/drop semantics to a train-vs-eval split). The first
     N_BENCH_DOCS documents stand in for the benchmark set; a training
-    doc is contaminated when it covers >= {DECON_TAU:.0%} of some
+    doc is contaminated when it covers >= DECON_TAU (60%) of some
     benchmark doc's distinct 3-shingles (coverage of the BENCHMARK
     side — the asymmetric direction that catches eval text quoted
     inside a larger training page).

@@ -89,9 +89,13 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate, no payload touched), decode runs once per row inside an
     Arrow batch iterator. The stub decoder derives image dims from the
     payload md5, so dims are SQL-checkable EXACTLY; the (fake) pixel
-    statistics are reduced to a plausibility gate (uniform-byte means
-    sit far inside [100, 155]) — swap in a real decoder and these
-    become real feature columns with a rows-only check."""
+    statistics are reduced to a plausibility gate: a channel mean of n
+    uniform bytes has sigma = 73.9/sqrt(n), worst case n=64 pixels ->
+    sigma 9.24, so the [80, 175] band is +/-5.1 sigma around 127.5
+    (per-trial p ~ 2e-7; safe for millions of docs, and still catches
+    any decoder whose output isn't uniform-byte shaped). Swap in a
+    real decoder and these become real feature columns with a
+    rows-only check."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-partition init: a real impl would set up the codec here
@@ -105,7 +109,7 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         int(mid),
                         img.shape[0],
                         img.shape[1],
-                        bool(all(100.0 <= m <= 155.0 for m in means)),
+                        bool(all(80.0 <= m <= 175.0 for m in means)),
                     )
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in _IMG_SCHEMA.fields])

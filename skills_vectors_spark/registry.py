@@ -37,11 +37,12 @@ def register(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every operator module so registration side-effects run.
 
-    Order matters to external checkers that walk the registry in
-    registration order with a bounded window: the flagship vector /
-    dedup / text / streaming surface registers FIRST, then the
-    function families, then the (already well-covered) relational
-    modules last.
+    Registration order is the priority order for bounded verification
+    sweeps (tools/driver_sim.py's first-N window, spot checks, and any
+    consumer that samples the registry front-to-back): the flagship
+    vector / dedup / multimodal / streaming surface registers first so
+    a partial sweep always covers the operators this engine exists
+    for, with the broad relational families after.
     """
     import skills_vectors_spark.operators.knn  # noqa: F401
     import skills_vectors_spark.operators.ann  # noqa: F401

@@ -131,16 +131,36 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     which Spark reads natively as TIMESTAMP_NTZ — same naive-wall-clock
     semantics DuckDB applies, so oracle comparisons line up with a plain
     scan. Branch on the dtype actually read rather than assuming a
-    physical encoding: if a corpus ever ships nanos-as-long (e.g. a
-    writer with `spark.sql.legacy.parquet.nanosAsLong` upstream), the
-    long column is truncated to µs here; otherwise pass through.
+    physical encoding. A corpus shipping TIMESTAMP(NANOS) parquet is
+    handled too: Spark rejects nanos at schema resolution, so the
+    fallback retries that one read under the legacy nanos-as-long conf
+    (restored afterwards) and truncates the long column to the
+    engine's µs — the same truncation DuckDB applies.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        df = spark.read.parquet(path)
+        if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+            # a host session with nanosAsLong already set surfaces nanos
+            # as a raw long column
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    except AnalysisException as exc:
+        if name != "events" or "NANOS" not in str(exc).upper():
+            raise
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(conf_key, "false")
+    spark.conf.set(conf_key, "true")
+    try:
+        df = spark.read.parquet(path)
+        # the read above is lazy w.r.t. the conf only at planning time;
+        # schema resolution already happened, so restoring is safe
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    finally:
+        spark.conf.set(conf_key, prev)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:

@@ -19,6 +19,9 @@ def spark():
 
     s = get_spark("tests", cpus="8")
     yield s
+    from skills_vectors_spark import cache
+
+    cache.clear()
 
 
 @pytest.fixture(scope="session")

@@ -4,7 +4,6 @@ everything vector/dedup-shaped leans on. Spark round-trips are batched
 stays fast; the pure-numpy kernel properties run without Spark."""
 
 import math
-import zlib
 
 import numpy as np
 from hypothesis import given, settings
@@ -37,11 +36,17 @@ def test_minhash_universal_hash_never_overflows_int64(hs):
         assert ((prod % _MERSENNE) >= 0).all()
 
 
-@given(st.text(min_size=0, max_size=40))
+@given(st.lists(st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1), min_size=1, max_size=64))
 @settings(max_examples=200, deadline=None)
-def test_crc32_token_hash_fits_int64(tok):
-    v = zlib.crc32(tok.encode())
-    assert 0 <= v < (1 << 32)
+def test_xxhash64_premod_lands_in_mersenne_range(hs):
+    """The live signature kernel receives raw SIGNED xxhash64 values
+    from the JVM and pre-mods them to the Mersenne-31 field; numpy's
+    mod with a positive modulus must land every value (including
+    int64 min) in [0, 2^31 - 1)."""
+    from skills_vectors_spark.operators.dedup import _MERSENNE
+
+    th = np.asarray(hs, dtype=np.int64) % _MERSENNE
+    assert (th >= 0).all() and (th < _MERSENNE).all()
 
 
 @given(st.lists(_vec(8), min_size=1, max_size=8))
