@@ -741,7 +741,7 @@ def sink_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-cell manifest (cell, n_vectors) as the declared result;
     the recall-equivalence of searching the reloaded index is gated
     in tests."""
-    from skills_vectors_spark.operators.relational import _scratch
+    from skills_vectors_spark.scratch import scratch as _scratch
 
     emb = sources.load(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism

@@ -15,23 +15,13 @@ executor ever materializes a full partition sort at 100 TB.
 
 from __future__ import annotations
 
-import tempfile
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from skills_vectors_spark import sources
 from skills_vectors_spark.registry import register
-
-_SCRATCH = Path(tempfile.gettempdir()) / "svs_scratch"
-
-
-def _scratch(sf_dir: str, name: str) -> str:
-    p = _SCRATCH / Path(sf_dir).name / name
-    p.parent.mkdir(parents=True, exist_ok=True)
-    return str(p)
+from skills_vectors_spark.scratch import scratch as _scratch
 
 
 # ---------------------------------------------------------------- sources

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from skills_vectors_spark import sources
-from skills_vectors_spark.operators.relational import _scratch
+from skills_vectors_spark.scratch import scratch as _scratch
 from skills_vectors_spark.registry import register
 
 PARTITION_DATE = "2024-01-15"  # present at every scale factor

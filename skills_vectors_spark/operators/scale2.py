@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from skills_vectors_spark import sources
-from skills_vectors_spark.operators.relational import _scratch
+from skills_vectors_spark.scratch import scratch as _scratch
 from skills_vectors_spark.operators.textstats import D_TOKENS, _d_stop_hits, quality_score
 from skills_vectors_spark.registry import register
 

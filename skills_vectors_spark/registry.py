@@ -34,16 +34,42 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Queries promoted into the bounded-sweep window right after the
+# head modules (see load_all): the set that has no green attested
+# row yet (win_lag_lead: red in r1 from the since-fixed ts loader;
+# agg_approx_distinct: oracle added after its last sweep;
+# embed_project_pca: output schema fixed after its r2 error;
+# eval_recall_lsh / eval_backend_compare: gate-column oracles are
+# new) plus the flagship KNN pair so the headline operator keeps a
+# row in every sweep.
+_PROMOTED = [
+    "win_lag_lead",
+    "agg_approx_distinct",
+    "embed_project_pca",
+    "eval_recall_lsh",
+    "eval_backend_compare",
+    "knn_exact",
+    "knn_filtered",
+]
+
+
 def load_all() -> None:
     """Import every operator module so registration side-effects run.
 
     Registration order is the priority order for bounded verification
     sweeps (tools/driver_sim.py's first-N window, spot checks, and any
-    consumer that samples the registry front-to-back): the flagship
-    vector / dedup / multimodal / streaming surface registers first so
-    a partial sweep always covers the operators this engine exists
-    for, with the broad relational families after.
+    consumer that samples the registry front-to-back). The head of the
+    order is the surface with the least accumulated verification
+    signal: the scalar-function families every real query touches
+    (functions_suite), the text-analysis tail, and the scale/scale2
+    sets — followed by the individually promoted queries in
+    ``_PROMOTED`` — so a bounded front-to-back sweep always lands on
+    the operators whose correctness is least attested.
     """
+    import skills_vectors_spark.operators.functions_suite  # noqa: F401
+    import skills_vectors_spark.operators.textstats  # noqa: F401
+    import skills_vectors_spark.operators.scale  # noqa: F401
+    import skills_vectors_spark.operators.scale2  # noqa: F401
     import skills_vectors_spark.operators.knn  # noqa: F401
     import skills_vectors_spark.operators.ann  # noqa: F401
     import skills_vectors_spark.operators.dedup  # noqa: F401
@@ -52,9 +78,21 @@ def load_all() -> None:
     import skills_vectors_spark.operators.multimodal  # noqa: F401
     import skills_vectors_spark.streaming.windows  # noqa: F401
     import skills_vectors_spark.operators.relevance  # noqa: F401
-    import skills_vectors_spark.operators.textstats  # noqa: F401
-    import skills_vectors_spark.operators.functions_suite  # noqa: F401
     import skills_vectors_spark.operators.relational  # noqa: F401
     import skills_vectors_spark.operators.relational2  # noqa: F401
-    import skills_vectors_spark.operators.scale  # noqa: F401
-    import skills_vectors_spark.operators.scale2  # noqa: F401
+
+    # Reorder deterministically — not by import-time insertion, which
+    # test collection or ad-hoc imports can perturb. Within-module
+    # registration order is always file order (a module registers all
+    # of its queries during its single import), so grouping by each
+    # query's defining module gives a stable canonical order.
+    head_modules = ["functions_suite", "textstats", "scale", "scale2"]
+    mod_of = {n: fn.__module__.rsplit(".", 1)[-1] for n, fn in QUERIES.items()}
+    order = [n for m in head_modules for n in QUERIES if mod_of[n] == m]
+    seen = set(order)
+    order += [n for n in _PROMOTED if n in QUERIES and n not in seen]
+    seen.update(order)
+    order += [n for n in QUERIES if n not in seen]
+    reordered = {n: QUERIES[n] for n in order}
+    QUERIES.clear()
+    QUERIES.update(reordered)

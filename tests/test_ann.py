@@ -84,7 +84,7 @@ def test_sink_ann_index_partition_pruned_search(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from skills_vectors_spark.operators import ann
-    from skills_vectors_spark.operators.relational import _scratch
+    from skills_vectors_spark.scratch import scratch as _scratch
 
     manifest = {r.cell: r.n_vectors for r in ann.sink_ann_index(spark, sf_dir).collect()}
     from skills_vectors_spark import sources
