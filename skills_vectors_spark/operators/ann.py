@@ -145,11 +145,16 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("eval_recall_lsh")  # rows-only
-def eval_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+RECALL_GATE = 0.8  # suite-level recall@K floor, same bar as tests/test_ann.py
+
+
+def recall_lsh_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of ann_lsh against the exact gold standard — the
     reference's ANN evaluation loop (skills_for_jobs.py:354-387,
-    199-200) as one join+agg."""
+    199-200) as one join+agg. Library form: per-query detail rows
+    (q_id, n_match, recall); the seeded hyperplanes make the values
+    non-SQL-expressible, so the registered ``eval_recall_lsh`` reduces
+    this to a gate-column summary the driver can hash."""
     from skills_vectors_spark.operators.knn import ranked_knn
 
     gold = ranked_knn(spark, sf_dir, "cosine").select("q_id", "c_id")
@@ -163,6 +168,30 @@ def eval_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_q.select(
         "q_id", "n_match", (F.round(F.col("n_match") / F.lit(float(K)) * 1e6) / 1e6).alias("recall")
+    )
+
+
+@register(
+    "eval_recall_lsh",
+    # Gate-column oracle: n_queries is checked for real (the query-set
+    # definition is vec_id < N_QUERIES); recall_ok is computed
+    # Spark-side from the seeded-LSH results and asserted against the
+    # constant TRUE. Self-attested gate — the value-level assertions
+    # live in tests/test_ann.py (mean recall floor vs knn_exact).
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 20
+    """,
+)
+def eval_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable summary of :func:`recall_lsh_per_query`: the
+    reference's pass/fail evaluation verdict (skills_for_jobs.py:
+    354-355) as one row — how many queries were evaluated and whether
+    mean recall@K clears the 0.8 floor."""
+    per_q = recall_lsh_per_query(spark, sf_dir)
+    return per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        (F.avg("recall") >= F.lit(RECALL_GATE)).alias("recall_ok"),
     )
 
 
@@ -335,8 +364,7 @@ def ann_brp_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("eval_backend_compare")  # rows-only: aggregates seeded ANN output
-def eval_backend_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+def backend_compare_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's closing report (skills_for_jobs.py:435-456):
     every ANN backend scored side-by-side against the exact gold
     standard — avg recall@K (match counting :199-200,209-211) and avg
@@ -401,6 +429,34 @@ def eval_backend_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_cos_sim",
         )
         .orderBy("backend")
+    )
+
+
+@register(
+    "eval_backend_compare",
+    # Gate-column oracle: the backend list is checked for real (one
+    # row per backend, exact names); returned_ok and recall_ok are
+    # computed Spark-side from the seeded ANN output and asserted
+    # against the constant TRUE. Self-attested gates — value-level
+    # recall floors per backend live in tests/test_ann.py.
+    """
+    SELECT backend, TRUE AS returned_ok, TRUE AS recall_ok
+    FROM (VALUES ('brp_l2'), ('hyperplane_lsh'), ('ivf')) AS b(backend)
+    """,
+)
+def eval_backend_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable verdict over :func:`backend_compare_report` —
+    per backend, whether it returned a full K results for every query
+    and whether its recall@K clears the 0.8 floor (the reference's
+    pass/fail framing at skills_for_jobs.py:354-355). The full numeric
+    report (n_hits, avg_recall, avg_cos_sim) stays in the library
+    function for human consumption."""
+    from skills_vectors_spark.operators.knn import K, N_QUERIES
+
+    return backend_compare_report(spark, sf_dir).select(
+        "backend",
+        (F.col("n_returned") == F.lit(K * N_QUERIES)).alias("returned_ok"),
+        (F.col("avg_recall") >= F.lit(RECALL_GATE)).alias("recall_ok"),
     )
 
 

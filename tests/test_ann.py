@@ -33,16 +33,25 @@ def test_lsh_deterministic(spark, sf_dir):
 
 
 def test_eval_recall_lsh_shape(spark, sf_dir):
-    rows = ann.eval_recall_lsh(spark, sf_dir).collect()
+    rows = ann.recall_lsh_per_query(spark, sf_dir).collect()
     assert len(rows) == N_QUERIES
     for r in rows:
         assert 0 <= r.n_match <= K
+    # the declared query is the one-row gate summary over those rows
+    summary = ann.eval_recall_lsh(spark, sf_dir).collect()
+    assert len(summary) == 1
+    assert summary[0].n_queries == N_QUERIES
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    assert summary[0].recall_ok == (mean_recall >= ann.RECALL_GATE)
 
 
 def test_eval_backend_compare_report(spark, sf_dir):
-    from skills_vectors_spark.operators.ann import eval_backend_compare
+    from skills_vectors_spark.operators.ann import (
+        backend_compare_report,
+        eval_backend_compare,
+    )
 
-    rows = {r.backend: r for r in eval_backend_compare(spark, sf_dir).collect()}
+    rows = {r.backend: r for r in backend_compare_report(spark, sf_dir).collect()}
     assert set(rows) == {"hyperplane_lsh", "ivf", "brp_l2"}
     for name, r in rows.items():
         assert 0.0 <= r.avg_recall <= 1.0, (name, r.avg_recall)
@@ -51,6 +60,11 @@ def test_eval_backend_compare_report(spark, sf_dir):
     # small corpus; brp_l2 optimizes a different metric, so only bound it
     assert rows["hyperplane_lsh"].avg_recall >= 0.5
     assert rows["ivf"].avg_recall >= 0.5
+    # the declared gate query agrees with the numeric report
+    gates = {r.backend: r for r in eval_backend_compare(spark, sf_dir).collect()}
+    assert set(gates) == set(rows)
+    for name, g in gates.items():
+        assert g.recall_ok == (rows[name].avg_recall >= ann.RECALL_GATE), name
 
 
 def test_ann_pq_recall(spark, sf_dir):
