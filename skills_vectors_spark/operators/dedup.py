@@ -278,18 +278,23 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inverted-index self-join never runs — candidate count, not
     # corpus size, bounds this stage (per-doc sets are bounded by
     # document length, so the collect_set state is O(doc), fine at
-    # any corpus scale).
+    # any corpus scale). No broadcast hints here on purpose: each
+    # candidate row carries a full shingle ARRAY, so on a near-dup-
+    # heavy 100 TB corpus a forced broadcast of sets_ could exceed
+    # driver/executor memory. AQE picks broadcast at runtime when the
+    # candidate set is measured-small, and falls back to a shuffle
+    # join when it isn't.
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sets_ = sets0.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sets_ = sets0.join(cand_ids, "doc_id", "left_semi")
     paired = cand.join(
-        F.broadcast(sets_.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))),
+        sets_.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa")),
         "doc_a",
     ).join(
-        F.broadcast(sets_.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))),
+        sets_.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb")),
         "doc_b",
     )
     i = F.size(F.array_intersect("sa", "sb"))

@@ -64,6 +64,17 @@ def test_seq_funnel_single_event_shuffle(spark, sf_dir):
     assert facts.n_exchanges_live <= 3, facts.n_exchanges_live
 
 
+def test_dedup_minhash_verification_has_no_forced_broadcast(spark, sf_dir):
+    from skills_vectors_spark.operators.dedup import dedup_minhash
+
+    # the verification stage joins candidate pairs to full shingle
+    # ARRAYS — a forced broadcast there can exceed memory on a
+    # near-dup-heavy corpus. The plan must carry no user broadcast
+    # hint; AQE decides at runtime from measured sizes.
+    analyzed = dedup_minhash(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, "no forced broadcast in minhash verification"
+
+
 def test_composite_text_queries_persist_shared_subtrees(spark, sf_dir):
     from skills_vectors_spark.operators.relevance import text_bm25_search, text_tfidf_sim
 
