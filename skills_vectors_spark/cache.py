@@ -13,17 +13,36 @@ instead of OOMing. Keyed by (Spark application id, sf_dir, stage) so
 a new session/context or corpus rebuilds (an application id is unique
 per context, unlike `id(spark)`, which the allocator can recycle
 after a restart); repeated calls of the same query reuse the same
-persisted DataFrame instead of stacking fresh copies.
+persisted DataFrame instead of stacking fresh copies. Entries under
+OTHER application ids are evicted only when their context has
+actually stopped — two concurrently live sessions in one process
+each keep their own entries instead of thrashing each other's.
 """
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
 _CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_LOCK = threading.Lock()
+
+
+def _context_stopped(df: DataFrame) -> bool:
+    """True when the DataFrame's owning SparkContext is no longer
+    usable (stopped or torn down) — the only state in which evicting
+    another application id's entry is safe."""
+    try:
+        sc = df.sparkSession.sparkContext
+        jsc = getattr(sc, "_jsc", None)
+        if jsc is None:  # torn down python-side
+            return True
+        return bool(jsc.sc().isStopped())
+    except Exception:
+        return True  # any probe failure == unusable
 
 
 def cached_df(
@@ -31,27 +50,40 @@ def cached_df(
 ) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir, stage)
-    df = _CACHE.get(key)
-    if df is None:
-        # entries cached under another application id belong to a
-        # stopped (or superseded) session — evict them so a long-lived
-        # process that cycles sessions doesn't pin dead DataFrames
-        for k in [k for k in _CACHE if k[0] != app_id]:
+    with _LOCK:
+        df = _CACHE.get(key)
+        if df is not None:
+            return df
+        # drop entries pinned by contexts that have stopped; live
+        # entries of concurrent sessions are left alone
+        for k in [k for k in _CACHE if k[0] != app_id and _context_stopped(_CACHE[k])]:
             try:
                 _CACHE[k].unpersist()
             except Exception:
                 pass
             del _CACHE[k]
-        df = build().persist(StorageLevel.MEMORY_AND_DISK)
+    # build OUTSIDE the lock: the build triggers Spark jobs and may
+    # itself call cached_df for a nested stage
+    df = build().persist(StorageLevel.MEMORY_AND_DISK)
+    with _LOCK:
+        # a concurrent builder may have won the race; keep the first
+        existing = _CACHE.get(key)
+        if existing is not None:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+            return existing
         _CACHE[key] = df
     return df
 
 
 def clear() -> None:
     """Unpersist and drop every cached subtree (test hygiene)."""
-    for df in _CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    _CACHE.clear()
+    with _LOCK:
+        for df in _CACHE.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        _CACHE.clear()

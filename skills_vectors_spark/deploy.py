@@ -16,27 +16,47 @@ exactly how the engine ships to a 1000-executor cluster (spark-submit
 from __future__ import annotations
 
 import os
-import shutil
+import re
 import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 _SHIPPED: set[str] = set()
 
 
+def _build_archive(pkg_dir: str, zip_path: str) -> None:
+    """Zip the package source, excluding __pycache__/bytecode — the
+    workers compile their own, and stale .pyc from another interpreter
+    would be dead weight in every executor's download."""
+    parent = os.path.dirname(pkg_dir)
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, dirs, files in os.walk(pkg_dir):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for f in files:
+                if f.endswith((".pyc", ".pyo")):
+                    continue
+                full = os.path.join(root, f)
+                zf.write(full, os.path.relpath(full, parent))
+
+
 def ensure_workers_can_import(spark: SparkSession) -> None:
     """Idempotent per Spark application: zip this package and register
     it with addPyFile so executors can unpickle closures that
-    reference module-level functions."""
+    reference module-level functions. The archive path embeds the
+    application id so a still-live earlier session's registered
+    archive is never overwritten by a newer session in this process."""
     app_id = spark.sparkContext.applicationId
     if app_id in _SHIPPED:
         return
     import skills_vectors_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(skills_vectors_spark.__file__))
-    base = os.path.join(tempfile.gettempdir(), f"svs_pkg_{os.getpid()}")
-    zip_path = shutil.make_archive(
-        base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="skills_vectors_spark"
+    safe_app = re.sub(r"[^A-Za-z0-9_.-]", "_", app_id)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"svs_pkg_{os.getpid()}_{safe_app}.zip"
     )
+    if not os.path.exists(zip_path):
+        _build_archive(pkg_dir, zip_path)
     spark.sparkContext.addPyFile(zip_path)
     _SHIPPED.add(app_id)

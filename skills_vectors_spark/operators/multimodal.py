@@ -68,9 +68,45 @@ _IMG_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
-        T.StructField("channel_means_plausible", T.BooleanType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
     ]
 )
+
+
+def image_features_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> per-channel feature extraction over image payloads,
+    emitting the RAW feature columns (mean_r/g/b) a pipeline consumes.
+    The registered ``mm_image_features`` derives its plausibility gate
+    from these — the stub decoder's pixel stats aren't SQL-expressible,
+    so the declared query can't carry them through the hash oracle,
+    but the features must stay available as API."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-partition init: a real impl would set up the codec here
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = _fake_decode_image(bytes(payload))
+                means = img.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (
+                        int(mid),
+                        img.shape[0],
+                        img.shape[1],
+                        float(means[0]),
+                        float(means[1]),
+                        float(means[2]),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _IMG_SCHEMA.fields])
+
+    media = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
+    spread = media.select("media_id", "payload").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(run, _IMG_SCHEMA)
 
 
 @register(
@@ -95,30 +131,17 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-trial p ~ 2e-7; safe for millions of docs, and still catches
     any decoder whose output isn't uniform-byte shaped). Swap in a
     real decoder and these become real feature columns with a
-    rows-only check."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # per-partition init: a real impl would set up the codec here
-        for pdf in batches:
-            rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = _fake_decode_image(bytes(payload))
-                means = img.reshape(-1, 3).mean(axis=0)
-                rows.append(
-                    (
-                        int(mid),
-                        img.shape[0],
-                        img.shape[1],
-                        bool(all(80.0 <= m <= 175.0 for m in means)),
-                    )
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in _IMG_SCHEMA.fields])
-
-    media = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
-    spread = media.select("media_id", "payload").repartition(
-        spark.sparkContext.defaultParallelism
+    rows-only check. Raw channel means stay available via
+    :func:`image_features_full`."""
+    in_band = [
+        F.col(c).between(80.0, 175.0) for c in ("mean_r", "mean_g", "mean_b")
+    ]
+    return image_features_full(spark, sf_dir).select(
+        "media_id",
+        "height",
+        "width",
+        (in_band[0] & in_band[1] & in_band[2]).alias("channel_means_plausible"),
     )
-    return spread.mapInPandas(run, _IMG_SCHEMA)
 
 
 _FRAME_SCHEMA = T.StructType(
@@ -225,9 +248,36 @@ _AUDIO_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("n_samples", T.IntegerType()),
         T.StructField("duration_s", T.DoubleType()),
-        T.StructField("features_plausible", T.BooleanType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
     ]
 )
+
+
+def audio_features_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> waveform feature extraction over audio payloads,
+    emitting the RAW feature columns (rms, peak, zcr) a pipeline
+    consumes; the registered ``mm_audio_features`` derives its
+    plausibility gate from these."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sr = 16000
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w = _fake_decode_audio(bytes(payload), sr)
+                zc = float(np.mean(np.abs(np.diff(np.signbit(w)))))
+                rms = float(np.sqrt(np.mean(w**2)))
+                peak = float(np.abs(w).max())
+                rows.append((int(mid), len(w), len(w) / sr, rms, peak, zc))
+            yield pd.DataFrame(rows, columns=[f.name for f in _AUDIO_SCHEMA.fields])
+
+    media = media_table(spark, sf_dir).filter(F.col("media_type") == "audio")
+    spread = media.select("media_id", "payload").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(run, _AUDIO_SCHEMA)
 
 
 @register(
@@ -252,32 +302,18 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the payload md5, so n_samples/duration are SQL-checkable
     EXACTLY (duration as the bit-identical IEEE division n/16000.0);
     the (fake) waveform statistics reduce to a plausibility gate
-    (N(0, 0.1^2) samples: rms ~0.1, bounded peak, zcr ~0.5)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sr = 16000
-        for pdf in batches:
-            rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w = _fake_decode_audio(bytes(payload), sr)
-                zc = float(np.mean(np.abs(np.diff(np.signbit(w)))))
-                rms = float(np.sqrt(np.mean(w**2)))
-                peak = float(np.abs(w).max())
-                rows.append(
-                    (
-                        int(mid),
-                        len(w),
-                        len(w) / sr,
-                        bool(0.05 <= rms <= 0.15 and 0.2 <= peak <= 0.8 and 0.3 <= zc <= 0.7),
-                    )
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in _AUDIO_SCHEMA.fields])
-
-    media = media_table(spark, sf_dir).filter(F.col("media_type") == "audio")
-    spread = media.select("media_id", "payload").repartition(
-        spark.sparkContext.defaultParallelism
+    (N(0, 0.1^2) samples: rms ~0.1, bounded peak, zcr ~0.5). Raw
+    rms/peak/zcr stay available via :func:`audio_features_full`."""
+    return audio_features_full(spark, sf_dir).select(
+        "media_id",
+        "n_samples",
+        "duration_s",
+        (
+            F.col("rms").between(0.05, 0.15)
+            & F.col("peak").between(0.2, 0.8)
+            & F.col("zcr").between(0.3, 0.7)
+        ).alias("features_plausible"),
     )
-    return spread.mapInPandas(run, _AUDIO_SCHEMA)
 
 
 @register(

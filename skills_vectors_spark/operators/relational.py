@@ -390,6 +390,20 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_distinct_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-ONLY form of agg_approx_distinct — the operator to run
+    at 100 TB. The registered query computes the exact distinct
+    alongside the sketch purely so the oracle can verify accuracy;
+    that verification pays the full shuffle-distinct the sketch
+    exists to avoid. This form carries constant-size HLL state per
+    group and never expands per-value rows."""
+    return (
+        sources.load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("n_parts_approx"))
+    )
+
+
 @register(
     "agg_collect",
     """

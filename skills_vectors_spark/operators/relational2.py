@@ -192,6 +192,22 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_percentile_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-ONLY form of agg_approx_percentile — the operator to run
+    at 100 TB. The registered query also computes the exact percentile
+    so the oracle can verify sketch accuracy; that exact pass is the
+    cost the sketch exists to avoid, so production uses this form."""
+    return (
+        sources.load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+                "p50_approx"
+            )
+        )
+    )
+
+
 _ZSCORE_SCHEMA = T.StructType(
     [
         T.StructField("c_custkey", T.LongType()),

@@ -239,6 +239,24 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_sketch_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-ONLY form of agg_hll_sketch — the operator to run at
+    100 TB: build per-group HLL sketches, estimate, and merge the
+    grand total from sketch bytes, with NO exact count_distinct
+    verification subplan (that verification is what the registered
+    gate query adds for the oracle)."""
+    ev = sources.load(spark, sf_dir, "events")
+    sketches = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    est = sketches.select(
+        "event_type", F.hll_sketch_estimate("sketch").alias("est_distinct")
+    )
+    grand = sketches.agg(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_distinct"),
+    )
+    return est.unionByName(grand)
+
+
 _QUALITY_MIN = 0.5
 _CHARS_LO, _CHARS_HI = 120, 20000
 

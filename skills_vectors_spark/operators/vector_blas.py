@@ -47,18 +47,26 @@ PAIR_THRESHOLD = 0.4  # shared with operators/dedup.py dedup_embed_cosine
 
 # Per-worker-process corpus cache: Spark reuses Python workers across
 # tasks, so the matrix is read + normalized once per worker, not per
-# task/batch.
+# task/batch. Bounded to ONE corpus per worker — switching sf_dirs
+# evicts the previous matrix instead of accumulating them.
 _CORPUS_CACHE: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
 
 def _load_corpus(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Executor-side corpus load: each worker reads the parquet matrix
-    artifact directly from shared storage (the driver never collects
+    artifact directly from SHARED storage (the driver never collects
     the corpus — the round-1 driver-side toPandas()+broadcast was the
-    one full-corpus driver hop in the repo). On a cluster the file
-    sits on the object store and every executor streams it once; the
-    'corpus fits in executor memory' regime is unchanged and is the
-    documented boundary where the per-cell ANN tiers take over."""
+    one full-corpus driver hop in the repo).
+
+    Deployment requirement, stated explicitly: ``path`` must resolve
+    on every executor — an object-store / DFS URI on a real cluster
+    (readable by pyarrow, e.g. via fsspec s3://), or a driver-local
+    path only in local mode where driver and workers share a
+    filesystem. It also assumes the single-file parquet layout the
+    testdata uses; a multi-file dataset directory would need
+    pq.ParquetDataset here. The 'corpus fits in executor memory'
+    regime is unchanged and is the documented boundary where the
+    per-cell ANN tiers take over."""
     hit = _CORPUS_CACHE.get(path)
     if hit is None:
         import pyarrow.parquet as pq
@@ -69,6 +77,7 @@ def _load_corpus(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         ids = ids_raw[order]
         V = np.stack(t.column("embedding").to_pylist())[order].astype(np.float64)
         norms = np.sqrt((V * V).sum(axis=1))
+        _CORPUS_CACHE.clear()  # bound: one corpus resident per worker
         hit = _CORPUS_CACHE[path] = (ids, V, norms)
     return hit
 

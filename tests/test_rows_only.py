@@ -159,6 +159,37 @@ def test_embed_project_pca_shapes_and_error(spark, sf_dir):
     assert all(r.proj_dim == vector_blas.PCA_DIM for r in declared.collect())
 
 
+def test_sketch_only_production_variants(spark, sf_dir):
+    """The production (sketch-only) forms of the approx aggregates run
+    without the exact verification subplan and land near the exact
+    answers the gate queries verify."""
+    from skills_vectors_spark.operators.relational import approx_distinct_production
+    from skills_vectors_spark.operators.relational2 import approx_percentile_production
+    from skills_vectors_spark.operators.scale2 import hll_sketch_production
+
+    li = sources.load(spark, sf_dir, "lineitem")
+    exact_d = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag").agg(F.countDistinct("l_partkey").alias("n")).collect()
+    }
+    for r in approx_distinct_production(spark, sf_dir).collect():
+        assert abs(r.n_parts_approx - exact_d[r.l_returnflag]) <= 0.05 * exact_d[r.l_returnflag]
+
+    exact_p = {
+        r.l_returnflag: r.p
+        for r in li.groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", F.lit(0.5)).alias("p"))
+        .collect()
+    }
+    for r in approx_percentile_production(spark, sf_dir).collect():
+        assert abs(r.p50_approx - exact_p[r.l_returnflag]) <= 0.05 * exact_p[r.l_returnflag]
+
+    ev = sources.load(spark, sf_dir, "events")
+    n_all = ev.select("user_id").distinct().count()
+    rows = {r.event_type: r.est_distinct for r in hll_sketch_production(spark, sf_dir).collect()}
+    assert abs(rows["__all__"] - n_all) <= 0.05 * n_all
+
+
 def test_diag_partition_stats_invariants(spark, sf_dir):
     row = textstats.diag_partition_stats(spark, sf_dir).collect()[0]
     n_rows = sources.load(spark, sf_dir, "lineitem").count()
