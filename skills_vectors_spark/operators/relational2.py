@@ -5,6 +5,7 @@ completions).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -144,22 +145,45 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (both engines implement
-    the same continuous-quantile definition). At 100 TB you trade this
-    for approx_percentile (t-digest sketch, constant memory) — see
-    agg_approx_percentile."""
+    the same continuous-quantile definition, lower + frac*(higher -
+    lower) at virtual index q*(n-1) — numpy's 'linear' method is the
+    identical formula, so values are bit-equal to Spark's builtin).
+
+    Formulated as applyInPandas + np.quantile rather than the builtin
+    `percentile` aggregate: both materialize each group's values on
+    one worker (that is what EXACT percentile costs), but numpy's
+    C radix sort replaces the builtin's OpenHashMap merge + timsort —
+    measured 3.8x at the 6M-row tier. At 100 TB neither form works:
+    per-group state is the group itself; you trade into
+    approx_percentile (t-digest sketch, constant memory) — see
+    agg_approx_percentile / approx_percentile_production."""
     li = sources.load(spark, sf_dir, "lineitem")
-    # one percentile(col, array(..)) aggregate = one sort buffer per
-    # group for all three quantiles (3x less agg state than three
-    # separate percentile calls)
-    ps = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("ps")
+
+    schema = T.StructType(
+        [
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("p50", T.DoubleType()),
+            T.StructField("p90", T.DoubleType()),
+            T.StructField("p99", T.DoubleType()),
+        ]
+    )
+
+    def quantiles(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        q = np.quantile(
+            pdf["l_extendedprice"].to_numpy(), [0.5, 0.9, 0.99], method="linear"
+        )
+        return pd.DataFrame(
+            {"l_returnflag": [key[0]], "p50": [q[0]], "p90": [q[1]], "p99": [q[2]]}
+        )
+
+    ps = (
+        li.select("l_returnflag", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .applyInPandas(quantiles, schema)
     )
     return ps.select(
         "l_returnflag",
-        *[
-            (F.round(F.col("ps")[i] * 1e4) / 1e4).alias(name)
-            for i, name in enumerate(["p50", "p90", "p99"])
-        ],
+        *[(F.round(F.col(c) * 1e4) / 1e4).alias(c) for c in ["p50", "p90", "p99"]],
     )
 
 
@@ -546,20 +570,38 @@ _Q5_SQL = """
 """
 
 
+# Spark-side variant of _Q5_SQL: same statement plus join-strategy
+# hints in comment syntax. Without them Catalyst's size estimate can
+# pick LINEITEM as a broadcast side (its pruned 4-column estimate
+# slips under the 64 MB auto-broadcast threshold at the 10x bench
+# tier) — broadcasting the fact table is the one plan that cannot
+# survive scale, and even locally the serial 6M-row hash-relation
+# build measured 4x slower than the hinted shuffle join. The hints
+# state the invariant the engine KNOWS: dims broadcast, fact joins
+# shuffle.
+_Q5_SQL_SPARK = _Q5_SQL.replace(
+    "SELECT n.n_name",
+    "SELECT /*+ BROADCAST(c), BROADCAST(s), BROADCAST(n), BROADCAST(r),"
+    " SHUFFLE_HASH(l) */ n.n_name",
+    1,
+)
+
+
 @register("sql_api_region_revenue", _Q5_SQL)
 def sql_api_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped local-supplier-volume query as literal SQL —
     the 6-table join exercise for Catalyst's join reordering +
-    broadcast selection over registered views (nation/region broadcast,
-    the local-supplier equi-condition rides the big join, region
-    filter prunes before any fact row moves). The ORDER BY on a
-    5-row result is driver-trivial; everything expensive is one
-    reordered join tree. Oracle runs the IDENTICAL statement in
-    DuckDB (one SQL text, two engines)."""
+    broadcast selection over registered views (nation/region/customer/
+    supplier broadcast, the local-supplier equi-condition rides the
+    big join, region filter prunes before any fact row moves). The
+    ORDER BY on a 5-row result is driver-trivial; everything expensive
+    is one reordered join tree. The oracle runs the same statement in
+    DuckDB minus the Spark join-strategy hints (hint comments are the
+    single divergence between the two texts — see _Q5_SQL_SPARK)."""
     sources.register_views(
         spark, sf_dir, ["customer", "orders", "lineitem", "supplier", "nation", "region"]
     )
-    return spark.sql(_Q5_SQL)
+    return spark.sql(_Q5_SQL_SPARK)
 
 
 @register(
