@@ -536,11 +536,15 @@ def sql_api_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame API builds — one parser in front of one optimizer).
     Segment filter pushes to the customer scan; the global top-10
     becomes TakeOrderedAndProject, so only 10 rows per partition ever
-    reach the driver-side merge."""
+    reach the driver-side merge. Join-strategy hints state the scale
+    invariant (filtered customer broadcasts, the lineitem fact
+    shuffles) — without them Catalyst's size estimate can pick
+    lineitem as a broadcast side at tiers where its pruned columns
+    slip under the threshold (the q5 hazard, see _Q5_SQL_SPARK)."""
     sources.register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
     return spark.sql(
         """
-        SELECT o.o_orderkey,
+        SELECT /*+ BROADCAST(c), SHUFFLE_HASH(l) */ o.o_orderkey,
                round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100) / 100 AS revenue,
                o.o_orderdate
         FROM customer c
