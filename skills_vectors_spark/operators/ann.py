@@ -388,6 +388,8 @@ def backend_compare_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("hyperplane_lsh", ann_lsh),
                 ("ivf", ann_ivf),
                 ("brp_l2", ann_brp_l2),
+                ("pq", ann_pq),
+                ("ivf_pq", ann_ivf_pq),
             ]
         ]
         allr = parts[0]
@@ -432,31 +434,56 @@ def backend_compare_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-backend recall@K floors — each tier's design point, matching
+# the unit-test gates in tests/test_ann.py: the sign-preserving tiers
+# (hyperplane LSH, MLlib BRP) must reach 0.8; IVF trades recall for
+# probed-cell pruning (0.7); the quantized tiers add code
+# approximation on top (0.6). Part of the declared contract: the
+# floor is emitted as a column so the verdict is interpretable.
+BACKEND_FLOORS = {
+    "hyperplane_lsh": 0.8,
+    "brp_l2": 0.8,
+    "ivf": 0.7,
+    "pq": 0.6,
+    "ivf_pq": 0.6,
+}
+
+
 @register(
     "eval_backend_compare",
-    # Gate-column oracle: the backend list is checked for real (one
-    # row per backend, exact names); returned_ok and recall_ok are
-    # computed Spark-side from the seeded ANN output and asserted
-    # against the constant TRUE. Self-attested gates — value-level
-    # recall floors per backend live in tests/test_ann.py.
-    """
-    SELECT backend, TRUE AS returned_ok, TRUE AS recall_ok
-    FROM (VALUES ('brp_l2'), ('hyperplane_lsh'), ('ivf')) AS b(backend)
+    # Gate-column oracle: the backend list and each tier's declared
+    # recall floor are checked for real (one row per backend);
+    # returned_ok and recall_ok are computed Spark-side from the
+    # seeded ANN output and asserted against the constant TRUE.
+    # Self-attested gates — value-level recall floors per backend
+    # live in tests/test_ann.py.
+    f"""
+    SELECT backend, recall_floor, TRUE AS returned_ok, TRUE AS recall_ok
+    FROM (VALUES {", ".join(f"('{b}', {f})" for b, f in sorted(BACKEND_FLOORS.items()))})
+      AS b(backend, recall_floor)
     """,
 )
 def eval_backend_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-hashable verdict over :func:`backend_compare_report` —
     per backend, whether it returned a full K results for every query
-    and whether its recall@K clears the 0.8 floor (the reference's
-    pass/fail framing at skills_for_jobs.py:354-355). The full numeric
-    report (n_hits, avg_recall, avg_cos_sim) stays in the library
-    function for human consumption."""
+    and whether its recall@K clears that tier's declared floor (the
+    reference's pass/fail framing at skills_for_jobs.py:354-355).
+    The full numeric report (n_hits, avg_recall, avg_cos_sim) stays
+    in the library function for human consumption."""
     from skills_vectors_spark.operators.knn import K, N_QUERIES
 
-    return backend_compare_report(spark, sf_dir).select(
-        "backend",
-        (F.col("n_returned") == F.lit(K * N_QUERIES)).alias("returned_ok"),
-        (F.col("avg_recall") >= F.lit(RECALL_GATE)).alias("recall_ok"),
+    floors = F.create_map(
+        *[F.lit(x) for kv in BACKEND_FLOORS.items() for x in kv]
+    )
+    return (
+        backend_compare_report(spark, sf_dir)
+        .select(
+            "backend",
+            floors[F.col("backend")].alias("recall_floor"),
+            (F.col("n_returned") == F.lit(K * N_QUERIES)).alias("returned_ok"),
+            (F.col("avg_recall") >= floors[F.col("backend")]).alias("recall_ok"),
+        )
+        .orderBy("backend")
     )
 
 

@@ -52,19 +52,19 @@ def test_eval_backend_compare_report(spark, sf_dir):
     )
 
     rows = {r.backend: r for r in backend_compare_report(spark, sf_dir).collect()}
-    assert set(rows) == {"hyperplane_lsh", "ivf", "brp_l2"}
+    assert set(rows) == set(ann.BACKEND_FLOORS)
     for name, r in rows.items():
         assert 0.0 <= r.avg_recall <= 1.0, (name, r.avg_recall)
         assert -1.0 <= r.avg_cos_sim <= 1.0, (name, r.avg_cos_sim)
-    # the cosine-metric backends must beat chance comfortably on the
-    # small corpus; brp_l2 optimizes a different metric, so only bound it
-    assert rows["hyperplane_lsh"].avg_recall >= 0.5
-    assert rows["ivf"].avg_recall >= 0.5
+    # every tier must clear its declared design-point floor
+    for name, floor in ann.BACKEND_FLOORS.items():
+        assert rows[name].avg_recall >= floor, (name, rows[name].avg_recall)
     # the declared gate query agrees with the numeric report
     gates = {r.backend: r for r in eval_backend_compare(spark, sf_dir).collect()}
     assert set(gates) == set(rows)
     for name, g in gates.items():
-        assert g.recall_ok == (rows[name].avg_recall >= ann.RECALL_GATE), name
+        assert g.recall_floor == ann.BACKEND_FLOORS[name]
+        assert g.recall_ok == (rows[name].avg_recall >= ann.BACKEND_FLOORS[name]), name
 
 
 def test_ann_pq_recall(spark, sf_dir):
