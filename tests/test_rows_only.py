@@ -191,8 +191,12 @@ def test_sketch_only_production_variants(spark, sf_dir):
 
 
 def test_diag_partition_stats_invariants(spark, sf_dir):
-    row = textstats.diag_partition_stats(spark, sf_dir).collect()[0]
+    row = textstats.partition_stats_report(spark, sf_dir).collect()[0]
     n_rows = sources.load(spark, sf_dir, "lineitem").count()
     assert row.total_rows == n_rows
     assert row.n_partitions >= 1
     assert row.balance_ratio >= 1.0
+    # the declared gate query agrees with the report
+    gate = textstats.diag_partition_stats(spark, sf_dir).collect()[0]
+    assert gate.total_rows == n_rows
+    assert gate.partitions_ok and gate.balance_ok
