@@ -413,6 +413,104 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- cross-tier dedup evaluation
+
+# Per-tier floors vs the exact n-gram-Jaccard gold — each tier's
+# design point: MinHash banding + exact verification must essentially
+# reproduce the gold (recall 0.8 by the banding probability bound,
+# precision ~1 because candidates are verified with true Jaccard);
+# MLlib MinHashLSH likewise but on the hashed feature space
+# (collisions can perturb); SimHash optimizes HAMMING similarity,
+# a different neighborhood than Jaccard, so its agreement floors are
+# deliberately lower — it exists to catch reorder-heavy dups the
+# shingle tiers miss, not to reproduce them.
+DEDUP_FLOORS: dict[str, tuple[float, float]] = {
+    "minhash": (0.8, 0.95),
+    "mllib_minhash": (0.8, 0.8),
+    "simhash": (0.5, 0.5),
+}
+
+
+def dedup_compare_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every approximate near-dup tier scored side-by-side against the
+    exact inverted-index gold (dedup_ngram_jaccard) — pair recall and
+    precision per tier, the dedup mirror of the ANN family's
+    backend_compare_report. All tiers union into ONE long DataFrame
+    before a single semi-join against the gold pair set."""
+    gold = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    parts = [
+        fn(spark, sf_dir).select(F.lit(name).alias("tier"), "doc_a", "doc_b")
+        for name, fn in [
+            ("minhash", dedup_minhash),
+            ("mllib_minhash", dedup_near),
+            ("simhash", dedup_simhash),
+        ]
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    n_gold = gold.count()
+    per_tier = allr.groupBy("tier").agg(F.count("*").alias("n_found"))
+    hits = (
+        allr.join(gold, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("tier")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        per_tier.join(hits, "tier", "left")
+        .select(
+            "tier",
+            "n_found",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.round(F.coalesce("n_hit", F.lit(0)) / F.lit(float(max(n_gold, 1))) * 1e6)
+                / 1e6
+            ).alias("recall"),
+            (
+                F.round(
+                    F.coalesce("n_hit", F.lit(0)) / F.greatest("n_found", F.lit(1)) * 1e6
+                )
+                / 1e6
+            ).alias("precision"),
+        )
+        .orderBy("tier")
+    )
+
+
+@register(
+    "eval_dedup_compare",
+    # Gate-column oracle: tier list + declared floors checked for
+    # real; the agreement gates are computed Spark-side from the
+    # seeded tier outputs (self-attested; value-level assertions in
+    # tests/test_dedup.py).
+    f"""
+    SELECT tier, recall_floor, precision_floor,
+           TRUE AS recall_ok, TRUE AS precision_ok
+    FROM (VALUES {", ".join(f"('{t}', {r}, {p})" for t, (r, p) in sorted(DEDUP_FLOORS.items()))})
+      AS d(tier, recall_floor, precision_floor)
+    """,
+)
+def eval_dedup_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable verdict over :func:`dedup_compare_report` —
+    per approximate tier, whether pair recall and precision vs the
+    exact gold clear that tier's declared floors (the same
+    evaluate-against-gold shape as the reference's recall loop,
+    skills_for_jobs.py:199-211, applied to dedup)."""
+    floors_r = F.create_map(*[F.lit(x) for t, (r, _) in DEDUP_FLOORS.items() for x in (t, r)])
+    floors_p = F.create_map(*[F.lit(x) for t, (_, p) in DEDUP_FLOORS.items() for x in (t, p)])
+    return (
+        dedup_compare_report(spark, sf_dir)
+        .select(
+            "tier",
+            floors_r[F.col("tier")].alias("recall_floor"),
+            floors_p[F.col("tier")].alias("precision_floor"),
+            (F.col("recall") >= floors_r[F.col("tier")]).alias("recall_ok"),
+            (F.col("precision") >= floors_p[F.col("tier")]).alias("precision_ok"),
+        )
+        .orderBy("tier")
+    )
+
+
 # ------------------------------------------------- duplicate clustering
 
 

@@ -45,6 +45,21 @@ def test_simhash_pairs_are_near_dups(spark, sf_dir):
     assert hits / len(pairs) >= 0.5, "most simhash pairs should be true near-dups"
 
 
+def test_eval_dedup_compare_gates_agree(spark, sf_dir):
+    report = {r.tier: r for r in dedup.dedup_compare_report(spark, sf_dir).collect()}
+    assert set(report) == set(dedup.DEDUP_FLOORS)
+    gold = {(r.doc_a, r.doc_b) for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()}
+    mh = {(r.doc_a, r.doc_b) for r in dedup.dedup_minhash(spark, sf_dir).collect()}
+    assert report["minhash"].n_hit == len(gold & mh)
+    gates = {r.tier: r for r in dedup.eval_dedup_compare(spark, sf_dir).collect()}
+    for tier, (rf, pf) in dedup.DEDUP_FLOORS.items():
+        assert gates[tier].recall_floor == rf and gates[tier].precision_floor == pf
+        assert gates[tier].recall_ok == (report[tier].recall >= rf), tier
+        assert gates[tier].precision_ok == (report[tier].precision >= pf), tier
+        # every tier clears its declared floors on the test corpus
+        assert gates[tier].recall_ok and gates[tier].precision_ok, tier
+
+
 def test_embed_cosine_threshold(spark, sf_dir):
     rows = dedup.dedup_embed_cosine(spark, sf_dir).collect()
     for r in rows:
