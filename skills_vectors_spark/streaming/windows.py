@@ -361,23 +361,32 @@ def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """foreachBatch sink: per-micro-batch partial aggregates merged
-    into an external upsert target (a driver-side dict stands in for
-    the KV/OLTP store; the merge arithmetic is the real pattern —
-    additive state, idempotent per batch id). This is how streaming
-    results reach systems Spark has no native sink for; for bounded
-    input the merged store equals the batch GROUP BY, the oracle."""
-    store: dict[str, tuple[int, float]] = {}
+    """foreachBatch sink: per-micro-batch partial aggregates appended
+    to an external upsert target — here a parquet table partitioned by
+    batch_id standing in for the KV/OLTP store, so the data path stays
+    executor-side end to end (no driver collect; the partial rows are
+    written by the tasks that computed them). The merge arithmetic is
+    the real pattern: additive per-batch partials, idempotent per
+    batch id (a re-run batch overwrites its own partition). The final
+    read-side merge collapses partials per key; for bounded input the
+    merged store equals the batch GROUP BY, the oracle."""
+    import shutil
+
+    from skills_vectors_spark.scratch import scratch
+
+    target = scratch(sf_dir, "foreach_batch_store")
+    shutil.rmtree(target, ignore_errors=True)  # fresh store per run
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        rows = (
+        (
             batch_df.groupBy("event_type")
             .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
-            .collect()
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(target)
         )
-        for r in rows:
-            n0, s0 = store.get(r.event_type, (0, 0.0))
-            store[r.event_type] = (n0 + r.n, s0 + float(r.s))
 
     ev = stream_events(spark, sf_dir)
     q = ev.writeStream.outputMode("append").foreachBatch(upsert).start()
@@ -385,11 +394,12 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    out = spark.createDataFrame(
-        [(k, n, s) for k, (n, s) in sorted(store.items())],
-        "event_type string, n bigint, s double",
+    merged = (
+        spark.read.parquet(target)
+        .groupBy("event_type")
+        .agg(F.sum("n").cast("long").alias("n"), F.sum("s").alias("s"))
     )
-    return out.select(
+    return merged.select(
         "event_type", "n", (F.round(F.col("s") * 100) / 100).alias("sum_value")
     )
 
