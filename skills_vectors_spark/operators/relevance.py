@@ -179,6 +179,39 @@ def text_tfidf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) BM25 scores for the fixed query term set —
+    the scorer shared by text_bm25_search (ranked top-N) and
+    search_hybrid_rrf (lexical arm). The term filter prunes the
+    inverted index BEFORE any join; document length and avgdl are one
+    grouped agg + one scalar broadcast."""
+    tf = _term_freqs(spark, sf_dir)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtf = tf.filter(F.col("tok").isin(*BM25_TERMS))
+    idf = (
+        qtf.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "tok",
+            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+        )
+    )
+    term_score = F.col("idf") * F.col("tf") * (BM25_K1 + 1) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        qtf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+
+
 @register(
     "text_bm25_search",
     f"""
@@ -215,35 +248,9 @@ def text_tfidf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword search: score every document for a fixed term set
     and return the top hits — the classic lexical retrieval scorer
-    (k1={BM25_K1}, b={BM25_B}). The term filter prunes the inverted
-    index BEFORE any join (only rows for the query's terms survive the
-    scan), document length and avgdl are one grouped agg + one scalar
-    broadcast, and the final top-N is a TakeOrdered, not a full sort."""
-    tf = _term_freqs(spark, sf_dir)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    qtf = tf.filter(F.col("tok").isin(*BM25_TERMS))
-    idf = (
-        qtf.groupBy("tok")
-        .agg(F.count("*").alias("df"))
-        .crossJoin(F.broadcast(stats.select("n_docs")))
-        .select(
-            "tok",
-            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
-        )
-    )
-    term_score = F.col("idf") * F.col("tf") * (BM25_K1 + 1) / (
-        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-    )
-    scored = (
-        qtf.join(F.broadcast(idf), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats.select("avgdl")))
-        .groupBy("doc_id")
-        .agg(F.sum(term_score).alias("score"))
-    )
+    (k1={BM25_K1}, b={BM25_B}). The final top-N is a TakeOrdered, not
+    a full sort; scoring lives in :func:`bm25_scores`."""
+    scored = bm25_scores(spark, sf_dir)
     win = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(win).cast("long"))
@@ -298,4 +305,110 @@ def quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
             F.sum("tf").cast("long").alias("n_tok"),
         )
+    )
+
+
+# ------------------------------------------------------ hybrid retrieval
+
+RRF_K = 60  # standard reciprocal-rank-fusion constant
+HYBRID_TOPN = 20
+HYBRID_QUERY_VEC = 0  # dense query = embedding of vec_id 0
+
+
+@register(
+    "search_hybrid_rrf",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest({D_TOKS}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ), dl AS (
+      SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+    ), stats AS (
+      SELECT (SELECT count(*) FROM dl) AS n_docs,
+             (SELECT avg(dl) FROM dl) AS avgdl
+    ), qtf AS (
+      SELECT doc_id, tok, tf FROM tf
+      WHERE tok IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+    ), idf AS (
+      SELECT tok, ln(1 + (stats.n_docs - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+      FROM qtf, stats GROUP BY tok, stats.n_docs
+    ), lex_scored AS (
+      SELECT qtf.doc_id,
+             sum(idf.idf * qtf.tf * ({BM25_K1} + 1)
+                 / (qtf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+             ) AS s
+      FROM qtf JOIN idf USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY qtf.doc_id
+    ), lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM lex_scored
+    ), qv AS (
+      SELECT embedding FROM embeddings WHERE vec_id = {HYBRID_QUERY_VEC}
+    ), dense AS (
+      SELECT e.vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                               qv.embedding::DOUBLE[]) DESC,
+                        e.vec_id) AS r
+      FROM embeddings e CROSS JOIN qv
+    ), fused AS (
+      SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+             coalesce(1.0 / ({RRF_K} + l.r), 0) + coalesce(1.0 / ({RRF_K} + d.r), 0) AS f
+      FROM lex l FULL JOIN dense d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY f DESC, doc_id) AS BIGINT) AS rnk,
+           round(f * 1e6) / 1e6 AS rrf
+    FROM fused ORDER BY rnk LIMIT {HYBRID_TOPN}
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the BM25 lexical
+    arm and a dense cosine arm (query = one corpus embedding) each
+    rank documents independently, then fuse as sum of 1/(K + rank) —
+    the standard modern hybrid-search combiner (rank-based, so the
+    two arms' incomparable score scales never need calibration; the
+    reference runs lexical-free dense search only, this is the
+    composition every production retrieval stack adds on top).
+
+    Scale: each arm is the already-scaled operator (term-pruned
+    inverted index / broadcast query vector over a linear scan); the
+    fusion itself is a full outer join on doc_id of two rank columns
+    — tiny rows, one shuffle, then a global top-N TakeOrdered."""
+    from skills_vectors_spark.functions.vector import cosine_sim
+
+    lex = bm25_scores(spark, sf_dir)
+    w_lex = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    lex_r = lex.select("doc_id", F.row_number().over(w_lex).alias("r_lex"))
+
+    emb = sources.load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+        F.col("embedding").alias("q_emb")
+    )
+    w_dense = Window.orderBy(F.col("cs").desc(), F.col("doc_id"))
+    dense_r = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_sim("embedding", "q_emb").alias("cs"),
+        )
+        .select("doc_id", F.row_number().over(w_dense).alias("r_dense"))
+    )
+
+    fused = (
+        lex_r.join(dense_r, "doc_id", "full")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_dense")), F.lit(0.0))
+            ).alias("f"),
+        )
+    )
+    w_f = Window.orderBy(F.col("f").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w_f).cast("long"))
+        .filter(F.col("rnk") <= HYBRID_TOPN)
+        .select("doc_id", "rnk", (F.round(F.col("f") * 1e6) / 1e6).alias("rrf"))
+        .orderBy("rnk")
     )

@@ -31,6 +31,7 @@ BNLJ_ALLOWED = {
     "sim_topk_bruteforce",  # declared brute-force baseline (GEMM-side)
     "text_tfidf_sim",  # 1-row corpus-size scalar broadcast into idf
     "text_bm25_search",  # 1-row (n_docs, avgdl) scalar broadcast
+    "search_hybrid_rrf",  # 1-row query-vector + bm25 scalar broadcasts
     "seq_funnel",  # cross of three 1-row stage counts
     "quality_perplexity",  # 1-row corpus-token-total scalar broadcast
 }
