@@ -680,3 +680,97 @@ def sink_upsert_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("value"),
         F.col("event_date").cast("string").alias("event_date"),
     )
+
+
+# ------------------------------------------------ corpus mixing / splits
+
+# Target keep-rates per language — the "rebalance toward the primary
+# training language" mixture every LLM corpus pipeline applies before
+# packing. Deterministic (md5-bucket) rather than RNG sampling so the
+# mixture is reproducible row-for-row across engines and reruns.
+MIX_RATES: dict[str, float] = {"en": 1.0, "zh": 0.5, "de": 0.5, "fr": 0.25, "es": 0.25}
+_BUCKETS = 10_000
+
+SPLIT_TRAIN, SPLIT_VAL = 0.8, 0.9  # cumulative bucket boundaries
+
+
+def _bucket(col):
+    """Deterministic [0, _BUCKETS) bucket from md5 — bit-identical in
+    Spark (conv hex->dec) and DuckDB ('0x'||hex cast), verified."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % _BUCKETS
+
+
+@register(
+    "mix_corpus",
+    f"""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {_BUCKETS}
+               AS b
+      FROM documents
+    )
+    WHERE b < CASE lang {" ".join(f"WHEN '{k}' THEN {int(v * _BUCKETS)}" for k, v in MIX_RATES.items())} ELSE 0 END
+    """,
+)
+def mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture sampling: keep each document iff
+    its md5 bucket falls under its language's target rate — the
+    training-mixture construction step (rebalance per source/lang).
+    A narrow map-side filter: no shuffle, no RNG state, reproducible
+    row-for-row at any scale and across engines (exact oracle)."""
+    d = sources.load(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        F.create_map(*[F.lit(x) for kv in MIX_RATES.items() for x in kv])[
+            F.col("lang")
+        ],
+        F.lit(0.0),
+    )
+    return d.filter(_bucket(F.col("doc_id")) < (rate * _BUCKETS).cast("long")).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "split_train_eval",
+    f"""
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM (
+      SELECT doc_id,
+             CASE
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % {_BUCKETS} < {int(SPLIT_TRAIN * _BUCKETS)} THEN 'train'
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % {_BUCKETS} < {int(SPLIT_VAL * _BUCKETS)} THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    GROUP BY split
+    """,
+)
+def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by md5 bucket (80/10/10):
+    assignment is a pure function of doc_id, so it is stable across
+    engines, reruns, and incremental corpus growth (a doc never
+    changes split when new docs arrive — the property RNG splits
+    lack). Declared output is the per-split census; the assignment
+    itself is the obvious projection of the same expression."""
+    d = sources.load(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    split = (
+        F.when(b < int(SPLIT_TRAIN * _BUCKETS), "train")
+        .when(b < int(SPLIT_VAL * _BUCKETS), "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+    )

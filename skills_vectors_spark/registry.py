@@ -52,6 +52,15 @@ _PROMOTED = [
     "knn_filtered",
 ]
 
+# Registered in a head module but pushed BEHIND the promoted block:
+# added late in the round with the 50-slot sweep window already
+# fully allocated (43 head + 7 promoted). They hold the front of the
+# next rotation.
+_DEFERRED = [
+    "mix_corpus",
+    "split_train_eval",
+]
+
 
 def load_all() -> None:
     """Import every operator module so registration side-effects run.
@@ -88,9 +97,12 @@ def load_all() -> None:
     # query's defining module gives a stable canonical order.
     head_modules = ["functions_suite", "textstats", "scale", "scale2"]
     mod_of = {n: fn.__module__.rsplit(".", 1)[-1] for n, fn in QUERIES.items()}
-    order = [n for m in head_modules for n in QUERIES if mod_of[n] == m]
+    deferred = set(_DEFERRED)
+    order = [n for m in head_modules for n in QUERIES if mod_of[n] == m and n not in deferred]
     seen = set(order)
     order += [n for n in _PROMOTED if n in QUERIES and n not in seen]
+    seen.update(order)
+    order += [n for n in _DEFERRED if n in QUERIES and n not in seen]
     seen.update(order)
     order += [n for n in QUERIES if n not in seen]
     reordered = {n: QUERIES[n] for n in order}

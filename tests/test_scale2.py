@@ -153,3 +153,32 @@ def test_npy_source_parallel_scan_round_trip(spark, sf_dir):
     row = raw.filter(F.col("vec_id") == 3).collect()[0]
     gold = emb.filter(F.col("vec_id") == 3).collect()[0]
     assert [round(x, 5) for x in row.embedding] == [round(x, 5) for x in gold.embedding]
+
+
+def test_mix_corpus_deterministic_and_rated(spark, sf_dir):
+    got = scale2.mix_corpus(spark, sf_dir).collect()
+    again = scale2.mix_corpus(spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    d = sources.load(spark, sf_dir, "documents")
+    totals = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {}
+    for r in got:
+        kept[r.lang] = kept.get(r.lang, 0) + 1
+    # en keeps everything; rates approximately honored elsewhere (md5
+    # buckets are uniform; allow binomial slack on small strata)
+    assert kept["en"] == totals["en"]
+    for lang, rate in scale2.MIX_RATES.items():
+        if rate in (0.0, 1.0) or lang not in totals:
+            continue
+        n, k = totals[lang], kept.get(lang, 0)
+        sigma = (n * rate * (1 - rate)) ** 0.5
+        assert abs(k - n * rate) <= 6 * sigma + 1, (lang, k, n)
+
+
+def test_split_train_eval_partitions_everything(spark, sf_dir):
+    rows = {r.split: r for r in scale2.split_train_eval(spark, sf_dir).collect()}
+    n_docs = sources.load(spark, sf_dir, "documents").count()
+    assert set(rows) == {"train", "val", "test"}
+    assert sum(r.n_docs for r in rows.values()) == n_docs
+    assert rows["train"].n_docs > rows["val"].n_docs
+    assert rows["train"].n_docs > rows["test"].n_docs
