@@ -62,6 +62,7 @@ HEADLINE = [
     "quality_filter_apply",
     "text_tfidf_sim",
     "text_bm25_search",
+    "search_hybrid_rrf",
     "knn_filtered",
     "dedup_containment",
 ]
