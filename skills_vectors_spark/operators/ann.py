@@ -178,9 +178,9 @@ def recall_lsh_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark-side from the seeded-LSH results and asserted against the
     # constant TRUE. Self-attested gate — the value-level assertions
     # live in tests/test_ann.py (mean recall floor vs knn_exact).
-    """
+    f"""
     SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 20
+    FROM embeddings WHERE vec_id < {N_QUERIES}
     """,
 )
 def eval_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5,6 +5,8 @@ completions).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -133,6 +135,12 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# histogram resolution for the two-phase exact quantile: pass-2 sorts
+# ~data/N_HIST_BUCKETS rows per needed bucket; driver state is
+# groups * N_HIST_BUCKETS counts — both constant in corpus size
+N_HIST_BUCKETS = 4096
+
+
 @register(
     "agg_percentile",
     """
@@ -144,43 +152,112 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (both engines implement
-    the same continuous-quantile definition, lower + frac*(higher -
-    lower) at virtual index q*(n-1) — numpy's 'linear' method is the
-    identical formula, so values are bit-equal to Spark's builtin).
+    """Exact interpolated percentiles per group via the two-phase
+    histogram algorithm (continuous-quantile definition: lower +
+    frac*(higher-lower) at virtual index q*(n-1) — the same formula as
+    DuckDB's quantile_cont and numpy's 'linear').
 
-    Formulated as applyInPandas + np.quantile rather than the builtin
-    `percentile` aggregate: both materialize each group's values on
-    one worker (that is what EXACT percentile costs), but numpy's
-    C radix sort replaces the builtin's OpenHashMap merge + timsort —
-    measured 3.8x at the 6M-row tier. At 100 TB neither form works:
-    per-group state is the group itself; you trade into
-    approx_percentile (t-digest sketch, constant memory) — see
-    agg_approx_percentile / approx_percentile_production."""
-    li = sources.load(spark, sf_dir, "lineitem")
-
-    schema = T.StructType(
-        [
-            T.StructField("l_returnflag", T.StringType()),
-            T.StructField("p50", T.DoubleType()),
-            T.StructField("p90", T.DoubleType()),
-            T.StructField("p99", T.DoubleType()),
-        ]
+    Shape: (1) per-group count/min/max — one map-side-combinable agg;
+    (2) fixed-width histogram per (group, bucket) — a second
+    map-side-combinable agg whose output is bounded by
+    groups*N_HIST_BUCKETS, never by data size; the driver walks the
+    cumulative counts to locate which bucket holds each needed order
+    statistic (<=2 per quantile); (3) only those <=6 buckets per group
+    — data_size/N_HIST_BUCKETS rows each — are sorted, inside
+    applyInPandas, to extract the exact order statistics. Earlier
+    rounds shipped EVERY group row through one Python worker
+    (applyInPandas full-group sort: exact-percentile's naive cost);
+    this keeps all heavy work in codegen scans with tiny shuffles and
+    sorts only a 1/N_HIST_BUCKETS sliver — the same refinement
+    recursion FAISS-style engines use, one level deep (additional
+    levels would bound bucket size at any scale). Driver-side state
+    is groups*buckets counts — constant in data size."""
+    li = (
+        sources.load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", F.col("l_extendedprice").alias("v"))
+        .filter(F.col("v").isNotNull())
     )
+    qs = (0.5, 0.9, 0.99)
+    B = N_HIST_BUCKETS
 
-    def quantiles(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        q = np.quantile(
-            pdf["l_extendedprice"].to_numpy(), [0.5, 0.9, 0.99], method="linear"
-        )
+    stats = {
+        r["l_returnflag"]: (r["n"], float(r["lo"]), float(r["hi"]))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    }
+    # needed 0-based order-statistic indices per group: floor(h) and
+    # floor(h)+1 (clamped) for each quantile's virtual index h
+    need: dict[str, dict[float, tuple[int, int, float]]] = {}
+    for g, (n, _, _) in stats.items():
+        need[g] = {}
+        for q in qs:
+            h = q * (n - 1)
+            k = int(math.floor(h))
+            need[g][q] = (k, min(k + 1, n - 1), h - k)
+
+    sdf = spark.createDataFrame(
+        [(g, lo, hi) for g, (_, lo, hi) in stats.items()],
+        "l_returnflag string, lo double, hi double",
+    )
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(B - 1),
+            F.floor((F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")) * B),
+        ).cast("int")
+    )
+    lib = li.join(F.broadcast(sdf), "l_returnflag").withColumn("b", bucket)
+
+    hist: dict[str, dict[int, int]] = {}
+    for r in lib.groupBy("l_returnflag", "b").count().collect():
+        hist.setdefault(r["l_returnflag"], {})[r["b"]] = r["count"]
+    # cumulative walk: global index k -> (bucket, offset within bucket)
+    sel: dict[tuple[str, int], list[tuple[int, int]]] = {}  # (g,b) -> [(k, off)]
+    for g, counts in hist.items():
+        ks = sorted({k for pair in need[g].values() for k in pair[:2]})
+        cum, i = 0, 0
+        for b in sorted(counts):
+            cnt = counts[b]
+            while i < len(ks) and ks[i] < cum + cnt:
+                sel.setdefault((g, b), []).append((ks[i], ks[i] - cum))
+                i += 1
+            cum += cnt
+    ndf = spark.createDataFrame(sorted(sel), "l_returnflag string, b int")
+
+    pick_schema = "l_returnflag string, k long, v double"
+
+    def pick(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        g, b = key[0], key[1]
+        vals = np.sort(pdf["v"].to_numpy())
+        pairs = sel[(g, b)]
         return pd.DataFrame(
-            {"l_returnflag": [key[0]], "p50": [q[0]], "p90": [q[1]], "p99": [q[2]]}
+            {
+                "l_returnflag": [g] * len(pairs),
+                "k": [k for k, _ in pairs],
+                "v": [float(vals[off]) for _, off in pairs],
+            }
         )
 
-    ps = (
-        li.select("l_returnflag", "l_extendedprice")
-        .groupBy("l_returnflag")
-        .applyInPandas(quantiles, schema)
+    picked = (
+        lib.join(F.broadcast(ndf), ["l_returnflag", "b"], "left_semi")
+        .groupBy("l_returnflag", "b")
+        .applyInPandas(pick, pick_schema)
+        .collect()
     )
+    kval: dict[str, dict[int, float]] = {g: {} for g in stats}
+    for row in picked:
+        kval[row["l_returnflag"]][row["k"]] = row["v"]
+    out = [
+        (
+            g,
+            *[
+                kval[g][k] + frac * (kval[g][k1] - kval[g][k])
+                for (k, k1, frac) in (need[g][q] for q in qs)
+            ],
+        )
+        for g in sorted(stats)
+    ]
+    ps = spark.createDataFrame(out, "l_returnflag string, p50 double, p90 double, p99 double")
     return ps.select(
         "l_returnflag",
         *[(F.round(F.col(c) * 1e4) / 1e4).alias(c) for c in ["p50", "p90", "p99"]],

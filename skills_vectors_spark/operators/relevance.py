@@ -81,7 +81,15 @@ def _term_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 toks: list[str] = []
                 tfs: list[int] = []
                 for did, text in zip(pdf["doc_id"], pdf["text"]):
-                    counts = Counter(ws.sub(" ", text.lower()).strip().split(" "))
+                    if text is None:
+                        # D_TOKS (string_split of NULL) unnests to no
+                        # rows in the oracle; mirror that, don't raise.
+                        continue
+                    # strip(' ') not strip(): Python str.strip() eats
+                    # Unicode whitespace that Java/DuckDB trim() keep —
+                    # the \s+ collapse above (re.ASCII) already handled
+                    # ASCII space, so only leading/trailing ' ' remain.
+                    counts = Counter(ws.sub(" ", text.lower()).strip(" ").split(" "))
                     for t, n in counts.items():
                         ids.append(did)
                         toks.append(t)
@@ -313,6 +321,12 @@ def quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 RRF_K = 60  # standard reciprocal-rank-fusion constant
 HYBRID_TOPN = 20
 HYBRID_QUERY_VEC = 0  # dense query = embedding of vec_id 0
+# Truncated-list RRF: each arm contributes only its top-C candidates
+# (the standard production form — fusing full corpus rankings adds
+# nothing past the fusion depth but forces a global sort). C >> TOPN
+# so truncation can't perturb the fused top-N in practice, and the
+# DuckDB oracle computes the identical truncated semantics.
+HYBRID_ARM_C = 100
 
 
 @register(
@@ -341,16 +355,20 @@ HYBRID_QUERY_VEC = 0  # dense query = embedding of vec_id 0
       FROM qtf JOIN idf USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
       GROUP BY qtf.doc_id
     ), lex AS (
-      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM lex_scored
+      SELECT doc_id, r FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM lex_scored
+      ) WHERE r <= {HYBRID_ARM_C}
     ), qv AS (
       SELECT embedding FROM embeddings WHERE vec_id = {HYBRID_QUERY_VEC}
     ), dense AS (
-      SELECT e.vec_id AS doc_id,
-             row_number() OVER (
-               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
-                                               qv.embedding::DOUBLE[]) DESC,
-                        e.vec_id) AS r
-      FROM embeddings e CROSS JOIN qv
+      SELECT doc_id, r FROM (
+        SELECT e.vec_id AS doc_id,
+               row_number() OVER (
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                                 qv.embedding::DOUBLE[]) DESC,
+                          e.vec_id) AS r
+        FROM embeddings e CROSS JOIN qv
+      ) WHERE r <= {HYBRID_ARM_C}
     ), fused AS (
       SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
              coalesce(1.0 / ({RRF_K} + l.r), 0) + coalesce(1.0 / ({RRF_K} + d.r), 0) AS f
@@ -372,14 +390,22 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition every production retrieval stack adds on top).
 
     Scale: each arm is the already-scaled operator (term-pruned
-    inverted index / broadcast query vector over a linear scan); the
-    fusion itself is a full outer join on doc_id of two rank columns
-    — tiny rows, one shuffle, then a global top-N TakeOrdered."""
+    inverted index / broadcast query vector over a linear scan), and
+    each arm is TRUNCATED to its top-C candidates immediately after
+    its rank window — the rank-filter-right-after-window shape that
+    Catalyst rewrites (LimitPushDownThroughWindow) to a
+    TakeOrderedAndProject below the window: per-partition top-C, then
+    a C*nPart-row merge, so no arm ever moves the full corpus through
+    a single-partition sort. The residual Window then ranks <=C rows.
+    The fusion is a full outer join of two <=C-row rank lists —
+    trivially small at any corpus size (asserted in tests/test_plans)."""
     from skills_vectors_spark.functions.vector import cosine_sim
 
     lex = bm25_scores(spark, sf_dir)
     w_lex = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    lex_r = lex.select("doc_id", F.row_number().over(w_lex).alias("r_lex"))
+    lex_r = lex.select("doc_id", F.row_number().over(w_lex).alias("r_lex")).filter(
+        F.col("r_lex") <= HYBRID_ARM_C
+    )
 
     emb = sources.load(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC).select(
@@ -393,6 +419,7 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine_sim("embedding", "q_emb").alias("cs"),
         )
         .select("doc_id", F.row_number().over(w_dense).alias("r_dense"))
+        .filter(F.col("r_dense") <= HYBRID_ARM_C)
     )
 
     fused = (

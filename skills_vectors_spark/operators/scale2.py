@@ -577,6 +577,12 @@ def agg_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# seeding collects the corpus to the driver — cap it so the fixture
+# path can never run at production scale by accident (sf0.1 has 20k
+# vectors; 1M float32x64 rows ~ 256 MB, still driver-safe headroom)
+NPY_SEED_MAX_ROWS = 1_000_000
+
+
 @register(
     "scan_npy",
     """
@@ -605,16 +611,22 @@ def scan_npy(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(sf_dir, "embeddings.npy")
     # seed the reference-format artifact once per sf (vec_id order =
     # row order; small at test SFs — production would use the
-    # parallel reader against an existing matrix, not this adapter)
+    # parallel reader against an existing matrix, not this adapter).
+    # Hard row cap: the seeding path collects to the driver, so it
+    # must be impossible to trigger on a real corpus — past the cap
+    # we fail loudly instead of OOMing the driver.
     import os
 
     if not os.path.exists(path):
-        pdf = (
-            sources.load(spark, sf_dir, "embeddings")
-            .select("vec_id", "embedding")
-            .orderBy("vec_id")
-            .toPandas()
-        )
+        emb = sources.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        n = emb.count()
+        if n > NPY_SEED_MAX_ROWS:
+            raise RuntimeError(
+                f"scan_npy fixture seeding is test-SF-only: corpus has {n} rows "
+                f"(cap {NPY_SEED_MAX_ROWS}). At scale, point the npy reader at an "
+                "existing matrix instead of synthesizing one driver-side."
+            )
+        pdf = emb.orderBy("vec_id").toPandas()
         np.save(path, np.stack(pdf["embedding"].to_numpy()).astype(np.float32))
     from skills_vectors_spark.functions.vector import l2_norm
 

@@ -35,31 +35,22 @@ def register(name: str, oracle: str | None = None):
 
 
 # Queries promoted into the bounded-sweep window right after the
-# head modules (see load_all): the set that has no green attested
-# row yet (win_lag_lead: red in r1 from the since-fixed ts loader;
-# agg_approx_distinct: oracle added after its last sweep;
-# embed_project_pca: output schema fixed after its r2 error;
-# eval_recall_lsh / eval_backend_compare: gate-column oracles are
-# new) plus the flagship KNN pair so the headline operator keeps a
-# row in every sweep.
+# head modules (see load_all): the r3 additions that never had a
+# driver row (mix_corpus / split_train_eval were deferred out of the
+# full r3 window; eval_dedup_compare is the cross-tier dedup quality
+# gate) plus stream_foreach_batch, whose sink was rewritten
+# (parquet-backed store) after its last green row.
 _PROMOTED = [
-    "win_lag_lead",
-    "agg_approx_distinct",
-    "embed_project_pca",
-    "eval_recall_lsh",
-    "eval_backend_compare",
-    "knn_exact",
-    "knn_filtered",
-]
-
-# Registered in a head module but pushed BEHIND the promoted block:
-# added late in the round with the 50-slot sweep window already
-# fully allocated (43 head + 7 promoted). They hold the front of the
-# next rotation.
-_DEFERRED = [
     "mix_corpus",
     "split_train_eval",
+    "eval_dedup_compare",
+    "stream_foreach_batch",
 ]
+
+# No deferrals this rotation: every registered query either sits in
+# the current 50-slot window or already has a green row on current
+# code from r1-r3.
+_DEFERRED: list[str] = []
 
 
 def load_all() -> None:
@@ -69,11 +60,15 @@ def load_all() -> None:
     sweeps (tools/driver_sim.py's first-N window, spot checks, and any
     consumer that samples the registry front-to-back). The head of the
     order is the surface with the least accumulated verification
-    signal: the scalar-function families every real query touches
-    (functions_suite), the text-analysis tail, and the scale/scale2
-    sets — followed by the individually promoted queries in
-    ``_PROMOTED`` — so a bounded front-to-back sweep always lands on
-    the operators whose correctness is least attested.
+    signal. Round-4 rotation: relational2 (9 of its queries only ever
+    saw the r1 events-loader error, since fixed; agg_percentile and
+    both sql_api_* were rewritten by r3 perf work after their green
+    rows), then relevance (the _term_freqs Arrow fusion postdates the
+    trio's green rows; search_hybrid_rrf is new), then the promoted
+    r3 newcomers in ``_PROMOTED``, then relational backfill (§2.B
+    core, re-attesting the r1 rows) — so a bounded front-to-back
+    sweep always lands on the operators whose correctness is least
+    attested on CURRENT code.
     """
     import skills_vectors_spark.operators.functions_suite  # noqa: F401
     import skills_vectors_spark.operators.textstats  # noqa: F401
@@ -95,12 +90,20 @@ def load_all() -> None:
     # registration order is always file order (a module registers all
     # of its queries during its single import), so grouping by each
     # query's defining module gives a stable canonical order.
-    head_modules = ["functions_suite", "textstats", "scale", "scale2"]
+    head_modules = ["relational2", "relevance"]
+    backfill_modules = ["relational"]
     mod_of = {n: fn.__module__.rsplit(".", 1)[-1] for n, fn in QUERIES.items()}
     deferred = set(_DEFERRED)
     order = [n for m in head_modules for n in QUERIES if mod_of[n] == m and n not in deferred]
     seen = set(order)
     order += [n for n in _PROMOTED if n in QUERIES and n not in seen]
+    seen.update(order)
+    order += [
+        n
+        for m in backfill_modules
+        for n in QUERIES
+        if mod_of[n] == m and n not in seen and n not in deferred
+    ]
     seen.update(order)
     order += [n for n in _DEFERRED if n in QUERIES and n not in seen]
     seen.update(order)

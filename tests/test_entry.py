@@ -26,29 +26,39 @@ def test_entry_contract(spark):
 
 def test_sweep_window_prioritizes_least_attested():
     """Bounded front-to-back sweeps read the first 50 registered
-    queries; that window must hold the least-attested surface (the
-    fn_* / textstats / scale / scale2 families) plus the individually
-    promoted queries from registry._PROMOTED."""
+    queries; that window must hold the least-attested-on-current-code
+    surface. Round-4 rotation: all of relational2 (9 queries whose
+    only driver row was the r1 events-loader error, plus the three
+    rewritten by r3 perf work), relevance (the _term_freqs fusion
+    postdates the trio's green rows; search_hybrid_rrf is new), the
+    promoted r3 newcomers, then relational backfill."""
     from skills_vectors_spark import registry
 
     registry.load_all()
     window = list(registry.QUERIES)[:50]
     for must in [
-        "fn_string",
-        "fn_xml",
-        "text_stats",
-        "text_chunk",
-        "diag_skew",
-        "agg_hll_sketch",
-        "text_pack_tokens",
-        "quality_filter_apply",
-        "scan_npy",
-        "win_lag_lead",
-        "agg_approx_distinct",
-        "embed_project_pca",
-        "eval_recall_lsh",
-        "eval_backend_compare",
-        "knn_exact",
-        "knn_filtered",
+        # relational2: r1 stale-fails + r3-rewritten
+        "join_asof",
+        "seq_funnel",
+        "win_islands",
+        "win_range_interval",
+        "agg_filtered",
+        "agg_mode",
+        "fn_try_arith",
+        "agg_approx_percentile",
+        "sample_stratified",
+        "agg_percentile",
+        "sql_api_region_revenue",
+        "sql_api_topk_revenue",
+        # relevance: rewritten trio + newcomer
+        "text_tfidf_sim",
+        "text_bm25_search",
+        "quality_perplexity",
+        "search_hybrid_rrf",
+        # promoted r3 newcomers
+        "mix_corpus",
+        "split_train_eval",
+        "eval_dedup_compare",
+        "stream_foreach_batch",
     ]:
         assert must in window, f"{must} fell out of the 50-query sweep window"

@@ -75,6 +75,22 @@ def test_dedup_minhash_verification_has_no_forced_broadcast(spark, sf_dir):
     assert "ResolvedHint" not in analyzed, "no forced broadcast in minhash verification"
 
 
+def test_hybrid_rrf_arms_truncate_before_global_sort(spark, sf_dir):
+    from skills_vectors_spark.operators.relevance import search_hybrid_rrf
+    from skills_vectors_spark.plans import physical_plan
+
+    # each arm's rank filter sits directly after its unpartitioned
+    # window, so Catalyst pushes the limit below the window as
+    # TakeOrderedAndProject (per-partition top-C + bounded merge) —
+    # the fix for the r3 full-corpus single-partition sort. Both arms
+    # (limit=HYBRID_ARM_C) and the fused top-N (limit=HYBRID_TOPN)
+    # must get the rewrite; any leftover global Sort over an
+    # unbounded input would show as Exchange SinglePartition feeding
+    # a Sort with no TakeOrdered.
+    plan = physical_plan(search_hybrid_rrf(spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 3, plan
+
+
 def test_composite_text_queries_persist_shared_subtrees(spark, sf_dir):
     from skills_vectors_spark.operators.relevance import text_bm25_search, text_tfidf_sim
 

@@ -155,6 +155,18 @@ def test_npy_source_parallel_scan_round_trip(spark, sf_dir):
     assert [round(x, 5) for x in row.embedding] == [round(x, 5) for x in gold.embedding]
 
 
+def test_npy_seed_path_is_row_capped(spark, sf_dir, monkeypatch, tmp_path):
+    # the fixture-seeding branch collects to the driver; above the cap
+    # it must refuse loudly instead of OOMing (VERDICT r3 finding #3)
+    import pytest
+
+    monkeypatch.setattr(scale2, "NPY_SEED_MAX_ROWS", 5)
+    monkeypatch.setattr(scale2, "_scratch", lambda sf, name: str(tmp_path / name))
+    with pytest.raises(RuntimeError, match="test-SF-only"):
+        scale2.scan_npy(spark, sf_dir)
+    assert not (tmp_path / "embeddings.npy").exists()
+
+
 def test_mix_corpus_deterministic_and_rated(spark, sf_dir):
     got = scale2.mix_corpus(spark, sf_dir).collect()
     again = scale2.mix_corpus(spark, sf_dir).collect()
