@@ -65,6 +65,8 @@ HEADLINE = [
     "search_hybrid_rrf",
     "knn_filtered",
     "dedup_containment",
+    "quality_repetition",
+    "scrub_pii",
 ]
 
 

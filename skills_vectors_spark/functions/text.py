@@ -35,9 +35,14 @@ def token_count(c: Column | str) -> Column:
     size 1, hence the greatest). Counting matches directly skips the
     lower/replace/trim chain AND the token-array materialization the
     split form pays just to take its length — measured ~1.5-6x on the
-    documents scan."""
+    documents scan. NULL text stays NULL (greatest() would otherwise
+    swallow the null and emit 1, diverging from len(split(...)))."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.greatest(F.regexp_count(c, F.lit(r"\S+")), F.lit(1)).cast("long")
+    return (
+        F.when(c.isNull(), F.lit(None))
+        .otherwise(F.greatest(F.regexp_count(c, F.lit(r"\S+")), F.lit(1)))
+        .cast("long")
+    )
 
 
 def bpe_ish_token_count(c: Column | str) -> Column:

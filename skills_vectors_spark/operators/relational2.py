@@ -139,6 +139,13 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ~data/N_HIST_BUCKETS rows per needed bucket; driver state is
 # groups * N_HIST_BUCKETS counts — both constant in corpus size
 N_HIST_BUCKETS = 4096
+# cost-based cutover, decided from the pass-1 stats the histogram
+# path needs anyway: below this row count the fixed floor of the
+# histogram's two extra jobs exceeds the cost of just shuffling every
+# group to one worker and sorting (measured crossover ~2M rows on
+# local[32]: 600k rows -> sort path 0.7 s vs histogram 2.5 s; 6M
+# rows -> histogram 7.4 s vs sort ~22 s)
+AGG_PCTL_SORT_MAX_ROWS = 2_000_000
 
 
 @register(
@@ -171,7 +178,12 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts only a 1/N_HIST_BUCKETS sliver — the same refinement
     recursion FAISS-style engines use, one level deep (additional
     levels would bound bucket size at any scale). Driver-side state
-    is groups*buckets counts — constant in data size."""
+    is groups*buckets counts — constant in data size.
+
+    Cost-based physical choice: pass 1's total row count routes small
+    inputs (< AGG_PCTL_SORT_MAX_ROWS, where two extra job floors cost
+    more than they save) to the single-shuffle numpy sort; identical
+    values either way — the quantile formula is shared."""
     li = (
         sources.load(spark, sf_dir, "lineitem")
         .select("l_returnflag", F.col("l_extendedprice").alias("v"))
@@ -186,6 +198,21 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi"))
         .collect()
     }
+    if sum(n for n, _, _ in stats.values()) < AGG_PCTL_SORT_MAX_ROWS:
+        schema = "l_returnflag string, p50 double, p90 double, p99 double"
+
+        def quantiles(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            qv = np.quantile(pdf["v"].to_numpy(), list(qs), method="linear")
+            return pd.DataFrame(
+                {"l_returnflag": [key[0]], "p50": [qv[0]], "p90": [qv[1]], "p99": [qv[2]]}
+            )
+
+        small = li.groupBy("l_returnflag").applyInPandas(quantiles, schema)
+        return small.select(
+            "l_returnflag",
+            *[(F.round(F.col(c) * 1e4) / 1e4).alias(c) for c in ["p50", "p90", "p99"]],
+        )
+
     # needed 0-based order-statistic indices per group: floor(h) and
     # floor(h)+1 (clamped) for each quantile's virtual index h
     need: dict[str, dict[float, tuple[int, int, float]]] = {}
@@ -651,21 +678,41 @@ _Q5_SQL = """
 """
 
 
-# Spark-side variant of _Q5_SQL: same statement plus join-strategy
-# hints in comment syntax. Without them Catalyst's size estimate can
-# pick LINEITEM as a broadcast side (its pruned 4-column estimate
-# slips under the 64 MB auto-broadcast threshold at the 10x bench
-# tier) — broadcasting the fact table is the one plan that cannot
-# survive scale, and even locally the serial 6M-row hash-relation
-# build measured 4x slower than the hinted shuffle join. The hints
-# state the invariant the engine KNOWS: dims broadcast, fact joins
-# shuffle.
-_Q5_SQL_SPARK = _Q5_SQL.replace(
-    "SELECT n.n_name",
-    "SELECT /*+ BROADCAST(c), BROADCAST(s), BROADCAST(n), BROADCAST(r),"
-    " SHUFFLE_HASH(l) */ n.n_name",
-    1,
-)
+# Spark-side variant of _Q5_SQL: same semantics, two deliberate plan
+# statements the optimizer doesn't make on its own here:
+#
+# 1. Join ORDER — region -> nation -> customer -> orders -> lineitem.
+#    The syntactic order in _Q5_SQL (c,o,l,s,n,r) leaves the region
+#    filter to apply AFTER the fact join, so every lineitem row
+#    shuffles regardless of region; leading with the filtered
+#    region/nation dims prunes customers (and therefore orders) 5x
+#    BEFORE any fact row moves — the selective-dim-first reduction a
+#    cost-based optimizer would find, stated explicitly.
+# 2. Strategy hints — dims broadcast; the orders->lineitem fact join
+#    is SHUFFLE_HASH with the (5x-reduced) orders subtree as build
+#    side. Without hints Catalyst's size estimate can pick LINEITEM
+#    as a broadcast side (its pruned 4-column estimate slips under
+#    the 64 MB threshold at the 10x bench tier) — broadcasting the
+#    fact table is the one plan that cannot survive scale.
+_Q5_SQL_SPARK = """
+    SELECT /*+ SHUFFLE_HASH(co) */
+           co.n_name AS n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100) / 100 AS revenue
+    FROM (
+      SELECT /*+ BROADCAST(n), BROADCAST(r) */
+             o.o_orderkey, c.c_nationkey, n.n_name
+      FROM region r
+      JOIN nation n   ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      WHERE r.r_name = 'ASIA'
+    ) co
+    JOIN lineitem l ON l.l_orderkey = co.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND co.c_nationkey = s.s_nationkey
+    GROUP BY co.n_name
+    ORDER BY revenue DESC, n_name
+"""
 
 
 @register("sql_api_region_revenue", _Q5_SQL)

@@ -382,3 +382,143 @@ def diag_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_partitions").between(1, 32)).alias("partitions_ok"),
         (F.col("balance_ratio") >= 1.0).alias("balance_ok"),
     )
+
+
+# ------------------------------------------- repetition & PII scrubbing
+
+
+@register(
+    "quality_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {D_TOKENS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    tokc AS (
+      SELECT doc_id, max(c) AS max_tok, count(*) AS n_uniq
+      FROM (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok)
+      GROUP BY doc_id
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM t WHERE len(toks) >= 2
+    ),
+    bigc AS (
+      SELECT doc_id, max(c) AS max_big
+      FROM (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tok,
+           round(tokc.n_uniq * 1.0 / len(t.toks) * 1e6) / 1e6 AS uniq_frac,
+           round(tokc.max_tok * 1.0 / len(t.toks) * 1e6) / 1e6 AS top_tok_frac,
+           round(coalesce(bigc.max_big * 2.0 / len(t.toks), 0) * 1e6) / 1e6
+             AS top_bigram_frac
+    FROM t JOIN tokc USING (doc_id) LEFT JOIN bigc USING (doc_id)
+    """,
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, public):
+    token-diversity fraction, most-frequent-token fraction, and
+    most-frequent-bigram mass per document — the signals that cut
+    boilerplate/looping text from a training corpus (a repetitive doc
+    has low uniq_frac and a dominant n-gram).
+
+    Shape: one explode -> (doc, tok) count -> per-doc agg for the
+    unigram stats (max count and distinct count fall out of the SAME
+    grouped frame — one pass), and the bigram mirror built with a
+    codegen `transform(sequence(...))` over the token array, no
+    Python. Both aggs are map-side-combinable; per-doc rows never
+    co-locate beyond the doc_id hash — linear at any corpus size."""
+    d = sources.load(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    tokc = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("max_tok"), F.count("*").alias("n_uniq"))
+    )
+    bigc = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("max_big"))
+    )
+    n_tok = F.size("toks")
+    return (
+        t.join(tokc, "doc_id")
+        .join(bigc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_tok.cast("long").alias("n_tok"),
+            (F.round(F.col("n_uniq") / n_tok * 1e6) / 1e6).alias("uniq_frac"),
+            (F.round(F.col("max_tok") / n_tok * 1e6) / 1e6).alias("top_tok_frac"),
+            (
+                F.round(F.coalesce(F.col("max_big") * 2.0 / n_tok, F.lit(0.0)) * 1e6) / 1e6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+# PII patterns (public, standard scrubber shapes). The corpus is
+# synthetic word salad with no organic PII, so the query plants one
+# deterministic email + phone per doc (derived from doc_id) and then
+# scrubs — the injection makes the scrubber's effect observable and
+# oracle-checkable end-to-end (n_* prove the patterns fire; the md5
+# of the scrubbed text proves the replacement is byte-identical).
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "scrub_pii",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(raw, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                              '{PII_PHONE}', '[PHONE]', 'g')) AS scrub_md5
+    FROM aug
+    """,
+)
+def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus — regex email/phone detection and
+    replacement, the mandatory scrub pass before any training-data
+    release. Pure codegen (`regexp_count`/`regexp_replace`): at 100 TB
+    this is a narrow map with zero shuffle and zero Python. Counts
+    surface as columns (the audit trail a scrub job must emit); the
+    scrubbed text itself is hashed so the oracle compares bytes
+    without hauling full text through the harness."""
+    d = sources.load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    aug = d.select("doc_id", raw.alias("raw"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), PII_EMAIL, "[EMAIL]"), PII_PHONE, "[PHONE]"
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("raw", F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.md5(scrubbed.cast("binary")).alias("scrub_md5"),
+    )

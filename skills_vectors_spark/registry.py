@@ -38,13 +38,16 @@ def register(name: str, oracle: str | None = None):
 # head modules (see load_all): the r3 additions that never had a
 # driver row (mix_corpus / split_train_eval were deferred out of the
 # full r3 window; eval_dedup_compare is the cross-tier dedup quality
-# gate) plus stream_foreach_batch, whose sink was rewritten
-# (parquet-backed store) after its last green row.
+# gate), stream_foreach_batch (sink rewritten — parquet-backed store
+# — after its last green row), and the two r4 additions
+# (quality_repetition / scrub_pii).
 _PROMOTED = [
     "mix_corpus",
     "split_train_eval",
     "eval_dedup_compare",
     "stream_foreach_batch",
+    "quality_repetition",
+    "scrub_pii",
 ]
 
 # No deferrals this rotation: every registered query either sits in

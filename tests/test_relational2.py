@@ -75,3 +75,15 @@ def test_sample_stratified_proportions(spark, sf_dir):
     for r in rows:
         assert r.n_total == base[r.c_mktsegment]
         assert r.within_bounds, (r.c_mktsegment, r.n_total)
+
+
+def test_agg_percentile_paths_agree(spark, sf_dir, monkeypatch):
+    """The cost-based cutover must be value-invisible: the histogram
+    refinement path (forced via a zero threshold) and the small-input
+    sort path produce identical rounded quantiles."""
+    small = {r.l_returnflag: (r.p50, r.p90, r.p99)
+             for r in relational2.agg_percentile(spark, sf_dir).collect()}
+    monkeypatch.setattr(relational2, "AGG_PCTL_SORT_MAX_ROWS", 0)
+    hist = {r.l_returnflag: (r.p50, r.p90, r.p99)
+            for r in relational2.agg_percentile(spark, sf_dir).collect()}
+    assert small == hist

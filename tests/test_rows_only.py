@@ -200,3 +200,54 @@ def test_diag_partition_stats_invariants(spark, sf_dir):
     gate = textstats.diag_partition_stats(spark, sf_dir).collect()[0]
     assert gate.total_rows == n_rows
     assert gate.partitions_ok and gate.balance_ok
+
+
+def test_quality_repetition_flags_repetitive_text(spark, sf_dir):
+    """Falsifiability: a maximally repetitive doc must score uniq_frac
+    -> 0 and top fractions -> 1, a diverse doc the opposite — computed
+    through the registered operator's exact pipeline on a planted
+    frame."""
+    from unittest import mock
+
+    planted = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam spam spam"),
+            (1, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    with mock.patch.object(
+        textstats.sources, "load", lambda _spark, _sf, _t: planted
+    ):
+        rows = {r.doc_id: r for r in textstats.quality_repetition(spark, sf_dir).collect()}
+    rep, div = rows[0], rows[1]
+    assert rep.n_tok == 8 and div.n_tok == 8
+    assert rep.uniq_frac == 0.125 and rep.top_tok_frac == 1.0
+    assert rep.top_bigram_frac == 1.75  # 7 identical bigrams * 2 / 8
+    assert div.uniq_frac == 1.0 and div.top_tok_frac == 0.125
+    assert div.top_bigram_frac == 0.25
+
+
+def test_scrub_pii_redacts_planted_identifiers(spark, sf_dir):
+    rows = textstats.scrub_pii(spark, sf_dir).limit(50).collect()
+    assert rows
+    for r in rows:
+        assert r.n_emails >= 1 and r.n_phones >= 1
+    # byte-level check: scrubbing really rewrites the planted PII
+    d = sources.load(spark, sf_dir, "documents").filter(F.col("doc_id") == rows[0].doc_id)
+    text = d.collect()[0]["text"]
+    import hashlib
+    import re
+
+    raw = (
+        f"{text} contact user{rows[0].doc_id}@example.com or "
+        f"+1-555-{rows[0].doc_id % 10000:04d}"
+    )
+    scrubbed = re.sub(
+        r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}",
+        "[PHONE]",
+        re.sub(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]", raw),
+    )
+    assert "[EMAIL]" in scrubbed and "[PHONE]" in scrubbed
+    expect = hashlib.md5(scrubbed.encode()).hexdigest()
+    assert rows[0].scrub_md5 == expect
