@@ -102,11 +102,29 @@ def main() -> None:
     # never masquerades as query execution.
     from skills_vectors_spark import cache
 
+    # sketch-only production variants: the constant-memory forms the
+    # exact+gate registered queries trade into at 100 TB. Benched
+    # alongside so the production path has its own wall-clock row.
+    from skills_vectors_spark.operators.dedup import dedup_ngram_jaccard_production
+    from skills_vectors_spark.operators.relational2 import approx_percentile_production
+    from skills_vectors_spark.operators.scale2 import hll_sketch_production
+
+    extras = {
+        "approx_percentile_production": approx_percentile_production,
+        "hll_sketch_production": hll_sketch_production,
+        "dedup_ngram_jaccard_production": dedup_ngram_jaccard_production,
+    }
+
     timings: dict[str, float] = {}
     for _ in range(2):
         cache.clear()
         for name in HEADLINE:
             fn = registry.QUERIES[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+        for name, fn in extras.items():
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)

@@ -91,3 +91,22 @@ def test_decontaminate_removes_contaminated_and_keeps_clean(spark, sf_dir):
         if bs and len(cs & bs) / len(bs) >= DECON_TAU
     }
     assert kept == set(train) - contaminated
+
+
+def test_ngram_jaccard_production_preserves_pairs(spark, sf_dir):
+    """The max_df production cap must keep every ground-truth pair
+    (hot shingles can't certify a pair, so dropping them loses
+    nothing) — the SCALING.md zero-recall-loss claim as a test."""
+    from skills_vectors_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        dedup_ngram_jaccard_production,
+    )
+
+    gold = {(r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf_dir).collect()}
+    prod = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard_production(spark, sf_dir).collect()
+    }
+    assert gold <= prod or gold == prod, (
+        f"production cap lost {len(gold - prod)} gold pairs"
+    )
