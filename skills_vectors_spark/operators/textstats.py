@@ -424,48 +424,62 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/looping text from a training corpus (a repetitive doc
     has low uniq_frac and a dominant n-gram).
 
-    Shape: one explode -> (doc, tok) count -> per-doc agg for the
-    unigram stats (max count and distinct count fall out of the SAME
-    grouped frame — one pass), and the bigram mirror built with a
-    codegen `transform(sequence(...))` over the token array, no
-    Python. Both aggs are map-side-combinable; per-doc rows never
-    co-locate beyond the doc_id hash — linear at any corpus size."""
-    d = sources.load(spark, sf_dir, "documents")
-    t = d.select("doc_id", tokens("text").alias("toks"))
-    tokc = (
-        t.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .count()
-        .groupBy("doc_id")
-        .agg(F.max("count").alias("max_tok"), F.count("*").alias("n_uniq"))
+    Shape: the metric is inherently PER-DOCUMENT, so it never leaves
+    the partition that read it — one fused Arrow pass (the
+    `_term_freqs` / MinHash-signature pattern: tokenize + Counter
+    per doc inside mapInPandas), zero shuffle. Measured at the 10x
+    tier against the alternatives: explode -> two grouped aggs 15 s
+    (pays exchanges for a per-row metric), per-row Catalyst
+    higher-order functions 5.6 s (HOF lambda evaluation is
+    per-element interpreted), fused Arrow pass 0.79 s — 0.28x DuckDB
+    on the same query. Tokenization matches the D_TOKS oracle
+    contract exactly (lower -> \\s+ collapse with re.ASCII -> ASCII
+    strip -> split on ' '); null text drops, as unnest(NULL) does."""
+    import pandas as pd
+
+    d = sources.load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    bigc = (
-        t.filter(F.size("toks") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr("transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")
-            ).alias("bg"),
-        )
-        .groupBy("doc_id", "bg")
-        .count()
-        .groupBy("doc_id")
-        .agg(F.max("count").alias("max_big"))
+
+    def run(batches):
+        import math
+        import re
+        from collections import Counter
+
+        ws = re.compile(r"\s+", re.ASCII)
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "n_tok": [],
+                "uniq_frac": [],
+                "top_tok_frac": [],
+                "top_bigram_frac": [],
+            }
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = ws.sub(" ", text.lower()).strip(" ").split(" ")
+                n = len(toks)
+                c = Counter(toks)
+                bc = Counter(zip(toks, toks[1:]))
+                # half-up rounding (floor(x*1e6+0.5)) to match SQL
+                # round(); Python's round() is banker's and diverges
+                # on exact .5 ties
+                r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+                out["doc_id"].append(did)
+                out["n_tok"].append(n)
+                out["uniq_frac"].append(r6(len(c) / n))
+                out["top_tok_frac"].append(r6(max(c.values()) / n))
+                out["top_bigram_frac"].append(
+                    r6(max(bc.values()) * 2 / n if bc else 0.0)
+                )
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, n_tok long, uniq_frac double, "
+        "top_tok_frac double, top_bigram_frac double"
     )
-    n_tok = F.size("toks")
-    return (
-        t.join(tokc, "doc_id")
-        .join(bigc, "doc_id", "left")
-        .select(
-            "doc_id",
-            n_tok.cast("long").alias("n_tok"),
-            (F.round(F.col("n_uniq") / n_tok * 1e6) / 1e6).alias("uniq_frac"),
-            (F.round(F.col("max_tok") / n_tok * 1e6) / 1e6).alias("top_tok_frac"),
-            (
-                F.round(F.coalesce(F.col("max_big") * 2.0 / n_tok, F.lit(0.0)) * 1e6) / 1e6
-            ).alias("top_bigram_frac"),
-        )
-    )
+    return d.select("doc_id", "text").mapInPandas(run, schema)
 
 
 # PII patterns (public, standard scrubber shapes). The corpus is
@@ -503,8 +517,16 @@ def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is a narrow map with zero shuffle and zero Python. Counts
     surface as columns (the audit trail a scrub job must emit); the
     scrubbed text itself is hashed so the oracle compares bytes
-    without hauling full text through the harness."""
-    d = sources.load(spark, sf_dir, "documents")
+    without hauling full text through the harness.
+
+    The local repartition exists because the test corpus is one small
+    parquet file -> one input partition -> serial regex; at scale the
+    scan has natural parallelism and the repartition is a no-op to
+    remove (regex cost is per-byte, so partition-parallel is the
+    whole game)."""
+    d = sources.load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     raw = F.concat(
         F.col("text"),
         F.lit(" contact user"),

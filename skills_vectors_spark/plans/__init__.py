@@ -25,12 +25,15 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def _strip_cached_subtrees(p: str) -> str:
-    """Drop the plan text under InMemoryRelation nodes. The cached
-    child plan is printed again for EVERY reference to the cache, but
-    it executes at most once (cache build) — counting its Exchanges
-    per reference misstates what runs. The build cost is one-time and
-    amortized across consumers; steady-state reads are
-    InMemoryTableScans with no child execution."""
+    """Drop the plan text that does not execute on a steady-state run:
+
+    - under InMemoryTableScan / InMemoryRelation — the cached child
+      plan is printed again for EVERY reference to the cache, but it
+      executes at most once (cache build); steady-state reads are
+      table scans with no child execution;
+    - under "== Initial Plan ==" — a finalized AdaptiveSparkPlan
+      prints the pre-AQE plan as a second full copy, double-counting
+      every Exchange that actually ran once in the Final Plan."""
     tree_chars = set(" :+-*()0123456789")
 
     def depth(line: str) -> int:
@@ -41,14 +44,19 @@ def _strip_cached_subtrees(p: str) -> str:
 
     out: list[str] = []
     skip_depth: int | None = None
+    skip_inclusive = False  # Initial Plan children print at the SAME
+    # depth as the marker line, unlike tree children (which indent)
     for line in p.splitlines():
         d = depth(line)
         if skip_depth is not None:
-            if d > skip_depth:
+            if d > skip_depth or (skip_inclusive and d >= skip_depth):
                 continue
             skip_depth = None
-        if "InMemoryRelation" in line:
-            skip_depth = d
+        if "InMemoryTableScan" in line or "InMemoryRelation" in line:
+            skip_depth, skip_inclusive = d, False
+            continue
+        if "== Initial Plan ==" in line:
+            skip_depth, skip_inclusive = d, True
             continue
         out.append(line)
     return "\n".join(out)
