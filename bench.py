@@ -67,6 +67,8 @@ HEADLINE = [
     "dedup_containment",
     "quality_repetition",
     "scrub_pii",
+    "mix_temperature",
+    "dedup_incremental",
 ]
 
 

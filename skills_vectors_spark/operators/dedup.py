@@ -837,3 +837,123 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(F.broadcast(contaminated), "doc_id", "left_anti").select(
         "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+# ------------------------------------------------- incremental ingest dedup
+
+# base/delta split for the incremental-ingest scenario: docs whose
+# md5 bucket falls below the boundary are the "already-ingested"
+# corpus, the rest are today's increment. Same deterministic bucket
+# arithmetic as scale2's mixing/split family.
+INCR_BUCKETS = 10_000
+INCR_BASE_FRAC = 0.8
+
+
+def _incr_bucket(col):
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % INCR_BUCKETS
+
+
+@register(
+    "dedup_incremental",
+    f"""
+    WITH bk AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {INCR_BUCKETS} AS b,
+             md5({D_NORM}) AS h
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, unnest({D_SHINGLES}) AS s FROM documents
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), ex AS (
+      SELECT DISTINCT d.doc_id
+      FROM bk d JOIN bk ba ON d.h = ba.h
+      WHERE d.b >= {int(INCR_BASE_FRAC * INCR_BUCKETS)}
+        AND ba.b < {int(INCR_BASE_FRAC * INCR_BUCKETS)}
+    ), pairs AS (
+      SELECT dd.doc_id AS ddoc, bb.doc_id AS bdoc, count(*) AS i
+      FROM sh dd
+      JOIN bk dk ON dk.doc_id = dd.doc_id
+                AND dk.b >= {int(INCR_BASE_FRAC * INCR_BUCKETS)}
+      JOIN sh bb ON bb.s = dd.s
+      JOIN bk bkk ON bkk.doc_id = bb.doc_id
+                 AND bkk.b < {int(INCR_BASE_FRAC * INCR_BUCKETS)}
+      GROUP BY dd.doc_id, bb.doc_id
+    ), near AS (
+      SELECT DISTINCT p.ddoc AS doc_id
+      FROM pairs p
+      JOIN sz sa ON sa.doc_id = p.ddoc
+      JOIN sz sb ON sb.doc_id = p.bdoc
+      WHERE p.i::DOUBLE / (sa.n + sb.n - p.i) >= {JACCARD_THRESHOLD}
+    )
+    SELECT doc_id, 'exact' AS kind FROM ex
+    UNION ALL
+    SELECT doc_id, 'near' FROM near
+    WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the daily-crawl flow: check ONLY the
+    new increment (md5 bucket >= 80% boundary) against the
+    already-ingested base, never base-vs-base. Two tiers, mirroring a
+    real ingest gate: exact (normalized-text md5 equality — the
+    content-hash store lookup) then near (3-shingle Jaccard >=
+    {JACCARD_THRESHOLD} through the inverted index). A delta doc
+    reports its strongest verdict: 'exact' wins over 'near'.
+
+    Scale shape: this is the operator whose cost is proportional to
+    the INCREMENT, not the corpus — the exact tier is a hash
+    equi-join of the delta's hashes against the base hash set, and
+    the near tier joins only the delta's shingles (typically a few %
+    of the corpus) through the shared cached inverted index
+    (shingle_df), so daily ingest cost stays flat as the base grows
+    (the base side streams through the join; only the delta side is
+    small). Contrast dedup_ngram_jaccard, which certifies the whole
+    corpus against itself."""
+    d = sources.load(spark, sf_dir, "documents")
+    boundary = int(INCR_BASE_FRAC * INCR_BUCKETS)
+    hashed = d.select(
+        "doc_id",
+        _incr_bucket(F.col("doc_id")).alias("b"),
+        F.md5(normalize_text("text").cast("binary")).alias("h"),
+    )
+    delta_h = hashed.filter(F.col("b") >= boundary)
+    base_h = hashed.filter(F.col("b") < boundary)
+    exact = (
+        delta_h.join(base_h.select("h"), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    sh = shingle_df(spark, sf_dir)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    bucket_of = _incr_bucket(F.col("doc_id"))
+    delta_sh = sh.filter(bucket_of >= boundary).select(
+        F.col("doc_id").alias("ddoc"), "s"
+    )
+    base_sh = sh.filter(bucket_of < boundary).select(
+        F.col("doc_id").alias("bdoc"), "s"
+    )
+    pairs = (
+        delta_sh.join(base_sh, "s")
+        .groupBy("ddoc", "bdoc")
+        .agg(F.count("*").alias("i"))
+    )
+    sza = sz.select(F.col("doc_id").alias("ddoc"), F.col("n").alias("na"))
+    szb = sz.select(F.col("doc_id").alias("bdoc"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    near = (
+        pairs.join(F.broadcast(sza), "ddoc")
+        .join(F.broadcast(szb), "bdoc")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(F.col("ddoc").alias("doc_id"))
+        .distinct()
+    )
+    return exact.select("doc_id", F.lit("exact").alias("kind")).unionByName(
+        near.join(exact, "doc_id", "left_anti").select(
+            "doc_id", F.lit("near").alias("kind")
+        )
+    )

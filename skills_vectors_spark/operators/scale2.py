@@ -746,6 +746,57 @@ def mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mix_temperature",
+    f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS nmin FROM c),
+    thr AS (
+      SELECT lang,
+             CAST(floor(sqrt(nmin / CAST(n AS DOUBLE)) * {_BUCKETS}) AS BIGINT) AS t
+      FROM c, m
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr ON thr.lang = d.lang
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % {_BUCKETS}
+          < thr.t
+    """,
+)
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (T=2), the multilingual
+    sampling rule from the mBERT/XLM-R line of work (public): sample
+    language l proportional to p_l^(1/T), which downsamples
+    high-resource languages toward uniform without upsampling. With
+    T=2 the keep rate reduces to sqrt(n_min / n_l) — the smallest
+    language keeps 100%, a 4x-larger one keeps 50%. Rates are derived
+    FROM the corpus (one tiny grouped count) rather than declared, the
+    difference from mix_corpus's fixed-rate mixture.
+
+    Engine-equality note: the rate expression uses only IEEE
+    correctly-rounded ops (int->double divide, sqrt, multiply, floor)
+    — deliberately NOT pow(), whose last-ulp rounding differs between
+    Java's Math.pow and libm and could flip a bucket threshold.
+    Selection is the same md5-bucket map-side filter as mix_corpus:
+    no shuffle on the corpus path, reproducible row-for-row."""
+    from pyspark.sql import Window
+
+    d = sources.load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    # global min over the per-lang counts via an unpartitioned window:
+    # the frame is lang-cardinality rows (tiny by construction), and
+    # this avoids the 1-row crossJoin's nested-loop plan
+    nmin = F.min("n").over(Window.partitionBy())
+    thr = counts.select(
+        "lang",
+        F.floor(F.sqrt(nmin / F.col("n")) * _BUCKETS).cast("long").alias("t"),
+    )
+    return (
+        d.join(F.broadcast(thr), "lang")
+        .filter(_bucket(F.col("doc_id")) < F.col("t"))
+        .select("doc_id", "lang")
+    )
+
+
+@register(
     "split_train_eval",
     f"""
     SELECT split, CAST(count(*) AS BIGINT) AS n_docs,

@@ -48,6 +48,8 @@ _PROMOTED = [
     "stream_foreach_batch",
     "quality_repetition",
     "scrub_pii",
+    "mix_temperature",
+    "dedup_incremental",
 ]
 
 # No deferrals this rotation: every registered query either sits in

@@ -110,3 +110,48 @@ def test_ngram_jaccard_production_preserves_pairs(spark, sf_dir):
     assert gold <= prod or gold == prod, (
         f"production cap lost {len(gold - prod)} gold pairs"
     )
+
+
+def test_dedup_incremental_catches_planted_delta_dup(spark, sf_dir, monkeypatch):
+    """Falsifiability: plant a delta doc that exactly copies a base
+    doc's text — the exact tier must flag it; and a near-identical
+    variant — the near tier must flag that one."""
+    from unittest import mock
+
+    from skills_vectors_spark import sources
+    from skills_vectors_spark.functions.text import word_shingles
+    from skills_vectors_spark.operators import dedup as ddp
+
+    d = sources.load(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = d.limit(2).collect()
+    # find ids landing in base vs delta under the bucket rule
+    import hashlib
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % ddp.INCR_BUCKETS
+
+    boundary = int(ddp.INCR_BASE_FRAC * ddp.INCR_BUCKETS)
+    base_text = rows[0]["text"]
+    delta_ids = [i for i in range(10_000_000, 10_000_400) if bucket(i) >= boundary]
+    exact_id, near_id = delta_ids[0], delta_ids[1]
+    near_text = base_text + " extra tail token"
+    planted = d.unionByName(
+        spark.createDataFrame(
+            [(exact_id, base_text), (near_id, near_text)], "doc_id long, text string"
+        )
+    )
+    # ensure rows[0] is in the base side; if not, plant a base copy too
+    if bucket(rows[0]["doc_id"]) >= boundary:
+        base_id = next(
+            i for i in range(20_000_000, 20_000_400) if bucket(i) < boundary
+        )
+        planted = planted.unionByName(
+            spark.createDataFrame([(base_id, base_text)], "doc_id long, text string")
+        )
+    with mock.patch.object(ddp.sources, "load", lambda _s, _sf, _t: planted), \
+         mock.patch.object(ddp, "shingle_df", lambda s, sf, n=3, max_df=None:
+            planted.select("doc_id", F.explode(
+                F.array_distinct(word_shingles("text", 3))).alias("s"))):
+        got = {r.doc_id: r.kind for r in ddp.dedup_incremental(spark, sf_dir).collect()}
+    assert got.get(exact_id) == "exact", got
+    assert got.get(near_id) in ("near", "exact"), got

@@ -194,3 +194,28 @@ def test_split_train_eval_partitions_everything(spark, sf_dir):
     assert sum(r.n_docs for r in rows.values()) == n_docs
     assert rows["train"].n_docs > rows["val"].n_docs
     assert rows["train"].n_docs > rows["test"].n_docs
+
+
+def test_mix_temperature_rates_follow_counts(spark, sf_dir):
+    """T=2 sampling: smallest language keeps ~100%, every other
+    language's keep fraction tracks sqrt(n_min/n_l) (binomial noise
+    aside — the md5 bucket is uniform)."""
+    import math
+
+    d = sources.load(spark, sf_dir, "documents")
+    orig = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r.lang: r.n
+        for r in scale2.mix_temperature(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    nmin = min(orig.values())
+    for lang, n in orig.items():
+        expect = math.sqrt(nmin / n)
+        got = kept.get(lang, 0) / n
+        # floor(rate*10000) bucketing + finite corpus: generous bounds
+        assert abs(got - expect) < 0.15, (lang, got, expect)
+    smallest = min(orig, key=orig.get)
+    assert kept[smallest] / orig[smallest] > 0.95
