@@ -945,9 +945,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sza = sz.select(F.col("doc_id").alias("ddoc"), F.col("n").alias("na"))
     szb = sz.select(F.col("doc_id").alias("bdoc"), F.col("n").alias("nb"))
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    # no broadcast hints on the size frames: they are per-doc rows and
+    # scale with the corpus — AQE picks broadcast at test SFs from
+    # measured sizes and falls back to shuffle when they outgrow the
+    # threshold (the reversibility a forced hint would destroy; same
+    # adjudication as the r2 minhash-verification hint removal)
     near = (
-        pairs.join(F.broadcast(sza), "ddoc")
-        .join(F.broadcast(szb), "bdoc")
+        pairs.join(sza, "ddoc")
+        .join(szb, "bdoc")
         .filter(jac >= JACCARD_THRESHOLD)
         .select(F.col("ddoc").alias("doc_id"))
         .distinct()

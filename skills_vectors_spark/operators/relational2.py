@@ -694,6 +694,10 @@ _Q5_SQL = """
 #    as a broadcast side (its pruned 4-column estimate slips under
 #    the 64 MB threshold at the 10x bench tier) — broadcasting the
 #    fact table is the one plan that cannot survive scale.
+#    The customer->orders join inside the subquery carries NO hint:
+#    at local tiers the cost model broadcasts pruned orders (under
+#    threshold, locally optimal), and at scale the same estimate
+#    flips it to a shuffle — reversibility a forced hint would lose.
 _Q5_SQL_SPARK = """
     SELECT /*+ SHUFFLE_HASH(co) */
            co.n_name AS n_name,

@@ -155,3 +155,12 @@ def test_dedup_incremental_catches_planted_delta_dup(spark, sf_dir, monkeypatch)
         got = {r.doc_id: r.kind for r in ddp.dedup_incremental(spark, sf_dir).collect()}
     assert got.get(exact_id) == "exact", got
     assert got.get(near_id) in ("near", "exact"), got
+
+
+def test_dedup_incremental_has_no_forced_broadcast(spark, sf_dir):
+    """The per-doc size frames scale with the corpus; the plan must
+    carry no user broadcast hint — AQE decides from measured sizes."""
+    analyzed = (
+        dedup.dedup_incremental(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ResolvedHint" not in analyzed
