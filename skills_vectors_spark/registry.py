@@ -50,6 +50,12 @@ _PROMOTED = [
     "scrub_pii",
     "mix_temperature",
     "dedup_incremental",
+    # r3-green queries whose behavior-relevant code changed in r4
+    # (token_count macro null-wrap; scan_npy seeding cap) — re-attest
+    # on current code rather than carrying a stale row
+    "token_count",
+    "text_stats",
+    "scan_npy",
 ]
 
 # No deferrals this rotation: every registered query either sits in
