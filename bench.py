@@ -69,6 +69,7 @@ HEADLINE = [
     "scrub_pii",
     "mix_temperature",
     "dedup_incremental",
+    "dedup_substring",
 ]
 
 

@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from skills_vectors_spark import sources
-from skills_vectors_spark.functions.text import normalize_text, word_shingles
+from skills_vectors_spark.functions.text import (
+    normalize_text,
+    tokens as tokens_col,
+    word_shingles,
+)
 from skills_vectors_spark.functions.vector import cosine_sim
 from skills_vectors_spark.registry import register
 
@@ -960,5 +964,101 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.select("doc_id", F.lit("exact").alias("kind")).unionByName(
         near.join(exact, "doc_id", "left_anti").select(
             "doc_id", F.lit("near").alias("kind")
+        )
+    )
+
+
+# ------------------------------------------------ substring-level dedup
+
+# exact substring dedup a la Lee et al. 2021 ("Deduplicating Training
+# Data Makes Language Models Better", public): duplicated TOKEN SPANS
+# across documents, not whole-document similarity. Spark rendering:
+# overlapping fixed-width token windows, fingerprint each window,
+# windows whose fingerprint appears in >= 2 distinct docs are
+# duplicated spans. The suffix-array of the paper is a single-machine
+# structure; windowed fingerprints are its standard distributed
+# approximation (span resolution = stride).
+SUBSTR_W = 30  # window width in tokens
+SUBSTR_S = 15  # stride (50% overlap)
+
+
+@register(
+    "dedup_substring",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {D_TOKENS} AS toks, len({D_TOKENS}) AS n FROM documents
+    ), w AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CASE WHEN n < {SUBSTR_W} THEN 1
+                             ELSE (n - {SUBSTR_W}) // {SUBSTR_S} + 1 END),
+               j -> md5(array_to_string(
+                      toks[(j * {SUBSTR_S} + 1):(j * {SUBSTR_S} + {SUBSTR_W})],
+                      ' ')))) AS fp
+      FROM t
+    ), dup AS (
+      SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(*) FILTER (WHERE w.fp IN (SELECT fp FROM dup)) AS BIGINT)
+             AS n_dup_windows,
+           round(count(*) FILTER (WHERE w.fp IN (SELECT fp FROM dup))
+                 * 1.0 / count(*) * 1e6) / 1e6 AS dup_frac
+    FROM w GROUP BY w.doc_id
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup report: per document, how many of
+    its {SUBSTR_W}-token windows (stride {SUBSTR_S}) also appear
+    verbatim in ANOTHER document — the signal behind span-level
+    training-data dedup (boilerplate headers, license blocks, quoted
+    passages that doc-level Jaccard misses when the rest of the doc
+    differs). Cross-doc duplication only: a window repeated within
+    one document does not count.
+
+    Scale shape: windows explode to ~n_tokens/stride rows per doc but
+    immediately collapse to 32-byte fingerprints; the duplicate set
+    is one map-side-combinable groupBy on the fingerprint key, and
+    the per-doc report joins windows back to it on the same key — two
+    shuffles of fixed-width keys, linear in corpus size, no pairwise
+    comparison anywhere (the window join plays the inverted-index
+    role: only identical spans ever meet)."""
+    d = sources.load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = d.select("doc_id", tokens_col("text").alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    w = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, "
+                f"CASE WHEN n < {SUBSTR_W} THEN 0 ELSE int((n - {SUBSTR_W}) / {SUBSTR_S}) END),"
+                f" j -> md5(concat_ws(' ', slice(toks, j * {SUBSTR_S} + 1, {SUBSTR_W}))))"
+            )
+        ).alias("fp"),
+    )
+    dup = (
+        w.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp")
+    )
+    flagged = w.join(dup, "fp", "left_semi").groupBy("doc_id").agg(
+        F.count("*").alias("n_dup")
+    )
+    return (
+        w.groupBy("doc_id")
+        .agg(F.count("*").alias("n_windows"))
+        .join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_windows"),
+            (
+                F.round(F.coalesce("n_dup", F.lit(0)) / F.col("n_windows") * 1e6) / 1e6
+            ).alias("dup_frac"),
         )
     )

@@ -56,6 +56,7 @@ _PROMOTED = [
     "token_count",
     "text_stats",
     "scan_npy",
+    "dedup_substring",
 ]
 
 # No deferrals this rotation: every registered query either sits in

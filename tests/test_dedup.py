@@ -164,3 +164,30 @@ def test_dedup_incremental_has_no_forced_broadcast(spark, sf_dir):
         dedup.dedup_incremental(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
     )
     assert "ResolvedHint" not in analyzed
+
+
+def test_dedup_substring_flags_shared_span_only(spark, sf_dir):
+    """Falsifiability: two docs sharing one verbatim 30-token span
+    (different elsewhere) must each get n_dup_windows >= 1; an
+    unrelated doc must get 0. Within-doc repetition must NOT count."""
+    from unittest import mock
+
+    span = " ".join(f"tok{i}" for i in range(dedup.SUBSTR_W))
+    uniq_a = " ".join(f"aa{i}" for i in range(dedup.SUBSTR_W))
+    uniq_b = " ".join(f"bb{i}" for i in range(dedup.SUBSTR_W))
+    self_rep = " ".join(f"cc{i % 5}" for i in range(dedup.SUBSTR_W * 3))
+    planted = spark.createDataFrame(
+        [
+            (1, f"{span} {uniq_a}"),
+            (2, f"{uniq_b} {span}"),
+            (3, " ".join(f"zz{i}" for i in range(dedup.SUBSTR_W * 2))),
+            (4, self_rep),
+        ],
+        "doc_id long, text string",
+    )
+    with mock.patch.object(dedup.sources, "load", lambda _s, _sf, _t: planted):
+        got = {r.doc_id: r for r in dedup.dedup_substring(spark, sf_dir).collect()}
+    assert got[1].n_dup_windows >= 1, got[1]
+    assert got[2].n_dup_windows >= 1, got[2]
+    assert got[3].n_dup_windows == 0
+    assert got[4].n_dup_windows == 0, "within-doc repeats must not count"
