@@ -39,8 +39,8 @@ def register(name: str, oracle: str | None = None):
 # driver row (mix_corpus / split_train_eval were deferred out of the
 # full r3 window; eval_dedup_compare is the cross-tier dedup quality
 # gate), stream_foreach_batch (sink rewritten — parquet-backed store
-# — after its last green row), and the two r4 additions
-# (quality_repetition / scrub_pii).
+# — after its last green row), the five r4 additions, and three
+# r3-green queries re-attested after r4 code changes.
 _PROMOTED = [
     "mix_corpus",
     "split_train_eval",
