@@ -87,3 +87,37 @@ def test_agg_percentile_paths_agree(spark, sf_dir, monkeypatch):
     hist = {r.l_returnflag: (r.p50, r.p90, r.p99)
             for r in relational2.agg_percentile(spark, sf_dir).collect()}
     assert small == hist
+
+
+def test_agg_percentile_histogram_path_edge_distributions(spark, sf_dir, monkeypatch):
+    """The histogram-refinement path against adversarial group shapes:
+    constant group (degenerate lo==hi bucket expr), single element
+    (k+1 clamp), duplicate-heavy (one bucket holds several needed
+    order statistics), heavy log-normal skew (nearly all mass in
+    bucket 0), and negatives. Each must reproduce numpy's linear
+    quantile exactly (modulo the 1e-4 output rounding)."""
+    from unittest import mock
+
+    import numpy as np
+    import pytest as pt
+
+    rng = np.random.default_rng(7)
+    groups = {
+        "const": [5.0] * 1000,
+        "single": [3.14],
+        "two": [1.0, 2.0],
+        "dupheavy": [1.0] * 400 + [2.0] * 400 + [3.0] * 200,
+        "skew": [float(x) for x in np.exp(rng.normal(0, 3, 2000))],
+        "neg": [float(x) for x in rng.normal(-100.0, 5.0, 500)],
+    }
+    rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "l_returnflag string, l_extendedprice double")
+    monkeypatch.setattr(relational2, "AGG_PCTL_SORT_MAX_ROWS", 0)
+    with mock.patch.object(relational2.sources, "load", lambda *_a: df):
+        got = {
+            r.l_returnflag: (r.p50, r.p90, r.p99)
+            for r in relational2.agg_percentile(spark, sf_dir).collect()
+        }
+    for g, vs in groups.items():
+        exp = np.quantile(np.array(vs), [0.5, 0.9, 0.99], method="linear")
+        assert got[g] == pt.approx(tuple(exp), abs=1.1e-4), g
