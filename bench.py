@@ -70,6 +70,11 @@ HEADLINE = [
     "mix_temperature",
     "dedup_incremental",
     "dedup_substring",
+    "text_normalize",
+    "dedup_url",
+    "scd2_history",
+    "graph_pagerank",
+    "agg_heavy_hitters",
 ]
 
 

@@ -1,0 +1,442 @@
+"""Round-4 pipeline extensions: Unicode normalization, URL-canonical
+dedup, SCD type-2 history, fixed-iteration PageRank, and count-min
+heavy hitters.
+
+These extend the training-data-pipeline surface (normalize before
+dedup; crawl-frontier URL dedup; lakehouse dimension history; graph
+centrality over the order graph; sketch-based frequency profiling).
+They generalize the reference's text/scale handling the same way the
+textstats family does: the reference scrubs text before embedding
+(/root/reference/create_skill_embeddings.py:12,16 — ``text.replace
+("\\n", " ")``) and its loaders dedup on primary keys before upsert
+(load_skill_vectors_pg.py:48-59 ON CONFLICT semantics).
+
+Everything here except the single NFC Arrow pass is Catalyst
+built-ins: whole-stage codegen expressions, map-side-combinable
+aggregations, and bounded-size sketch state — all of which survive a
+1000-executor 100 TB run without plan changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from skills_vectors_spark import sources
+from skills_vectors_spark.operators.textstats import D_TOKENS
+from skills_vectors_spark.registry import register
+
+# ------------------------------------------------ text_normalize
+
+# Planted Unicode rows (negative doc_ids, disjoint from the corpus):
+# decomposed vs composed accents and a compatibility ligature, so the
+# NFC step is exercised with known-answer inputs in BOTH engines.
+# Single spaces only — the registry collapses oracle whitespace, so
+# multi-space literals would not survive inside the SQL string (the
+# corpus rows still exercise the \s+ collapse).
+_PLANTED: list[tuple[int, str]] = [
+    (-1, "Cafe\u0301 LATTE"),  # decomposed e + U+0301 -> caf\u00e9
+    (-2, "CAF\u00c9 latte"),  # composed \u00c9 -> caf\u00e9 (same norm as -1)
+    (-3, "\ufb01ne Dining"),  # fi ligature: NFC keeps it (NFKC would fold)
+    (-4, "A\u030angstro\u0308m UNIT"),  # decomposed ring/diaeresis
+    (-5, "\u00c5ngstr\u00f6m unit"),  # composed twin of -4
+]
+
+_PLANTED_SQL = " UNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text" for i, t in _PLANTED
+)
+
+
+@register(
+    "text_normalize",
+    f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      {_PLANTED_SQL}
+    )
+    SELECT doc_id,
+           nfc_normalize(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             AS norm_text,
+           nfc_normalize(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             <> text AS changed
+    FROM all_docs
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC text normalization (lowercase + whitespace collapse
+    + canonical composition) — the pass every corpus pipeline runs
+    BEFORE dedup so that composed and decomposed spellings of the same
+    string hash identically. Generalizes the reference's pre-embedding
+    scrub (create_skill_embeddings.py:12,16).
+
+    Scale shape: lowercase + \\s+ collapse stay in whole-stage codegen;
+    only the NFC step (no Catalyst builtin exists) runs as one
+    Arrow-vectorized pass (pandas ``str.normalize`` = unicodedata NFC,
+    the same UAX#15 algorithm utf8proc implements for the DuckDB
+    oracle). Narrow plan: no shuffle, no state, linear in input.
+    """
+    d = sources.load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(_PLANTED, schema="doc_id long, text string")
+    pre = d.unionByName(planted).select(
+        "doc_id",
+        "text",
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("pre_norm"),
+    )
+
+    def nfc(batches):
+        for pdf in batches:
+            pdf["norm_text"] = pdf["pre_norm"].str.normalize("NFC")
+            pdf["changed"] = pdf["norm_text"] != pdf["text"]
+            yield pdf[["doc_id", "norm_text", "changed"]]
+
+    return pre.mapInPandas(nfc, schema="doc_id long, norm_text string, changed boolean")
+
+
+# ------------------------------------------------ dedup_url
+
+# Crawl-dedup fixture: each doc carries one deterministic messy URL
+# (5 surface variants per base URL), so canonicalization must collapse
+# exactly 5 variants into one canonical key. The variant construction
+# and the canonicalization chain are expressed with the same regexes
+# in both engines (Spark regexp_replace is global by default; the
+# DuckDB mirror passes the 'g' flag where more than one match exists).
+_URL_CASES_SQL = """
+CASE CAST(doc_id % 5 AS INTEGER)
+  WHEN 0 THEN 'https://example' || b || '.com/docs/item' || b
+  WHEN 1 THEN 'https://www.EXAMPLE' || b || '.COM/docs/item' || b || '/'
+  WHEN 2 THEN 'https://example' || b || '.com:443/docs/item' || b || '?utm_source=feed'
+  WHEN 3 THEN 'https://example' || b || '.com/docs/item' || b || '#section-2'
+  ELSE 'HTTPS://WWW.example' || b || '.com:443/docs/item' || b || '/?utm_campaign=x&utm_medium=email#top'
+END
+"""
+
+
+@register(
+    "dedup_url",
+    f"""
+    WITH raw AS (
+      SELECT doc_id, {_URL_CASES_SQL} AS url
+      FROM (SELECT doc_id, CAST(doc_id // 5 AS VARCHAR) AS b FROM documents)
+    ),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+               '^www\\.', ''), ':(443|80)$', '') AS host,
+             regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+               '/+$', '') AS path,
+             regexp_replace(regexp_replace(
+               regexp_extract(url, '\\?([^#]*)', 1),
+               'utm_[a-z]+=[^&#]*&?', '', 'g'), '&$', '') AS query
+      FROM raw
+    ),
+    canon AS (
+      SELECT doc_id,
+             scheme || '://' || host || path ||
+               CASE WHEN query <> '' THEN '?' || query ELSE '' END AS canonical_url
+      FROM parts
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           min(doc_id) AS keep_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-frontier dedup step of
+    a web-scale corpus pipeline (scheme/host case-folding, www and
+    default-port stripping, trailing-slash and fragment removal,
+    tracking-param scrub), then keep-first per canonical URL (the
+    reference's on-conflict upsert semantics,
+    load_skill_vectors_pg.py:48-59, applied to URLs).
+
+    Scale shape: canonicalization is pure codegen regexp work (narrow,
+    no Python); the only shuffle is the final groupBy on the canonical
+    key, which partial-aggregates map-side. At 100 TB the canonical
+    key is high-cardinality and uniform — no skew, no broadcast.
+    """
+    d = sources.load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") / 5).cast("long").cast("string").alias("b")
+    )
+    raw = d.select("doc_id", F.expr(_URL_CASES_SQL).alias("url"))
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)),
+            r"^www\.",
+            "",
+        ),
+        r":(443|80)$",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), r"/+$", ""
+    )
+    query = F.regexp_replace(
+        F.regexp_replace(F.regexp_extract("url", r"\?([^#]*)", 1), r"utm_[a-z]+=[^&#]*&?", ""),
+        r"&$",
+        "",
+    )
+    canon = raw.select(
+        "doc_id",
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+        ).alias("canonical_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count("*").cast("long").alias("n_dups"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+# ------------------------------------------------ scd2_history
+
+@register(
+    "scd2_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS t_us,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, event_id, t_us
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           t_us AS valid_from_us,
+           lead(t_us) OVER w AS valid_to_us,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           lead(t_us) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: collapse each
+    user's event stream into versioned validity intervals of its
+    attribute value (``event_type``) — change rows open a version,
+    ``lead`` closes it, the open row is ``is_current``. This is the
+    lakehouse MERGE-as-SCD2 primitive (the reference's upsert loaders
+    overwrite in place, load_skill_vectors_pg.py:48-59; SCD2 is the
+    history-preserving variant a warehouse needs).
+
+    Scale shape: ONE shuffle — both windows and the change filter
+    share the same (user_id, ts, event_id) partitioning/ordering, so
+    Catalyst plans a single Exchange + Sort feeding chained Window
+    nodes. Deterministic under timestamp ties via the event_id
+    tiebreak. Micro-second epochs (BIGINT) keep the NTZ timestamp
+    comparison engine-neutral.
+    """
+    ev = sources.load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    w1 = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w1))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .drop("prev_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("t_us").alias("valid_from_us"),
+        F.lead("t_us").over(w2).alias("valid_to_us"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.lead("t_us").over(w2).isNull().alias("is_current"),
+    )
+
+
+# ------------------------------------------------ graph_pagerank
+
+PR_ITERS = 3
+PR_DAMP = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Chained-CTE oracle: fixed PR_ITERS power iterations, unrolled
+    (standard SQL forbids aggregation inside a recursive CTE term).
+    Each iteration rounds to 10 dp — in both engines — so float
+    summation-order drift cannot compound across iterations; the
+    output rounds to 6 dp."""
+    head = """
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS cnt FROM deg),
+    r0 AS (SELECT node, 1.0 / min(nn.cnt) AS pr FROM deg CROSS JOIN nn GROUP BY node)
+    """
+    steps = []
+    for i in range(1, PR_ITERS + 1):
+        steps.append(
+            f""",
+    r{i} AS (
+      SELECT e.dst AS node,
+             round(0.15 / min(nn.cnt) + {PR_DAMP} * sum(r{i-1}.pr / dg.d), 10) AS pr
+      FROM edges e
+      JOIN r{i-1} ON r{i-1}.node = e.src
+      JOIN deg dg ON dg.node = e.src
+      CROSS JOIN nn
+      GROUP BY e.dst
+    )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f" SELECT node, round(pr, 6) AS pr FROM r{PR_ITERS}"
+    )
+
+
+@register("graph_pagerank", _pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected customer↔supplier
+    graph (an edge per distinct trading pair from orders⋈lineitem) —
+    the iterative-algorithm representative: graph centrality over a
+    transaction graph, the standard entity-importance signal.
+
+    Scale shape: the classic distributed PageRank loop — edges built
+    once, cached, reused every iteration; each iteration is one join
+    (rank×degree side is node-cardinality, Catalyst broadcasts it
+    while it fits, reverts to shuffle when it doesn't) plus one
+    map-side-combinable groupBy on dst. Iterations are a fixed small
+    constant so lineage stays shallow (no checkpoint needed; the
+    unbounded-iteration sibling with convergence detection +
+    localCheckpoint is dedup_clusters, operators/dedup.py:578).
+    Per-iteration 10-dp rounding in BOTH engines stops float
+    summation-order drift from compounding.
+    """
+    o = sources.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = sources.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).cache()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("double").alias("d")
+    ).cache()
+    n = deg.count()  # scalar node count (one int on the driver)
+    ranks = deg.select("node", F.lit(1.0 / n).alias("pr"))
+    for _ in range(PR_ITERS):
+        rd = ranks.join(deg, "node").select("node", (F.col("pr") / F.col("d")).alias("w"))
+        ranks = (
+            edges.join(rd, edges.src == rd.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.round(F.lit(0.15 / n) + PR_DAMP * F.sum("w"), 10).alias("pr"))
+        )
+    return ranks.select("node", F.round("pr", 6).alias("pr"))
+
+
+# ------------------------------------------------ agg_heavy_hitters
+
+CMS_W = 256  # counter width per hash row
+CMS_SEEDS = [1, 2, 3, 4]  # depth-4 sketch
+HH_TOPK = 20
+
+
+def _cms_bucket_sql(seed: int, tok_expr: str) -> str:
+    return (
+        f"('0x' || substr(md5({seed} || ':' || {tok_expr}), 1, 8))::BIGINT % {CMS_W}"
+    )
+
+
+@register(
+    "agg_heavy_hitters",
+    f"""
+    WITH toks AS (SELECT unnest({D_TOKENS}) AS tok FROM documents),
+    cnts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+    total AS (SELECT sum(cnt) AS tot FROM cnts),
+    seeds AS (SELECT unnest({CMS_SEEDS}) AS seed),
+    cms AS (
+      SELECT seed,
+             ('0x' || substr(md5(seed || ':' || tok), 1, 8))::BIGINT % {CMS_W} AS b,
+             CAST(sum(cnt) AS BIGINT) AS c
+      FROM cnts CROSS JOIN seeds
+      GROUP BY 1, 2
+    ),
+    topk AS (SELECT tok, cnt FROM cnts ORDER BY cnt DESC, tok LIMIT {HH_TOPK}),
+    est AS (
+      SELECT t.tok, t.cnt, min(c.c) AS cms_est
+      FROM topk t
+      CROSS JOIN seeds s
+      JOIN cms c ON c.seed = s.seed
+        AND c.b = ('0x' || substr(md5(s.seed || ':' || t.tok), 1, 8))::BIGINT % {CMS_W}
+      GROUP BY t.tok, t.cnt
+    )
+    SELECT tok, cnt AS exact_cnt, cms_est,
+           (cms_est >= cnt AND cms_est - cnt <= CAST(ceil(tot * 2.0 / {CMS_W}) AS BIGINT))
+             AS within_bound
+    FROM est CROSS JOIN total
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters two ways: exact top-{HH_TOPK} token frequencies
+    AND their count-min-sketch estimates from a depth-4 × width-256
+    CMS, with the classic overestimate bound (est ≥ exact, slack ≤
+    2/w · total) emitted as a checked column. The sketch is the
+    100 TB path — frequency profiling with O(d·w) mergeable state
+    instead of a full vocabulary groupBy — and emitting both sides
+    makes the accuracy claim data-attested, the same pattern as
+    agg_hll_sketch / eval_backend_compare.
+
+    Scale shape: the CMS build is a map-side-combinable groupBy into
+    d·w = {len(CMS_SEEDS) * CMS_W} cells — bounded state regardless of
+    corpus size, mergeable across partitions (and micro-batches).
+    Hashing is the md5-bucket trick (operators/scale2.py:_bucket),
+    bit-identical in both engines, so the entire sketch — not just a
+    gate — is exact-oracle-checked.
+    """
+    d = sources.load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    toks = d.select(F.explode(F.split(norm, " ")).alias("tok"))
+    cnts = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt")).cache()
+    total = cnts.agg(F.sum("cnt").alias("tot"))
+    seeds = F.explode(F.array(*[F.lit(s) for s in CMS_SEEDS])).alias("seed")
+
+    def bucket(seed_col, tok_col):
+        h = F.md5(F.concat(seed_col.cast("string"), F.lit(":"), tok_col))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_W
+
+    cms = (
+        cnts.select(seeds, "tok", "cnt")
+        .select("seed", bucket(F.col("seed"), F.col("tok")).alias("b"), "cnt")
+        .groupBy("seed", "b")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    topk = cnts.orderBy(F.desc("cnt"), "tok").limit(HH_TOPK)
+    est = (
+        topk.select(seeds, "tok", "cnt")
+        .withColumn("b", bucket(F.col("seed"), F.col("tok")))
+        .join(cms, ["seed", "b"])
+        .groupBy("tok", "cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.col("cnt").alias("exact_cnt"),
+        "cms_est",
+        (
+            (F.col("cms_est") >= F.col("cnt"))
+            & (F.col("cms_est") - F.col("cnt") <= F.ceil(F.col("tot") * 2.0 / CMS_W).cast("long"))
+        ).alias("within_bound"),
+    )

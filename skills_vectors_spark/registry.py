@@ -57,6 +57,12 @@ _PROMOTED = [
     "text_stats",
     "scan_npy",
     "dedup_substring",
+    # r4 scale3 additions (operators/scale3.py) — never driver-checked
+    "text_normalize",
+    "dedup_url",
+    "scd2_history",
+    "graph_pagerank",
+    "agg_heavy_hitters",
 ]
 
 # No deferrals this rotation: every registered query either sits in
@@ -96,6 +102,7 @@ def load_all() -> None:
     import skills_vectors_spark.operators.relevance  # noqa: F401
     import skills_vectors_spark.operators.relational  # noqa: F401
     import skills_vectors_spark.operators.relational2  # noqa: F401
+    import skills_vectors_spark.operators.scale3  # noqa: F401
 
     # Reorder deterministically — not by import-time insertion, which
     # test collection or ad-hoc imports can perturb. Within-module

@@ -34,6 +34,7 @@ BNLJ_ALLOWED = {
     "search_hybrid_rrf",  # 1-row query-vector + bm25 scalar broadcasts
     "seq_funnel",  # cross of three 1-row stage counts
     "quality_perplexity",  # 1-row corpus-token-total scalar broadcast
+    "agg_heavy_hitters",  # 1-row token-total scalar broadcast into the bound
 }
 
 registry.load_all()

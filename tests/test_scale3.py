@@ -1,0 +1,155 @@
+"""Round-4 scale3 surface: NFC normalization known-answers, URL
+canonical collapse counts, SCD2 interval invariants, PageRank vs a
+numpy reference, and count-min sketch structural properties."""
+
+from __future__ import annotations
+
+import unicodedata
+
+from pyspark.sql import functions as F
+
+from skills_vectors_spark.operators import scale3
+
+
+# ------------------------------------------------ text_normalize
+
+def test_text_normalize_nfc_known_answers(spark, sf_dir):
+    out = {
+        r.doc_id: (r.norm_text, r.changed)
+        for r in scale3.text_normalize(spark, sf_dir).filter(F.col("doc_id") < 0).collect()
+    }
+    assert len(out) == len(scale3._PLANTED)
+    # composed and decomposed spellings normalize to the SAME string
+    assert out[-1][0] == out[-2][0] == "café latte"
+    assert out[-4][0] == out[-5][0] == "ångström unit"
+    # NFC (canonical) keeps the fi compatibility ligature
+    assert out[-3][0] == "ﬁne dining"
+    # every planted row was altered by normalization
+    assert all(changed for _, changed in out.values())
+    # results are genuinely NFC-composed (no combining marks remain)
+    for norm, _ in out.values():
+        assert unicodedata.normalize("NFC", norm) == norm
+        assert "́" not in norm and "̊" not in norm
+
+
+def test_text_normalize_corpus_rows_lowercased_and_collapsed(spark, sf_dir):
+    rows = scale3.text_normalize(spark, sf_dir).filter(F.col("doc_id") >= 0).limit(50).collect()
+    assert rows
+    for r in rows:
+        assert r.norm_text == r.norm_text.lower()
+        assert "  " not in r.norm_text
+        assert r.norm_text == r.norm_text.strip()
+
+
+# ------------------------------------------------ dedup_url
+
+def test_dedup_url_collapses_exactly_five_variants(spark, sf_dir):
+    rows = scale3.dedup_url(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # every canonical group is the 5 surface variants of one base
+        assert r.n_dups == 5, r
+        assert r.keep_doc_id % 5 == 0, r
+        b = r.keep_doc_id // 5
+        assert r.canonical_url == f"https://example{b}.com/docs/item{b}", r
+        # canonical form is clean: no tracking junk, ports, fragments
+        for bad in ("utm_", "#", ":443", "www.", "?"):
+            assert bad not in r.canonical_url, r
+
+
+# ------------------------------------------------ scd2_history
+
+def test_scd2_intervals_partition_each_users_timeline(spark, sf_dir):
+    rows = scale3.scd2_history(spark, sf_dir).orderBy("user_id", "version").collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, vs in by_user.items():
+        # versions are 1..n in order
+        assert [v.version for v in vs] == list(range(1, len(vs) + 1))
+        # exactly one open (current) version, and it is the last one
+        assert sum(v.is_current for v in vs) == 1 and vs[-1].is_current
+        for a, b in zip(vs, vs[1:]):
+            # contiguous, non-overlapping validity intervals
+            assert a.valid_to_us == b.valid_from_us
+            # a new version exists only when the attribute changed
+            assert a.event_type != b.event_type
+        assert vs[-1].valid_to_us is None
+
+
+def test_scd2_single_shuffle_plan(spark, sf_dir):
+    from skills_vectors_spark.plans import physical_plan
+
+    plan = physical_plan(scale3.scd2_history(spark, sf_dir))
+    # both windows + the change filter share one partitioning: exactly
+    # one exchange in the whole plan
+    assert plan.count("Exchange") == 1, plan
+
+
+# ------------------------------------------------ graph_pagerank
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+    import numpy as np
+
+    from skills_vectors_spark import sources
+
+    o = sources.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = sources.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = {
+        ("c%d" % r.o_custkey, "s%d" % r.l_suppkey)
+        for r in o.join(li, o.o_orderkey == li.l_orderkey).collect()
+    }
+    edges = list(pairs) + [(b, a) for a, b in pairs]
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[idx[s]] += 1
+    pr = np.full(n, 1.0 / n)
+    for _ in range(scale3.PR_ITERS):
+        nxt = np.full(n, 0.15 / n)
+        contrib = pr / deg
+        for s, d in edges:
+            nxt[idx[d]] += scale3.PR_DAMP * contrib[idx[s]]
+        pr = np.round(nxt, 10)
+    got = {r.node: r.pr for r in scale3.graph_pagerank(spark, sf_dir).collect()}
+    assert set(got) == set(nodes)
+    for node in nodes:
+        assert abs(got[node] - pr[idx[node]]) < 1e-6, node
+    # rank mass is conserved (symmetric graph, no dangling nodes)
+    assert abs(sum(got.values()) - 1.0) < 1e-3
+
+
+# ------------------------------------------------ agg_heavy_hitters
+
+def test_heavy_hitters_exact_counts_and_cms_bound(spark, sf_dir):
+    from skills_vectors_spark import sources
+
+    rows = scale3.agg_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == scale3.HH_TOPK
+    # exact side really is the exact top-k
+    texts = [r.text for r in sources.load(spark, sf_dir, "documents").select("text").collect()]
+    counts: dict[str, int] = {}
+    for t in texts:
+        for tok in " ".join(t.lower().split()).split(" "):
+            counts[tok] = counts.get(tok, 0) + 1
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: scale3.HH_TOPK]
+    assert sorted((r.tok, r.exact_cnt) for r in rows) == sorted(expected)
+    # CMS never underestimates, and the emitted bound holds on data
+    for r in rows:
+        assert r.cms_est >= r.exact_cnt
+        assert r.within_bound
+
+
+def test_heavy_hitters_estimates_respond_to_sketch_width(spark, sf_dir, monkeypatch):
+    # width-1 sketch: every token collides into one cell, so every
+    # estimate equals the total token count — proof the estimate is
+    # really read out of the counter table, not copied from the exact
+    # side.
+    monkeypatch.setattr(scale3, "CMS_W", 1)
+    rows = scale3.agg_heavy_hitters(spark, sf_dir).collect()
+    tot = {r.cms_est for r in rows}
+    assert len(tot) == 1
+    assert tot.pop() > max(r.exact_cnt for r in rows)
