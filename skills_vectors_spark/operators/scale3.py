@@ -77,7 +77,13 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle). Narrow plan: no shuffle, no state, linear in input.
     """
     d = sources.load(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = spark.createDataFrame(_PLANTED, schema="doc_id long, text string")
+    # VALUES local relation, not createDataFrame: the latter
+    # parallelizes 5 rows across every core, and each empty-ish
+    # partition still pays a Python-worker launch in the Arrow stage
+    vals = ", ".join(
+        "(CAST(%d AS BIGINT), '%s')" % (i, t.replace("'", "''")) for i, t in _PLANTED
+    )
+    planted = spark.sql(f"SELECT doc_id, text FROM VALUES {vals} AS t(doc_id, text)")
     pre = d.unionByName(planted).select(
         "doc_id",
         "text",
@@ -323,26 +329,41 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = sources.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = sources.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e0 = (
+    # dedup on the two int keys, THEN stringify: distinct over 16-byte
+    # rows shuffles ~3x less than over the concatenated strings
+    pairs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
-        .distinct()
     )
-    edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).cache()
+    # symmetric edge list, partitioned ONCE by the per-iteration join
+    # key so every iteration's join reuses the cached partitioning
+    # instead of re-shuffling 2|E| rows
+    edges = (
+        pairs.unionByName(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("src")
+        .cache()
+    )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("double").alias("d")
     ).cache()
     n = deg.count()  # scalar node count (one int on the driver)
-    ranks = deg.select("node", F.lit(1.0 / n).alias("pr"))
+    # localCheckpoint per iteration (eager): without it the single
+    # final action re-derives iteration i inside iterations i+1..N —
+    # quadratic recompute — and the lineage deepens per round (the
+    # Pregel pattern, same as dedup_clusters)
+    ranks = deg.select("node", F.lit(1.0 / n).alias("pr")).localCheckpoint()
     for _ in range(PR_ITERS):
         rd = ranks.join(deg, "node").select("node", (F.col("pr") / F.col("d")).alias("w"))
         ranks = (
             edges.join(rd, edges.src == rd.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.round(F.lit(0.15 / n) + PR_DAMP * F.sum("w"), 10).alias("pr"))
+            .localCheckpoint()
         )
     return ranks.select("node", F.round("pr", 6).alias("pr"))
 
