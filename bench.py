@@ -75,6 +75,8 @@ HEADLINE = [
     "scd2_history",
     "graph_pagerank",
     "agg_heavy_hitters",
+    "dedup_normalized",
+    "stream_cms_counters",
 ]
 
 

@@ -76,19 +76,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same UAX#15 algorithm utf8proc implements for the DuckDB
     oracle). Narrow plan: no shuffle, no state, linear in input.
     """
-    d = sources.load(spark, sf_dir, "documents").select("doc_id", "text")
-    # VALUES local relation, not createDataFrame: the latter
-    # parallelizes 5 rows across every core, and each empty-ish
-    # partition still pays a Python-worker launch in the Arrow stage
-    vals = ", ".join(
-        "(CAST(%d AS BIGINT), '%s')" % (i, t.replace("'", "''")) for i, t in _PLANTED
-    )
-    planted = spark.sql(f"SELECT doc_id, text FROM VALUES {vals} AS t(doc_id, text)")
-    pre = d.unionByName(planted).select(
-        "doc_id",
-        "text",
-        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("pre_norm"),
-    )
+    pre = _docs_with_planted(spark, sf_dir)
 
     def nfc(batches):
         for pdf in batches:
@@ -97,6 +85,78 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pdf[["doc_id", "norm_text", "changed"]]
 
     return pre.mapInPandas(nfc, schema="doc_id long, norm_text string, changed boolean")
+
+
+def _docs_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted rows, with the codegen half of the
+    normalization (lower + whitespace collapse) precomputed.
+
+    The planted rows ride a VALUES local relation, not
+    createDataFrame: the latter parallelizes 5 rows across every
+    core, and each empty-ish partition still pays a Python-worker
+    launch in the downstream Arrow stage."""
+    d = sources.load(spark, sf_dir, "documents").select("doc_id", "text")
+    vals = ", ".join(
+        "(CAST(%d AS BIGINT), '%s')" % (i, t.replace("'", "''")) for i, t in _PLANTED
+    )
+    planted = spark.sql(f"SELECT doc_id, text FROM VALUES {vals} AS t(doc_id, text)")
+    return d.unionByName(planted).select(
+        "doc_id",
+        "text",
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("pre_norm"),
+    )
+
+
+@register(
+    "dedup_normalized",
+    f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      {_PLANTED_SQL}
+    ),
+    norm AS (
+      SELECT doc_id,
+             nfc_normalize(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS norm_text
+      FROM all_docs
+    )
+    SELECT md5(norm_text) AS norm_key,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           min(doc_id) AS keep_doc_id
+    FROM norm
+    GROUP BY md5(norm_text)
+    HAVING count(*) > 1
+    """,
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER NFC normalization — the normalize→dedup
+    composition: case, whitespace, and composed/decomposed Unicode
+    variants of the same content collapse to one cluster that raw
+    byte-hash dedup (dedup_exact, operators/dedup.py:59) misses by
+    construction. The planted composed/decomposed twins guarantee
+    true positives in both engines.
+
+    Scale shape: same as dedup_exact — hash the normalized text,
+    ONE map-side-combinable groupBy on the 128-bit key; the Arrow
+    NFC pass is narrow and linear. The norm key, not the full text,
+    is what shuffles.
+    """
+    pre = _docs_with_planted(spark, sf_dir)
+
+    def nfc(batches):
+        for pdf in batches:
+            yield pdf.assign(norm_text=pdf["pre_norm"].str.normalize("NFC"))[
+                ["doc_id", "norm_text"]
+            ]
+
+    norm = pre.mapInPandas(nfc, schema="doc_id long, norm_text string")
+    return (
+        norm.select("doc_id", F.md5("norm_text").alias("norm_key"))
+        .groupBy("norm_key")
+        .agg(F.count("*").cast("long").alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
 
 
 # ------------------------------------------------ dedup_url
@@ -381,6 +441,13 @@ def _cms_bucket_sql(seed: int, tok_expr: str) -> str:
     )
 
 
+def _cms_bucket(seed_col, val_col):
+    """seed-salted md5 bucket in [0, CMS_W) — bit-identical to the
+    DuckDB form (same trick as operators/scale2.py:_bucket)."""
+    h = F.md5(F.concat(seed_col.cast("string"), F.lit(":"), val_col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_W
+
+
 @register(
     "agg_heavy_hitters",
     f"""
@@ -433,21 +500,16 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnts = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt")).cache()
     total = cnts.agg(F.sum("cnt").alias("tot"))
     seeds = F.explode(F.array(*[F.lit(s) for s in CMS_SEEDS])).alias("seed")
-
-    def bucket(seed_col, tok_col):
-        h = F.md5(F.concat(seed_col.cast("string"), F.lit(":"), tok_col))
-        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_W
-
     cms = (
         cnts.select(seeds, "tok", "cnt")
-        .select("seed", bucket(F.col("seed"), F.col("tok")).alias("b"), "cnt")
+        .select("seed", _cms_bucket(F.col("seed"), F.col("tok")).alias("b"), "cnt")
         .groupBy("seed", "b")
         .agg(F.sum("cnt").alias("c"))
     )
     topk = cnts.orderBy(F.desc("cnt"), "tok").limit(HH_TOPK)
     est = (
         topk.select(seeds, "tok", "cnt")
-        .withColumn("b", bucket(F.col("seed"), F.col("tok")))
+        .withColumn("b", _cms_bucket(F.col("seed"), F.col("tok")))
         .join(cms, ["seed", "b"])
         .groupBy("tok", "cnt")
         .agg(F.min("c").alias("cms_est"))
@@ -461,3 +523,43 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("cms_est") - F.col("cnt") <= F.ceil(F.col("tot") * 2.0 / CMS_W).cast("long"))
         ).alias("within_bound"),
     )
+
+
+# ------------------------------------------------ stream_cms_counters
+
+@register(
+    "stream_cms_counters",
+    f"""
+    WITH seeds AS (SELECT unnest({CMS_SEEDS}) AS seed)
+    SELECT seed,
+           ('0x' || substr(md5(seed || ':' || user_id), 1, 8))::BIGINT % {CMS_W} AS b,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events CROSS JOIN seeds
+    GROUP BY 1, 2
+    """,
+)
+def stream_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch maintained BY A STREAM: per-user event
+    frequencies sketched into the same depth-4 × width-{CMS_W} counter
+    table as agg_heavy_hitters, but built incrementally by a real
+    Structured Streaming aggregation over the event stream. The batch
+    oracle checks the mergeability claim end-to-end: running counter
+    state merged across micro-batches must equal the one-shot batch
+    sketch, cell for cell.
+
+    Scale shape: streaming state is d·w = {len(CMS_SEEDS) * CMS_W}
+    cells regardless of stream length or key cardinality — the whole
+    point of sketch-backed monitoring on an unbounded stream (exact
+    per-user counts would grow state linearly in users). Complete
+    output mode is safe for the same reason: the result table is
+    constant-size.
+    """
+    from skills_vectors_spark.streaming.windows import run_to_completion, stream_events
+
+    ev = stream_events(spark, sf_dir).select("user_id")
+    seeds = F.explode(F.array(*[F.lit(s) for s in CMS_SEEDS])).alias("seed")
+    keyed = ev.select(seeds, "user_id").select(
+        "seed", _cms_bucket(F.col("seed"), F.col("user_id")).alias("b")
+    )
+    agg = keyed.groupBy("seed", "b").agg(F.count("*").cast("long").alias("c"))
+    return run_to_completion(agg)

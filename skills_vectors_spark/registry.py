@@ -63,6 +63,8 @@ _PROMOTED = [
     "scd2_history",
     "graph_pagerank",
     "agg_heavy_hitters",
+    "dedup_normalized",
+    "stream_cms_counters",
 ]
 
 # No deferrals this rotation: every registered query either sits in

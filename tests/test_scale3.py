@@ -143,6 +143,40 @@ def test_heavy_hitters_exact_counts_and_cms_bound(spark, sf_dir):
         assert r.within_bound
 
 
+def test_dedup_normalized_catches_planted_unicode_twins(spark, sf_dir):
+    rows = scale3.dedup_normalized(spark, sf_dir).collect()
+    # the planted composed/decomposed pairs MUST collapse: keep-first
+    # doc is the lower id of each pair
+    keeps = {r.keep_doc_id for r in rows}
+    assert -2 in keeps and -5 in keeps
+    pair_sizes = {r.keep_doc_id: r.n_dups for r in rows}
+    assert pair_sizes[-2] == 2 and pair_sizes[-5] == 2
+    # every cluster is a real duplicate group
+    assert all(r.n_dups > 1 for r in rows)
+
+
+def test_stream_cms_equals_batch_cms(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from skills_vectors_spark import sources
+
+    streamed = {
+        (r.seed, r.b): r.c for r in scale3.stream_cms_counters(spark, sf_dir).collect()
+    }
+    ev = sources.load(spark, sf_dir, "events").select("user_id")
+    seeds = F.explode(F.array(*[F.lit(s) for s in scale3.CMS_SEEDS])).alias("seed")
+    batch = {
+        (r.seed, r.b): r.c
+        for r in ev.select(seeds, "user_id")
+        .select("seed", scale3._cms_bucket(F.col("seed"), F.col("user_id")).alias("b"))
+        .groupBy("seed", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+        .collect()
+    }
+    # micro-batch-merged sketch state == one-shot batch sketch
+    assert streamed == batch and len(streamed) > 0
+
+
 def test_heavy_hitters_estimates_respond_to_sketch_width(spark, sf_dir, monkeypatch):
     # width-1 sketch: every token collides into one cell, so every
     # estimate equals the total token count — proof the estimate is
