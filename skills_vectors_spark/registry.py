@@ -39,8 +39,9 @@ def register(name: str, oracle: str | None = None):
 # driver row (mix_corpus / split_train_eval were deferred out of the
 # full r3 window; eval_dedup_compare is the cross-tier dedup quality
 # gate), stream_foreach_batch (sink rewritten — parquet-backed store
-# — after its last green row), the five r4 additions, and three
-# r3-green queries re-attested after r4 code changes.
+# — after its last green row), the r4 additions (four early-r4 ops
+# plus the seven scale3 ops), and r3-green queries re-attested after
+# r4 code changes.
 _PROMOTED = [
     "mix_corpus",
     "split_train_eval",
