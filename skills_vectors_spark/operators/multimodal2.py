@@ -1,0 +1,125 @@
+"""Round-4 multimodal extension: image resize (decode -> fixed-size
+nearest-neighbor downsample), completing the decode / feature-extract
+/ resize / frame-sample quartet alongside operators/multimodal.py.
+
+Same contract as the rest of the mm family (no reference equivalent —
+the reference embeds text only, BASELINE.json north star): the decode
+is the clearly-marked deterministic stub (`_fake_decode_image`), the
+resize itself is REAL numpy index sampling over the decoded array,
+and everything around it — schema, Arrow batch shape, metadata-pruned
+scan, per-partition decode — is the production plumbing. Swapping the
+stub for PIL changes one import.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from skills_vectors_spark.operators.multimodal import _fake_decode_image, media_table
+from skills_vectors_spark.registry import register
+
+OUT_H, OUT_W = 16, 16  # fixed training-input resolution
+
+
+def _nn_resize(img: np.ndarray, out_h: int = OUT_H, out_w: int = OUT_W) -> np.ndarray:
+    """Nearest-neighbor resample to (out_h, out_w, 3) — the standard
+    cheap pre-training resize; every output pixel is an exact copy of
+    one source pixel (the property the unit test pins)."""
+    ih = (np.arange(out_h) * img.shape[0] // out_h).astype(np.int64)
+    iw = (np.arange(out_w) * img.shape[1] // out_w).astype(np.int64)
+    return img[ih][:, iw]
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("src_h", T.IntegerType()),
+        T.StructField("src_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("mean_gray", T.DoubleType()),
+    ]
+)
+
+
+def image_resize_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> resize, emitting the RAW resized pixel buffers
+    (out_h*out_w*3 bytes, row-major) a training pipeline consumes.
+    The registered ``mm_image_resize`` reduces this to oracle-checkable
+    dims + a plausibility gate; the byte payloads stay available as
+    API, and — like every mm op — never leave the executor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = _fake_decode_image(bytes(payload))
+                out = _nn_resize(img)
+                rows.append(
+                    (
+                        int(mid),
+                        img.shape[0],
+                        img.shape[1],
+                        OUT_H,
+                        OUT_W,
+                        out.tobytes(),
+                        float(out.mean()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _RESIZE_SCHEMA.fields])
+
+    media = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
+    spread = media.select("media_id", "payload").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(run, _RESIZE_SCHEMA)
+
+
+@register(
+    "mm_image_resize",
+    f"""
+    SELECT doc_id AS media_id,
+           8 + ('0x' || substr(md5(text), 1, 2))::INT % 8 AS src_h,
+           8 + ('0x' || substr(md5(text), 3, 2))::INT % 8 AS src_w,
+           {OUT_H} AS out_h, {OUT_W} AS out_w,
+           TRUE AS resize_valid
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> fixed-{OUT_H}x{OUT_W} nearest-neighbor resize over
+    image payloads (the training-input normalization step). The stub
+    decoder derives source dims from the payload md5, so src dims and
+    output dims are SQL-checked EXACTLY; the (fake) pixel content is
+    reduced to a plausibility gate: the resized mean of >=64 distinct
+    uniform bytes must land in the same +/-5.1-sigma band as
+    mm_image_features ([80, 175] around 127.5), and the buffer length
+    must be exactly out_h*out_w*3. Value-level checks (every output
+    pixel is a copy of the source pixel at the computed index) live in
+    tests/test_scale3.py.
+
+    Scale shape: metadata filter prunes to images BEFORE any payload
+    is touched; decode+resize stream per partition inside one Arrow
+    pass; only dims and the gate shuffle — resized buffers stay
+    executor-side unless the caller asks for image_resize_full.
+    """
+    full = image_resize_full(spark, sf_dir)
+    return full.select(
+        "media_id",
+        "src_h",
+        "src_w",
+        "out_h",
+        "out_w",
+        (
+            (F.length("resized") == F.lit(OUT_H * OUT_W * 3))
+            & F.col("mean_gray").between(80.0, 175.0)
+        ).alias("resize_valid"),
+    )

@@ -66,6 +66,7 @@ _PROMOTED = [
     "agg_heavy_hitters",
     "dedup_normalized",
     "stream_cms_counters",
+    "mm_image_resize",
 ]
 
 # No deferrals this rotation: every registered query either sits in
@@ -106,6 +107,7 @@ def load_all() -> None:
     import skills_vectors_spark.operators.relational  # noqa: F401
     import skills_vectors_spark.operators.relational2  # noqa: F401
     import skills_vectors_spark.operators.scale3  # noqa: F401
+    import skills_vectors_spark.operators.multimodal2  # noqa: F401
 
     # Reorder deterministically — not by import-time insertion, which
     # test collection or ad-hoc imports can perturb. Within-module

@@ -177,6 +177,36 @@ def test_stream_cms_equals_batch_cms(spark, sf_dir):
     assert streamed == batch and len(streamed) > 0
 
 
+def test_mm_image_resize_pixels_are_source_copies(spark, sf_dir):
+    import numpy as np
+
+    from skills_vectors_spark.operators import multimodal2
+    from skills_vectors_spark.operators.multimodal import _fake_decode_image, media_table
+
+    rows = multimodal2.image_resize_full(spark, sf_dir).collect()
+    assert rows
+    payloads = {
+        r.media_id: bytes(r.payload)
+        for r in media_table(spark, sf_dir)
+        .filter("media_type = 'image'")
+        .select("media_id", "payload")
+        .collect()
+    }
+    for r in rows[:20]:
+        img = _fake_decode_image(payloads[r.media_id])
+        assert (r.src_h, r.src_w) == img.shape[:2]
+        out = np.frombuffer(bytes(r.resized), dtype=np.uint8).reshape(
+            multimodal2.OUT_H, multimodal2.OUT_W, 3
+        )
+        # nearest-neighbor: every output pixel is an exact copy of the
+        # source pixel at the computed index
+        expect = multimodal2._nn_resize(img)
+        assert (out == expect).all()
+        assert abs(r.mean_gray - float(expect.mean())) < 1e-9
+    gates = multimodal2.mm_image_resize(spark, sf_dir).collect()
+    assert gates and all(g.resize_valid for g in gates)
+
+
 def test_heavy_hitters_estimates_respond_to_sketch_width(spark, sf_dir, monkeypatch):
     # width-1 sketch: every token collides into one cell, so every
     # estimate equals the total token count — proof the estimate is
