@@ -95,7 +95,7 @@ def image_resize_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode -> fixed-{OUT_H}x{OUT_W} nearest-neighbor resize over
+    """Decode -> fixed OUT_HxOUT_W (16x16) nearest-neighbor resize over
     image payloads (the training-input normalization step). The stub
     decoder derives source dims from the payload md5, so src dims and
     output dims are SQL-checked EXACTLY; the (fake) pixel content is

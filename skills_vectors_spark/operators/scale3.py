@@ -43,7 +43,8 @@ _PLANTED: list[tuple[int, str]] = [
 ]
 
 _PLANTED_SQL = " UNION ALL ".join(
-    f"SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text" for i, t in _PLANTED
+    "SELECT CAST(%d AS BIGINT) AS doc_id, '%s' AS text" % (i, t.replace("'", "''"))
+    for i, t in _PLANTED
 )
 
 
@@ -435,9 +436,12 @@ CMS_SEEDS = [1, 2, 3, 4]  # depth-4 sketch
 HH_TOPK = 20
 
 
-def _cms_bucket_sql(seed: int, tok_expr: str) -> str:
+def _cms_bucket_sql(seed_expr: str, val_expr: str) -> str:
+    """DuckDB twin of ``_cms_bucket`` — single source for the bucket
+    expression used by every CMS oracle (both args are SQL fragments:
+    a seed column/literal and the hashed value column)."""
     return (
-        f"('0x' || substr(md5({seed} || ':' || {tok_expr}), 1, 8))::BIGINT % {CMS_W}"
+        f"('0x' || substr(md5({seed_expr} || ':' || {val_expr}), 1, 8))::BIGINT % {CMS_W}"
     )
 
 
@@ -457,7 +461,7 @@ def _cms_bucket(seed_col, val_col):
     seeds AS (SELECT unnest({CMS_SEEDS}) AS seed),
     cms AS (
       SELECT seed,
-             ('0x' || substr(md5(seed || ':' || tok), 1, 8))::BIGINT % {CMS_W} AS b,
+             {_cms_bucket_sql("seed", "tok")} AS b,
              CAST(sum(cnt) AS BIGINT) AS c
       FROM cnts CROSS JOIN seeds
       GROUP BY 1, 2
@@ -468,7 +472,7 @@ def _cms_bucket(seed_col, val_col):
       FROM topk t
       CROSS JOIN seeds s
       JOIN cms c ON c.seed = s.seed
-        AND c.b = ('0x' || substr(md5(s.seed || ':' || t.tok), 1, 8))::BIGINT % {CMS_W}
+        AND c.b = {_cms_bucket_sql("s.seed", "t.tok")}
       GROUP BY t.tok, t.cnt
     )
     SELECT tok, cnt AS exact_cnt, cms_est,
@@ -478,7 +482,7 @@ def _cms_bucket(seed_col, val_col):
     """,
 )
 def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy hitters two ways: exact top-{HH_TOPK} token frequencies
+    """Heavy hitters two ways: exact top-HH_TOPK (20) token frequencies
     AND their count-min-sketch estimates from a depth-4 × width-256
     CMS, with the classic overestimate bound (est ≥ exact, slack ≤
     2/w · total) emitted as a checked column. The sketch is the
@@ -488,7 +492,7 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_hll_sketch / eval_backend_compare.
 
     Scale shape: the CMS build is a map-side-combinable groupBy into
-    d·w = {len(CMS_SEEDS) * CMS_W} cells — bounded state regardless of
+    d·w = 4x256 = 1024 cells — bounded state regardless of
     corpus size, mergeable across partitions (and micro-batches).
     Hashing is the md5-bucket trick (operators/scale2.py:_bucket),
     bit-identical in both engines, so the entire sketch — not just a
@@ -532,7 +536,7 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH seeds AS (SELECT unnest({CMS_SEEDS}) AS seed)
     SELECT seed,
-           ('0x' || substr(md5(seed || ':' || user_id), 1, 8))::BIGINT % {CMS_W} AS b,
+           {_cms_bucket_sql("seed", "user_id")} AS b,
            CAST(count(*) AS BIGINT) AS c
     FROM events CROSS JOIN seeds
     GROUP BY 1, 2
@@ -540,14 +544,14 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The count-min sketch maintained BY A STREAM: per-user event
-    frequencies sketched into the same depth-4 × width-{CMS_W} counter
+    frequencies sketched into the same depth-4 × width-CMS_W (256) counter
     table as agg_heavy_hitters, but built incrementally by a real
     Structured Streaming aggregation over the event stream. The batch
     oracle checks the mergeability claim end-to-end: running counter
     state merged across micro-batches must equal the one-shot batch
     sketch, cell for cell.
 
-    Scale shape: streaming state is d·w = {len(CMS_SEEDS) * CMS_W}
+    Scale shape: streaming state is d·w = 1024
     cells regardless of stream length or key cardinality — the whole
     point of sketch-backed monitoring on an unbounded stream (exact
     per-user counts would grow state linearly in users). Complete

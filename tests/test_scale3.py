@@ -44,17 +44,32 @@ def test_text_normalize_corpus_rows_lowercased_and_collapsed(spark, sf_dir):
 # ------------------------------------------------ dedup_url
 
 def test_dedup_url_collapses_exactly_five_variants(spark, sf_dir):
+    from collections import Counter
+
+    from skills_vectors_spark import sources
+
     rows = scale3.dedup_url(spark, sf_dir).collect()
     assert rows
+    # expected group sizes derived from the ACTUAL doc_id population
+    # (no assumption that the corpus size is a multiple of 5 or that
+    # ids are contiguous): base = id // 5, one row per id
+    ids = [
+        r.doc_id
+        for r in sources.load(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    expected = Counter(i // 5 for i in ids)
+    got = {}
     for r in rows:
-        # every canonical group is the 5 surface variants of one base
-        assert r.n_dups == 5, r
-        assert r.keep_doc_id % 5 == 0, r
         b = r.keep_doc_id // 5
+        got[b] = r.n_dups
+        assert r.keep_doc_id == min(i for i in ids if i // 5 == b), r
         assert r.canonical_url == f"https://example{b}.com/docs/item{b}", r
         # canonical form is clean: no tracking junk, ports, fragments
         for bad in ("utm_", "#", ":443", "www.", "?"):
             assert bad not in r.canonical_url, r
+    assert got == dict(expected)
+    # the designed fixture yields full 5-variant groups for full bases
+    assert max(got.values()) == 5
 
 
 # ------------------------------------------------ scd2_history
