@@ -77,6 +77,7 @@ HEADLINE = [
     "agg_heavy_hitters",
     "dedup_normalized",
     "stream_cms_counters",
+    "join_bloom_prefilter",
 ]
 
 

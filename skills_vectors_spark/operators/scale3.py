@@ -529,6 +529,133 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ join_bloom_prefilter
+
+BLOOM_FACTOR = 8  # bits per build key (m = FACTOR * n -> fp ~ 0.2%)
+BLOOM_SEEDS = [1, 2, 3]  # k = 3 hash functions (partitioned: one array each)
+HIGH_VALUE = 300_000.0  # build-side predicate: high-value orders
+
+
+def _bloom_bit_sql(seed_expr: str, key_expr: str, m_expr: str) -> str:
+    return (
+        f"('0x' || substr(md5({seed_expr} || ':' || {key_expr}), 1, 8))::BIGINT"
+        f" % {m_expr}"
+    )
+
+
+def _bloom_bit(seed_col, key_col, m: int):
+    h = F.md5(F.concat(seed_col.cast("string"), F.lit(":"), key_col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
+
+
+@register(
+    "join_bloom_prefilter",
+    f"""
+    WITH seeds AS (SELECT unnest({BLOOM_SEEDS}) AS seed),
+    build AS (SELECT DISTINCT o_orderkey AS k FROM orders
+              WHERE o_totalprice > {HIGH_VALUE}),
+    msz AS (SELECT greatest(1, {BLOOM_FACTOR} * count(*)) AS m FROM build),
+    bits AS (SELECT DISTINCT seed, {_bloom_bit_sql("seed", "k", "msz.m")} AS bit
+             FROM build CROSS JOIN seeds CROSS JOIN msz),
+    probe_keys AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    probes AS (
+      SELECT p.k, seed, {_bloom_bit_sql("seed", "p.k", "msz.m")} AS bit
+      FROM probe_keys p CROSS JOIN seeds CROSS JOIN msz
+    ),
+    hits AS (
+      SELECT p.k
+      FROM probes p
+      JOIN bits b USING (seed, bit)
+      GROUP BY p.k
+      HAVING count(*) = {len(BLOOM_SEEDS)}
+    ),
+    cand AS (SELECT l_orderkey FROM lineitem WHERE l_orderkey IN (SELECT k FROM hits)),
+    truth AS (SELECT l_orderkey FROM lineitem WHERE l_orderkey IN (SELECT k FROM build))
+    SELECT CAST((SELECT count(*) FROM build) AS BIGINT) AS n_build_keys,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_probe_rows,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidate_rows,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true_rows,
+           CAST((SELECT count(*) FROM cand) - (SELECT count(*) FROM truth) AS BIGINT)
+             AS n_false_positive_rows,
+           (SELECT count(*) FROM cand) >= (SELECT count(*) FROM truth)
+             AND 20 * ((SELECT count(*) FROM cand) - (SELECT count(*) FROM truth))
+                 <= (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM truth) + 19
+             AS bloom_ok
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-Bloom semi-join prefilter — the runtime-filter
+    pattern for big-probe/small-build joins at 100 TB: summarize the
+    build side's keys into a partitioned Bloom filter (k arrays of
+    m = BLOOM_FACTOR·n bits, one per hash — fp = (1-e^(-n/m))^k ≈
+    0.2% at factor 8), broadcast the bit set, and drop probe rows
+    MAP-SIDE before any exchange; the exact semi-join then runs over
+    the ~fp-reduced survivors. (Spark's own adaptive runtime filtering
+    does this JVM-internally; this operator makes the mechanism
+    explicit, measurable, and oracle-checkable.)
+
+    The query emits the audit row: build-key count, probe rows,
+    Bloom-pass candidates, exact-semi-join truth, false positives,
+    and the no-false-negative + fp-bound gate. Because the k hash
+    functions are the md5-bucket construction, the ENTIRE filter —
+    bit set, candidate set, fp count — is bit-identical in DuckDB and
+    exact-oracle-checked, the same pattern as agg_heavy_hitters.
+
+    Scale shape: the filter is sized FROM the build cardinality
+    (m = BLOOM_FACTOR·n bits per hash — the fixed-width variant
+    measured fp≈100% once n outgrew it, so sizing is part of the
+    operator, exactly as production runtime filters size from build
+    statistics). The bits table is ≤ k·n rows of two ints —
+    broadcast-safe precisely when a runtime filter makes sense
+    (selective build side); the probe side is evaluated at its
+    distinct-key granularity; no shuffle of the fact table happens to
+    EVALUATE membership — only the surviving candidates proceed.
+    """
+    o = sources.load(spark, sf_dir, "orders")
+    li = sources.load(spark, sf_dir, "lineitem").select("l_orderkey")
+    seeds = F.explode(F.array(*[F.lit(s) for s in BLOOM_SEEDS])).alias("seed")
+
+    build = (
+        o.filter(F.col("o_totalprice") > HIGH_VALUE)
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+        .cache()
+    )
+    build_n = build.count()  # scalar: sizes the filter (one driver int)
+    m = max(1, BLOOM_FACTOR * build_n)
+    bits = (
+        build.select(seeds, "k")
+        .select("seed", _bloom_bit(F.col("seed"), F.col("k"), m).alias("bit"))
+        .distinct()
+    )
+    probe_keys = li.select(F.col("l_orderkey").alias("k")).distinct()
+    hits = (
+        probe_keys.select(seeds, "k")
+        .select("seed", "k", _bloom_bit(F.col("seed"), F.col("k"), m).alias("bit"))
+        .join(F.broadcast(bits), ["seed", "bit"])
+        .groupBy("k")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == len(BLOOM_SEEDS))
+        .select("k")
+    )
+    cand_n = li.join(F.broadcast(hits), li.l_orderkey == hits.k, "left_semi").count()
+    true_n = li.join(F.broadcast(build), li.l_orderkey == build.k, "left_semi").count()
+    probe_n = li.count()
+    fp = cand_n - true_n
+    # gate: no false negatives, and fp <= ceil(5% of non-member rows)
+    # (integer form: 20*fp <= nonmember + 19 — engine-identical)
+    ok = cand_n >= true_n and 20 * fp <= (probe_n - true_n) + 19
+    row = (
+        f"SELECT CAST({build_n} AS BIGINT) AS n_build_keys, "
+        f"CAST({probe_n} AS BIGINT) AS n_probe_rows, "
+        f"CAST({cand_n} AS BIGINT) AS n_candidate_rows, "
+        f"CAST({true_n} AS BIGINT) AS n_true_rows, "
+        f"CAST({fp} AS BIGINT) AS n_false_positive_rows, "
+        f"{'true' if ok else 'false'} AS bloom_ok"
+    )
+    return spark.sql(row)
+
+
 # ------------------------------------------------ stream_cms_counters
 
 @register(

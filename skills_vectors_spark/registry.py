@@ -67,6 +67,7 @@ _PROMOTED = [
     "dedup_normalized",
     "stream_cms_counters",
     "mm_image_resize",
+    "join_bloom_prefilter",
 ]
 
 # No deferrals this rotation: every registered query either sits in

@@ -222,6 +222,30 @@ def test_mm_image_resize_pixels_are_source_copies(spark, sf_dir):
     assert gates and all(g.resize_valid for g in gates)
 
 
+def test_bloom_prefilter_no_false_negatives_and_bounded_fp(spark, sf_dir):
+    r = scale3.join_bloom_prefilter(spark, sf_dir).collect()[0]
+    # no false negatives: every true row survives the filter
+    assert r.n_candidate_rows >= r.n_true_rows
+    assert r.n_false_positive_rows == r.n_candidate_rows - r.n_true_rows
+    # the filter actually filters: candidates are a strict subset of
+    # the probe side (a saturated bloom would pass everything)
+    assert r.n_candidate_rows < r.n_probe_rows
+    assert r.bloom_ok
+    # observed fp rate is within the gate bound (25% of non-members)
+    non_members = r.n_probe_rows - r.n_true_rows
+    assert r.n_false_positive_rows <= -(-non_members // 4)
+
+
+def test_bloom_prefilter_saturates_when_width_shrinks(spark, sf_dir, monkeypatch):
+    # factor 0 -> m = 1: every key maps to the single set bit, so
+    # everything passes, the fp bound is violated, and bloom_ok goes
+    # FALSE — the gate is falsifiable, not hardcoded
+    monkeypatch.setattr(scale3, "BLOOM_FACTOR", 0)
+    r = scale3.join_bloom_prefilter(spark, sf_dir).collect()[0]
+    assert r.n_candidate_rows == r.n_probe_rows
+    assert not r.bloom_ok
+
+
 def test_heavy_hitters_estimates_respond_to_sketch_width(spark, sf_dir, monkeypatch):
     # width-1 sketch: every token collides into one cell, so every
     # estimate equals the total token count — proof the estimate is
