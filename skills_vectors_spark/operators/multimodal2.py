@@ -83,6 +83,61 @@ def image_resize_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread.mapInPandas(run, _RESIZE_SCHEMA)
 
 
+N_BLOB_FILES = 24  # bounded fixture (test-SF only; prod scans real dirs)
+
+
+@register(
+    "scan_binaryfile",
+    f"""
+    SELECT 'blob_' || doc_id || '.bin' AS file_name,
+           CAST(strlen(text) AS BIGINT) AS length,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < {N_BLOB_FILES}
+    """,
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `binaryFile` data source — Spark's real blob-ingestion path
+    for the multimodal family (one row per file: path, length, raw
+    content; partition-parallel, pathGlobFilter/recursiveFileLookup
+    pruning). The mm_* operators synthesize payloads from the
+    documents table; a production corpus arrives exactly through this
+    scan, so the source contract is exercised end-to-end: write a
+    bounded blob fixture, scan it back, and oracle-check name, byte
+    length, and content md5 against the originating rows.
+
+    The fixture writer is driver-side and HARD-CAPPED at
+    {N_BLOB_FILES} files (same policy as scan_npy's seeding cap) — it
+    stands in for the external blob store, not for engine work; the
+    scan itself is the engine path and is executor-parallel over
+    files at any scale.
+    """
+    import pathlib
+
+    from skills_vectors_spark import sources
+    from skills_vectors_spark.scratch import scratch
+
+    blob_dir = pathlib.Path(scratch(sf_dir, "blob_fixture"))
+    blob_dir.mkdir(parents=True, exist_ok=True)
+    docs = (
+        sources.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < N_BLOB_FILES)
+        .select("doc_id", "text")
+        .collect()  # bounded: <= N_BLOB_FILES rows by the filter above
+    )
+    for r in docs:
+        (blob_dir / f"blob_{r.doc_id}.bin").write_bytes(r.text.encode("utf-8"))
+    scan = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(blob_dir))
+    )
+    return scan.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
 @register(
     "mm_image_resize",
     f"""

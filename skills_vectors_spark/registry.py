@@ -68,6 +68,7 @@ _PROMOTED = [
     "stream_cms_counters",
     "mm_image_resize",
     "join_bloom_prefilter",
+    "scan_binaryfile",
 ]
 
 # No deferrals this rotation: every registered query either sits in

@@ -246,6 +246,24 @@ def test_bloom_prefilter_saturates_when_width_shrinks(spark, sf_dir, monkeypatch
     assert not r.bloom_ok
 
 
+def test_scan_binaryfile_glob_prunes_foreign_files(spark, sf_dir):
+    import pathlib
+
+    from skills_vectors_spark.operators import multimodal2
+    from skills_vectors_spark.scratch import scratch
+
+    # plant a non-matching file in the fixture dir: the pathGlobFilter
+    # must prune it at the source, so it never appears in the scan
+    blob_dir = pathlib.Path(scratch(sf_dir, "blob_fixture"))
+    blob_dir.mkdir(parents=True, exist_ok=True)
+    (blob_dir / "ignore_me.txt").write_bytes(b"not a blob")
+    rows = multimodal2.scan_binaryfile(spark, sf_dir).collect()
+    names = {r.file_name for r in rows}
+    assert len(rows) == multimodal2.N_BLOB_FILES
+    assert "ignore_me.txt" not in names
+    assert all(n.startswith("blob_") and n.endswith(".bin") for n in names)
+
+
 def test_heavy_hitters_estimates_respond_to_sketch_width(spark, sf_dir, monkeypatch):
     # width-1 sketch: every token collides into one cell, so every
     # estimate equals the total token count — proof the estimate is
