@@ -78,6 +78,7 @@ HEADLINE = [
     "dedup_normalized",
     "stream_cms_counters",
     "join_bloom_prefilter",
+    "scan_binaryfile",
 ]
 
 
