@@ -638,6 +638,9 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_hit") == len(BLOOM_SEEDS))
         .select("k")
     )
+    # three scalar actions (a fused tagged-union variant measured
+    # SLOWER: the union job serializes behind both broadcast builds,
+    # while separate actions let each broadcast overlap its probe)
     cand_n = li.join(F.broadcast(hits), li.l_orderkey == hits.k, "left_semi").count()
     true_n = li.join(F.broadcast(build), li.l_orderkey == build.k, "left_semi").count()
     probe_n = li.count()
