@@ -27,3 +27,20 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMOKE
+
+
+# The two documented quality-gate degradation classes (SCALING.md
+# "The evaluation gates are live instruments"): at sf0.1 and the 10x
+# synthetic tier the dense-shingle corpus breaks simhash precision
+# and the near-random vectors break quantized-ANN (pq / ivf_pq)
+# recall — honestly, by algorithm weakness, not by bug. Tests that
+# pin those gates xfail(strict) at the degraded tiers: an unexpected
+# PASS there is an error too, so the gates stay falsifiable in both
+# directions.
+DEGRADED_SF = Path(SF_SMOKE).name not in ("sf0.001", "sf0.01")
+degraded_gate_xfail = pytest.mark.xfail(
+    condition=DEGRADED_SF,
+    reason="documented adversarial-corpus degradation at this SF "
+    "(SCALING.md): quantized-ANN recall / simhash precision",
+    strict=True,
+)
