@@ -133,8 +133,11 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
     assert set(got) == set(nodes)
     for node in nodes:
         assert abs(got[node] - pr[idx[node]]) < 1e-6, node
-    # rank mass is conserved (symmetric graph, no dangling nodes)
-    assert abs(sum(got.values()) - 1.0) < 1e-3
+    # rank mass is conserved (symmetric graph, no dangling nodes) up
+    # to the 6-dp output rounding, whose bias bound is 0.5e-6 PER NODE
+    # — the tolerance must scale with graph size or the test breaks
+    # at tiers with >~10k nodes even though every value is correct
+    assert abs(sum(got.values()) - 1.0) < 0.5e-6 * len(nodes) + 1e-3
 
 
 # ------------------------------------------------ agg_heavy_hitters

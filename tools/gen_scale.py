@@ -79,7 +79,11 @@ def gen_embeddings(out: Path, n_vecs: int, dim: int = 64, seed: int = 43) -> Non
 def gen_events(out: Path, n_events: int, seed: int = 44) -> None:
     rng = np.random.default_rng(seed)
     n_users = max(100, n_events // 100)
-    base_us = 1_700_000_000_000_000  # fixed epoch anchor, µs
+    # anchor at 2024-01-01 UTC so the synthetic tier covers the same
+    # date range as the driver testdata — the fixture date constants
+    # (scale.PARTITION_DATE, scale2.UPSERT_DATE) must hit real rows
+    # here too, or the date-filtered sinks go silently empty at 10x
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z, µs
     ts = base_us + np.sort(rng.integers(0, 30 * 86400 * 1_000_000, n_events))
     pq.write_table(
         pa.table(
