@@ -34,42 +34,80 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Queries promoted into the bounded-sweep window right after the
-# head modules (see load_all): the r3 additions that never had a
-# driver row (mix_corpus / split_train_eval were deferred out of the
-# full r3 window; eval_dedup_compare is the cross-tier dedup quality
-# gate), stream_foreach_batch (sink rewritten — parquet-backed store
-# — after its last green row), the r4 additions (four early-r4 ops
-# plus the seven scale3 ops), and r3-green queries re-attested after
-# r4 code changes.
+# Round-5 window: (a) queries whose code or oracle changed THIS
+# round and therefore must re-attest on current code (dedup_url
+# rewrite + integer-div fix, scale3 cache-unpersist hygiene,
+# scrub_pii prefilter, eval_recall_lsh's oracle-computed recall gate,
+# scan_binaryfile fixture-dir cleanup, the newly activated
+# stream_transform_state, and any perf squeeze of agg_percentile /
+# search_hybrid_rrf); then (b) the r2-vintage families the r4 verdict
+# ordered rotated in — dedup's seven oracle-backed r2 rows (the file
+# took additive edits in r3 AND r4 since those rows), all five
+# multimodal queries, the embed trio, the knn quartet, the
+# vector_blas trio, and the seven r2 streaming queries — after which
+# every oracle-backed query's latest green row is at most two rounds
+# old.
 _PROMOTED = [
-    "mix_corpus",
-    "split_train_eval",
-    "eval_dedup_compare",
-    "stream_foreach_batch",
-    "quality_repetition",
-    "scrub_pii",
-    "mix_temperature",
-    "dedup_incremental",
-    # r3-green queries whose behavior-relevant code changed in r4
-    # (token_count macro null-wrap; scan_npy seeding cap) — re-attest
-    # on current code rather than carrying a stale row
-    "token_count",
-    "text_stats",
-    "scan_npy",
-    "dedup_substring",
-    # r4 scale3 additions (operators/scale3.py) — never driver-checked
-    "text_normalize",
+    # (a) changed this round — least-attested surface, sweep first
     "dedup_url",
-    "scd2_history",
+    "scrub_pii",
+    "eval_recall_lsh",
+    "stream_transform_state",
     "graph_pagerank",
     "agg_heavy_hitters",
-    "dedup_normalized",
-    "stream_cms_counters",
-    "mm_image_resize",
     "join_bloom_prefilter",
     "scan_binaryfile",
+    "agg_percentile",
+    "search_hybrid_rrf",
+    # (b) r2-vintage rotation: dedup family (r2 rows, file edited
+    # additively in r3+r4)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_embed_cosine",
+    "dedup_apply",
+    "dedup_containment",
+    "dedup_decontaminate",
+    # multimodal family (r2 rows)
+    "mm_image_features",
+    "mm_frame_sample",
+    "mm_metadata_stats",
+    "mm_audio_features",
+    "mm_arrow_bytes",
+    # embed family (r2 rows)
+    "embed_mock",
+    "embed_with_status",
+    "embed_provider_switch",
+    # knn family (r2 rows)
+    "knn_exact_l2",
+    "eval_avgsim",
+    "eval_recall",
+    "report_pivot",
+    # vector_blas (r2/r3 rows)
+    "dedup_embed_cosine_blas",
+    "sim_topk_bruteforce",
+    "embed_project_pca",
+    # streaming r2 rows (stream_foreach_batch re-attested r4)
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_stateful",
+    "stream_dedup_late",
+    "stream_enrich",
+    "stream_join_interval",
 ]
+
+# Relational §2.B rows already re-attested in r4 (the four
+# sources/sinks) or r3 (two window/agg rewrites): exclude them from
+# the r1 backfill so the window slots go to the stalest rows.
+_BACKFILL_SKIP = {
+    "scan_parquet",
+    "scan_csv",
+    "sink_parquet",
+    "sink_overwrite",
+    "agg_approx_distinct",
+    "win_lag_lead",
+}
 
 # No deferrals this rotation: every registered query either sits in
 # the current 50-slot window or already has a green row on current
@@ -84,13 +122,11 @@ def load_all() -> None:
     sweeps (tools/driver_sim.py's first-N window, spot checks, and any
     consumer that samples the registry front-to-back). The head of the
     order is the surface with the least accumulated verification
-    signal. Round-4 rotation: relational2 (9 of its queries only ever
-    saw the r1 events-loader error, since fixed; agg_percentile and
-    both sql_api_* were rewritten by r3 perf work after their green
-    rows), then relevance (the _term_freqs Arrow fusion postdates the
-    trio's green rows; search_hybrid_rrf is new), then the promoted
-    r3 newcomers in ``_PROMOTED``, then relational backfill (§2.B
-    core, re-attesting the r1 rows) — so a bounded front-to-back
+    signal. Round-5 rotation (the r4 verdict's top ask): queries
+    changed this round first, then the r2-vintage families
+    (dedup/multimodal/embed/knn/vector_blas/streaming) whose green
+    rows are two rounds old, then relational r1 backfill (file order,
+    minus the rows re-attested in r3/r4) — so a bounded front-to-back
     sweep always lands on the operators whose correctness is least
     attested on CURRENT code.
     """
@@ -116,7 +152,7 @@ def load_all() -> None:
     # registration order is always file order (a module registers all
     # of its queries during its single import), so grouping by each
     # query's defining module gives a stable canonical order.
-    head_modules = ["relational2", "relevance"]
+    head_modules: list[str] = []
     backfill_modules = ["relational"]
     mod_of = {n: fn.__module__.rsplit(".", 1)[-1] for n, fn in QUERIES.items()}
     deferred = set(_DEFERRED)
@@ -128,7 +164,7 @@ def load_all() -> None:
         n
         for m in backfill_modules
         for n in QUERIES
-        if mod_of[n] == m and n not in seen and n not in deferred
+        if mod_of[n] == m and n not in seen and n not in deferred and n not in _BACKFILL_SKIP
     ]
     seen.update(order)
     order += [n for n in _DEFERRED if n in QUERIES and n not in seen]
