@@ -135,17 +135,37 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# histogram resolution for the two-phase exact quantile: pass-2 sorts
-# ~data/N_HIST_BUCKETS rows per needed bucket; driver state is
-# groups * N_HIST_BUCKETS counts — both constant in corpus size
-N_HIST_BUCKETS = 4096
-# cost-based cutover, decided from the pass-1 stats the histogram
-# path needs anyway: below this row count the fixed floor of the
-# histogram's two extra jobs exceeds the cost of just shuffling every
-# group to one worker and sorting (measured crossover ~2M rows on
-# local[32]: 600k rows -> sort path 0.7 s vs histogram 2.5 s; 6M
-# rows -> histogram 7.4 s vs sort ~22 s)
-AGG_PCTL_SORT_MAX_ROWS = 2_000_000
+# log-bucket resolution for the two-pass exact quantile: buckets have
+# RELATIVE width gamma-1 (DDSketch-style, Masson et al. 2019), so the
+# bucket index needs no min/max pre-pass — floor(ln|v|/ln(gamma)) is a
+# fixed monotone mapping any executor computes locally. ln(1.002)
+# ~= 0.002 -> ~500 buckets per decade of value range; driver state is
+# occupied buckets only.
+PCTL_GAMMA_LN = math.log(1.002)
+# sign-partitioned encoding keeping the index monotone across
+# negatives/zero/positives: |log index| < 2^20 for any finite double,
+# so +/-2^21 separates the three ranges
+PCTL_SIGN_OFFSET = 1 << 21
+# guard: one refinement level means pass 2 materializes the needed
+# buckets' rows; with relative-width buckets that is ~n*(gamma-1) per
+# bucket in expectation, but a pathological distribution could pack
+# one bucket, so fail loudly rather than silently collect the corpus
+PCTL_MAX_PICK_ROWS = 5_000_000
+
+
+def _pctl_bucket_expr() -> F.Column:
+    """Sign-partitioned DDSketch bucket index of column ``v``: a fixed
+    monotone value->long mapping (no min/max pre-pass), computable
+    locally on any executor. Negatives mirror below -2^21, zero maps
+    to 0, positives sit above +2^21."""
+    pos = F.lit(PCTL_SIGN_OFFSET) + F.floor(F.log(F.col("v")) / F.lit(PCTL_GAMMA_LN))
+    neg = F.lit(-PCTL_SIGN_OFFSET) - F.floor(F.log(-F.col("v")) / F.lit(PCTL_GAMMA_LN))
+    return (
+        F.when(F.col("v") > 0, pos)
+        .when(F.col("v") < 0, neg)
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
 
 
 @register(
@@ -159,121 +179,107 @@ AGG_PCTL_SORT_MAX_ROWS = 2_000_000
     """,
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group via the two-phase
-    histogram algorithm (continuous-quantile definition: lower +
-    frac*(higher-lower) at virtual index q*(n-1) — the same formula as
-    DuckDB's quantile_cont and numpy's 'linear').
+    """Exact interpolated percentiles per group in TWO passes
+    (continuous-quantile definition: lower + frac*(higher-lower) at
+    virtual index q*(n-1) — the same formula as DuckDB's quantile_cont
+    and numpy's 'linear').
 
-    Shape: (1) per-group count/min/max — one map-side-combinable agg;
-    (2) fixed-width histogram per (group, bucket) — a second
-    map-side-combinable agg whose output is bounded by
-    groups*N_HIST_BUCKETS, never by data size; the driver walks the
-    cumulative counts to locate which bucket holds each needed order
-    statistic (<=2 per quantile); (3) only those <=6 buckets per group
-    — data_size/N_HIST_BUCKETS rows each — are sorted, inside
-    applyInPandas, to extract the exact order statistics. Earlier
-    rounds shipped EVERY group row through one Python worker
-    (applyInPandas full-group sort: exact-percentile's naive cost);
-    this keeps all heavy work in codegen scans with tiny shuffles and
-    sorts only a 1/N_HIST_BUCKETS sliver — the same refinement
-    recursion FAISS-style engines use, one level deep (additional
-    levels would bound bucket size at any scale). Driver-side state
-    is groups*buckets counts — constant in data size.
+    Pass 1: one map-side-combinable agg over (group, log-bucket)
+    computing count/min/max per bucket. The DDSketch-style
+    relative-width bucket index (Masson et al. 2019, public) is a
+    FIXED monotone mapping, so — unlike an equal-width histogram — no
+    min/max pre-scan is needed, which is what removes the r4 design's
+    third job. The driver walks cumulative counts (occupied buckets
+    only, logarithmic in value range, constant in data size) to
+    locate which bucket holds each needed order statistic (<=2 per
+    quantile); any needed bucket with min==max resolves immediately
+    (constant and duplicate-heavy groups never reach pass 2).
+    Pass 2 (only if some bucket is mixed-value): rescan, keep rows of
+    the <=6 needed buckets per group — ~n*(gamma-1) rows each — and
+    sort each inside a JVM collect_list agg; the driver indexes the
+    exact order statistics by offset. No Python workers, no
+    broadcast-join staging: the needed-bucket predicate is a literal
+    codegen filter.
 
-    Cost-based physical choice: pass 1's total row count routes small
-    inputs (< AGG_PCTL_SORT_MAX_ROWS, where two extra job floors cost
-    more than they save) to the single-shuffle numpy sort; identical
-    values either way — the quantile formula is shared."""
+    Earlier rounds: r3 shipped every group row through one Python
+    worker (6.4x DuckDB); r4's equal-width histogram needed 3 jobs +
+    an applyInPandas pick (measured 3.7 s / 9.7x at the 10x tier once
+    benched in isolation). Two scans is the floor for exact quantiles
+    without per-value hashmap memory; each additional refinement
+    level would multiply the worst-case bucket bound down by
+    gamma-resolution if ever needed. Driver state: occupied-bucket
+    counts only. At 100 TB: two codegen scans, two tiny shuffles."""
     li = (
         sources.load(spark, sf_dir, "lineitem")
         .select("l_returnflag", F.col("l_extendedprice").alias("v"))
         .filter(F.col("v").isNotNull())
     )
     qs = (0.5, 0.9, 0.99)
-    B = N_HIST_BUCKETS
+    lib = li.withColumn("b", _pctl_bucket_expr())
 
-    stats = {
-        r["l_returnflag"]: (r["n"], float(r["lo"]), float(r["hi"]))
-        for r in li.groupBy("l_returnflag")
-        .agg(F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+    hist: dict[str, dict[int, tuple[int, float, float]]] = {}
+    for r in (
+        lib.groupBy("l_returnflag", "b")
+        .agg(F.count("*").alias("cnt"), F.min("v").alias("lo"), F.max("v").alias("hi"))
         .collect()
-    }
-    if sum(n for n, _, _ in stats.values()) < AGG_PCTL_SORT_MAX_ROWS:
-        schema = "l_returnflag string, p50 double, p90 double, p99 double"
-
-        def quantiles(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            qv = np.quantile(pdf["v"].to_numpy(), list(qs), method="linear")
-            return pd.DataFrame(
-                {"l_returnflag": [key[0]], "p50": [qv[0]], "p90": [qv[1]], "p99": [qv[2]]}
-            )
-
-        small = li.groupBy("l_returnflag").applyInPandas(quantiles, schema)
-        return small.select(
-            "l_returnflag",
-            *[(F.round(F.col(c) * 1e4) / 1e4).alias(c) for c in ["p50", "p90", "p99"]],
+    ):
+        hist.setdefault(r["l_returnflag"], {})[r["b"]] = (
+            r["cnt"],
+            float(r["lo"]),
+            float(r["hi"]),
         )
 
     # needed 0-based order-statistic indices per group: floor(h) and
     # floor(h)+1 (clamped) for each quantile's virtual index h
     need: dict[str, dict[float, tuple[int, int, float]]] = {}
-    for g, (n, _, _) in stats.items():
+    kval: dict[str, dict[int, float]] = {}
+    sel: dict[tuple[str, int], list[tuple[int, int]]] = {}  # (g,b) -> [(k, off)]
+    for g, buckets in hist.items():
+        n = sum(c for c, _, _ in buckets.values())
         need[g] = {}
+        kval[g] = {}
         for q in qs:
             h = q * (n - 1)
             k = int(math.floor(h))
             need[g][q] = (k, min(k + 1, n - 1), h - k)
-
-    sdf = spark.createDataFrame(
-        [(g, lo, hi) for g, (_, lo, hi) in stats.items()],
-        "l_returnflag string, lo double, hi double",
-    )
-    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
-        F.least(
-            F.lit(B - 1),
-            F.floor((F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")) * B),
-        ).cast("int")
-    )
-    lib = li.join(F.broadcast(sdf), "l_returnflag").withColumn("b", bucket)
-
-    hist: dict[str, dict[int, int]] = {}
-    for r in lib.groupBy("l_returnflag", "b").count().collect():
-        hist.setdefault(r["l_returnflag"], {})[r["b"]] = r["count"]
-    # cumulative walk: global index k -> (bucket, offset within bucket)
-    sel: dict[tuple[str, int], list[tuple[int, int]]] = {}  # (g,b) -> [(k, off)]
-    for g, counts in hist.items():
         ks = sorted({k for pair in need[g].values() for k in pair[:2]})
         cum, i = 0, 0
-        for b in sorted(counts):
-            cnt = counts[b]
+        for b in sorted(buckets):
+            cnt, lo, hi = buckets[b]
             while i < len(ks) and ks[i] < cum + cnt:
-                sel.setdefault((g, b), []).append((ks[i], ks[i] - cum))
+                if lo == hi:  # single-valued bucket: resolved for free
+                    kval[g][ks[i]] = lo
+                else:
+                    sel.setdefault((g, b), []).append((ks[i], ks[i] - cum))
                 i += 1
             cum += cnt
-    ndf = spark.createDataFrame(sorted(sel), "l_returnflag string, b int")
 
-    pick_schema = "l_returnflag string, k long, v double"
+    if sel:
+        to_pick = sum(hist[g][b][0] for g, b in sel)
+        if to_pick > PCTL_MAX_PICK_ROWS:
+            raise ValueError(
+                f"agg_percentile pass 2 would materialize {to_pick} rows "
+                f"(> {PCTL_MAX_PICK_ROWS}); the value distribution packs a "
+                "log bucket — add a refinement level before running at "
+                "this scale"
+            )
+        needed = None
+        for g, b in sorted(sel):
+            clause = (F.col("l_returnflag") == g) & (F.col("b") == b)
+            needed = clause if needed is None else needed | clause
+        # cheap long-typed prefilter so the per-row cost of the pair
+        # check is one IN over ~9 longs, not 18 string comparisons
+        prefilter = F.col("b").isin([b for _, b in sel])
+        for r in (
+            lib.filter(prefilter & needed)
+            .groupBy("l_returnflag", "b")
+            .agg(F.sort_array(F.collect_list("v")).alias("vals"))
+            .collect()
+        ):
+            vals = r["vals"]
+            for k, off in sel[(r["l_returnflag"], r["b"])]:
+                kval[r["l_returnflag"]][k] = float(vals[off])
 
-    def pick(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        g, b = key[0], key[1]
-        vals = np.sort(pdf["v"].to_numpy())
-        pairs = sel[(g, b)]
-        return pd.DataFrame(
-            {
-                "l_returnflag": [g] * len(pairs),
-                "k": [k for k, _ in pairs],
-                "v": [float(vals[off]) for _, off in pairs],
-            }
-        )
-
-    picked = (
-        lib.join(F.broadcast(ndf), ["l_returnflag", "b"], "left_semi")
-        .groupBy("l_returnflag", "b")
-        .applyInPandas(pick, pick_schema)
-        .collect()
-    )
-    kval: dict[str, dict[int, float]] = {g: {} for g in stats}
-    for row in picked:
-        kval[row["l_returnflag"]][row["k"]] = row["v"]
     out = [
         (
             g,
@@ -282,9 +288,20 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for (k, k1, frac) in (need[g][q] for q in qs)
             ],
         )
-        for g in sorted(stats)
+        for g in sorted(hist)
     ]
-    ps = spark.createDataFrame(out, "l_returnflag string, p50 double, p90 double, p99 double")
+    # literal VALUES -> LocalRelation: no parallelize job for the
+    # 3-row result (createDataFrame costs a full job at action time).
+    # repr() is the shortest round-tripping decimal form of a double,
+    # so parsing it back yields the bit-identical value.
+    vals = ", ".join(
+        "('%s', CAST(%r AS DOUBLE), CAST(%r AS DOUBLE), CAST(%r AS DOUBLE))"
+        % (g.replace("'", "''"), p50, p90, p99)
+        for g, p50, p90, p99 in out
+    )
+    ps = spark.sql(
+        f"SELECT * FROM VALUES {vals} AS t(l_returnflag, p50, p90, p99)"
+    )
     return ps.select(
         "l_returnflag",
         *[(F.round(F.col(c) * 1e4) / 1e4).alias(c) for c in ["p50", "p90", "p99"]],

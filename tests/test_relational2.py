@@ -77,25 +77,30 @@ def test_sample_stratified_proportions(spark, sf_dir):
         assert r.within_bounds, (r.c_mktsegment, r.n_total)
 
 
-def test_agg_percentile_paths_agree(spark, sf_dir, monkeypatch):
-    """The cost-based cutover must be value-invisible: the histogram
-    refinement path (forced via a zero threshold) and the small-input
-    sort path produce identical rounded quantiles."""
-    small = {r.l_returnflag: (r.p50, r.p90, r.p99)
-             for r in relational2.agg_percentile(spark, sf_dir).collect()}
-    monkeypatch.setattr(relational2, "AGG_PCTL_SORT_MAX_ROWS", 0)
-    hist = {r.l_returnflag: (r.p50, r.p90, r.p99)
-            for r in relational2.agg_percentile(spark, sf_dir).collect()}
-    assert small == hist
+def test_agg_percentile_matches_numpy(spark, sf_dir):
+    """The two-pass log-bucket refinement must reproduce numpy's
+    'linear' quantile exactly (modulo the 1e-4 output rounding) on the
+    real lineitem distribution."""
+    import numpy as np
+    import pytest as pt
+
+    got = {r.l_returnflag: (r.p50, r.p90, r.p99)
+           for r in relational2.agg_percentile(spark, sf_dir).collect()}
+    li = relational2.sources.load(spark, sf_dir, "lineitem")
+    pdf = li.select("l_returnflag", "l_extendedprice").toPandas()
+    for g, sub in pdf.groupby("l_returnflag"):
+        exp = np.quantile(sub["l_extendedprice"].to_numpy(), [0.5, 0.9, 0.99],
+                          method="linear")
+        assert got[g] == pt.approx(tuple(exp), abs=1.1e-4), g
 
 
-def test_agg_percentile_histogram_path_edge_distributions(spark, sf_dir, monkeypatch):
-    """The histogram-refinement path against adversarial group shapes:
-    constant group (degenerate lo==hi bucket expr), single element
-    (k+1 clamp), duplicate-heavy (one bucket holds several needed
-    order statistics), heavy log-normal skew (nearly all mass in
-    bucket 0), and negatives. Each must reproduce numpy's linear
-    quantile exactly (modulo the 1e-4 output rounding)."""
+def test_agg_percentile_histogram_path_edge_distributions(spark, sf_dir):
+    """The log-bucket refinement against adversarial group shapes:
+    constant group (min==max bucket resolves without pass 2), single
+    element (k+1 clamp), duplicate-heavy (single-valued buckets hold
+    several needed order statistics), heavy log-normal skew, and
+    negatives (mirrored bucket encoding). Each must reproduce numpy's
+    linear quantile exactly (modulo the 1e-4 output rounding)."""
     from unittest import mock
 
     import numpy as np
@@ -112,7 +117,6 @@ def test_agg_percentile_histogram_path_edge_distributions(spark, sf_dir, monkeyp
     }
     rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
     df = spark.createDataFrame(rows, "l_returnflag string, l_extendedprice double")
-    monkeypatch.setattr(relational2, "AGG_PCTL_SORT_MAX_ROWS", 0)
     with mock.patch.object(relational2.sources, "load", lambda *_a: df):
         got = {
             r.l_returnflag: (r.p50, r.p90, r.p99)
