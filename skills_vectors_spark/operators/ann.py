@@ -171,27 +171,97 @@ def recall_lsh_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "eval_recall_lsh",
-    # Gate-column oracle: n_queries is checked for real (the query-set
-    # definition is vec_id < N_QUERIES); recall_ok is computed
-    # Spark-side from the seeded-LSH results and asserted against the
-    # constant TRUE. Self-attested gate — the value-level assertions
-    # live in tests/test_ann.py (mean recall floor vs knn_exact).
-    f"""
-    SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < {N_QUERIES}
-    """,
-)
+def _lsh_oracle_sql() -> str:
+    """DuckDB replica of the ENTIRE LSH evaluation — signatures,
+    candidate generation, exact re-rank, gold top-K, and recall — so
+    the gate is cross-engine computed, not Spark-attested. The seeded
+    hyperplanes are deterministic, so they embed as literals (200
+    rows of 64 doubles; repr() round-trips each double exactly).
+    Sign-of-dot bucket bits agree across engines because both
+    evaluate in float64 and a plane/vector dot landing within
+    reassociation distance (~1e-15) of exactly 0 has negligible
+    probability (~1e-8 over the corpus). All recall arithmetic stays
+    in exact integers (sum of per-query match counts) until one final
+    division, so there is no float-ordering hazard in the compared
+    values."""
+    planes = _plane_matrix(DIM)
+    rows = []
+    for t in range(N_TABLES):
+        for p in range(N_PLANES):
+            vec = ", ".join(repr(float(x)) for x in planes[t * N_PLANES + p])
+            rows.append(f"({t}, {p}, [{vec}])")
+    values = ", ".join(rows)
+    return f"""
+    WITH planes(t, p, pl) AS (VALUES {values}),
+    vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    sigs AS (
+      SELECT v.vec_id, pl.t,
+             CAST(sum(CASE WHEN list_dot_product(v.emb, pl.pl) > 0
+                           THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+      FROM vecs v CROSS JOIN planes pl
+      GROUP BY v.vec_id, pl.t
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+      FROM sigs q JOIN sigs c ON q.t = c.t AND q.bucket = c.bucket
+      WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    ),
+    approx AS (
+      SELECT q_id, c_id FROM (
+        SELECT cand.q_id, cand.c_id,
+               row_number() OVER (
+                 PARTITION BY cand.q_id
+                 ORDER BY list_cosine_similarity(qv.emb, cv.emb) DESC, cand.c_id
+               ) AS rnk
+        FROM cand
+        JOIN vecs qv ON qv.vec_id = cand.q_id
+        JOIN vecs cv ON cv.vec_id = cand.c_id
+      ) WHERE rnk <= {K}
+    ),
+    gold AS (
+      SELECT q_id, c_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id
+               ) AS rnk
+        FROM vecs q JOIN vecs c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rnk <= {K}
+    ),
+    recall AS (
+      SELECT g.q_id, count(a.c_id) AS n_match
+      FROM gold g LEFT JOIN approx a ON a.q_id = g.q_id AND a.c_id = g.c_id
+      GROUP BY g.q_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(n_match) AS BIGINT) AS n_match_total,
+           round(sum(n_match) / (count(*) * {K}.0) * 1e6) / 1e6 AS mean_recall,
+           sum(n_match) / (count(*) * {K}.0) >= {RECALL_GATE} AS recall_ok
+    FROM recall
+    """
+
+
+@register("eval_recall_lsh", _lsh_oracle_sql())
 def eval_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-hashable summary of :func:`recall_lsh_per_query`: the
     reference's pass/fail evaluation verdict (skills_for_jobs.py:
-    354-355) as one row — how many queries were evaluated and whether
-    mean recall@K clears the 0.8 floor."""
+    354-355) as one row — how many queries were evaluated, the total
+    and mean recall@K, and whether mean recall clears the 0.8 floor.
+    The oracle recomputes the whole seeded-LSH pipeline in DuckDB
+    (see :func:`_lsh_oracle_sql`), so every output column — including
+    the gate itself — is verified cross-engine."""
     per_q = recall_lsh_per_query(spark, sf_dir)
+    kf = float(K)
     return per_q.agg(
         F.count("*").cast("long").alias("n_queries"),
-        (F.avg("recall") >= F.lit(RECALL_GATE)).alias("recall_ok"),
+        F.sum("n_match").cast("long").alias("n_match_total"),
+        (F.round(F.sum("n_match") / (F.count("*") * kf) * 1e6) / 1e6).alias(
+            "mean_recall"
+        ),
+        (F.sum("n_match") / (F.count("*") * kf) >= RECALL_GATE).alias("recall_ok"),
     )
 
 

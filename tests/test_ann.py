@@ -42,8 +42,10 @@ def test_eval_recall_lsh_shape(spark, sf_dir):
     summary = ann.eval_recall_lsh(spark, sf_dir).collect()
     assert len(summary) == 1
     assert summary[0].n_queries == N_QUERIES
-    mean_recall = sum(r.recall for r in rows) / len(rows)
+    assert summary[0].n_match_total == sum(r.n_match for r in rows)
+    mean_recall = sum(r.n_match for r in rows) / (len(rows) * K)
     assert summary[0].recall_ok == (mean_recall >= ann.RECALL_GATE)
+    assert abs(summary[0].mean_recall - mean_recall) < 1e-6
 
 
 @degraded_gate_xfail
