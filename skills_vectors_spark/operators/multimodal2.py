@@ -124,6 +124,13 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .collect()  # bounded: <= N_BLOB_FILES rows by the filter above
     )
+    # the scan set must be EXACTLY the written set: a stale *.bin left
+    # by an earlier run (e.g. after lowering N_BLOB_FILES) would match
+    # the glob and break the oracle's row-count/md5 parity
+    expected = {f"blob_{r.doc_id}.bin" for r in docs}
+    for leftover in blob_dir.glob("*.bin"):
+        if leftover.name not in expected:
+            leftover.unlink()
     for r in docs:
         (blob_dir / f"blob_{r.doc_id}.bin").write_bytes(r.text.encode("utf-8"))
     scan = (

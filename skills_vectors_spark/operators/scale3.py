@@ -418,7 +418,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded-iteration sibling with convergence detection +
     localCheckpoint is dedup_clusters, operators/dedup.py:578).
     Per-iteration 10-dp rounding in BOTH engines stops float
-    summation-order drift from compounding.
+    summation-order drift from compounding. Residual oracle risk,
+    documented rather than hidden: a partial sum landing within
+    ~1e-15 of a 1e-10 rounding boundary could still round differently
+    per engine and then compound — ~1e-5 probability per value per
+    iteration, never observed across the attested tiers. If it ever
+    trips at a larger tier, the correct fix is tolerance-based
+    comparison (abs 1e-6, matching the output rounding), not more
+    rounding.
     """
     o = sources.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = sources.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -458,6 +465,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.lit(0.15 / n) + PR_DAMP * F.sum("w"), 10).alias("pr"))
             .localCheckpoint()
         )
+    # the eager checkpoint makes the final ranks self-contained, so
+    # the iteration-only caches can release their executor blocks now
+    # instead of living until session teardown (cache-pressure lesson
+    # from the r4 suite runs, SCALING.md)
+    edges.unpersist()
+    deg.unpersist()
     return ranks.select("node", F.round("pr", 6).alias("pr"))
 
 
@@ -530,10 +543,19 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical in both engines, so the entire sketch — not just a
     gate — is exact-oracle-checked.
     """
-    d = sources.load(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
-    toks = d.select(F.explode(F.split(norm, " ")).alias("tok"))
-    cnts = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt")).cache()
+    from skills_vectors_spark.cache import cached_df
+
+    def build_counts() -> DataFrame:
+        d = sources.load(spark, sf_dir, "documents")
+        norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+        toks = d.select(F.explode(F.split(norm, " ")).alias("tok"))
+        return toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+
+    # session cache module, not a bare .cache(): the returned plan
+    # references the counts 4x, and routing through cached_df means
+    # session teardown / bench cache-clear releases the blocks (the
+    # r4 leak the advisor flagged)
+    cnts = cached_df("cms_token_counts", spark, sf_dir, build_counts)
     total = cnts.agg(F.sum("cnt").alias("tot"))
     seeds = F.explode(F.array(*[F.lit(s) for s in CMS_SEEDS])).alias("seed")
     cms = (
@@ -676,6 +698,9 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_n = li.join(F.broadcast(hits), li.l_orderkey == hits.k, "left_semi").count()
     true_n = li.join(F.broadcast(build), li.l_orderkey == build.k, "left_semi").count()
     probe_n = li.count()
+    # every action that reads the build side has run; free its blocks
+    # rather than holding them until session teardown
+    build.unpersist()
     fp = cand_n - true_n
     # gate: no false negatives, and fp <= ceil(5% of non-member rows)
     # (integer form: 20*fp <= nonmember + 19 — engine-identical)

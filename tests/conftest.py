@@ -34,13 +34,18 @@ def sf_dir():
 # synthetic tier the dense-shingle corpus breaks simhash precision
 # and the near-random vectors break quantized-ANN (pq / ivf_pq)
 # recall — honestly, by algorithm weakness, not by bug. Tests that
-# pin those gates xfail(strict) at the degraded tiers: an unexpected
-# PASS there is an error too, so the gates stay falsifiable in both
-# directions.
-DEGRADED_SF = Path(SF_SMOKE).name not in ("sf0.001", "sf0.01")
+# pin those gates xfail at the KNOWN-degraded tiers, strictly — an
+# unexpected PASS there is an error too, so the gates stay
+# falsifiable in both directions. Tiers not on the allowlist (a new
+# intermediate SF, or the same data under another directory name) get
+# a NON-strict xfail: the gate may legitimately pass there, and that
+# must not turn into a hard error.
+_KNOWN_DEGRADED = ("sf0.1", "svs_sf1")
+_tier = Path(SF_SMOKE).name
+DEGRADED_SF = _tier not in ("sf0.001", "sf0.01")
 degraded_gate_xfail = pytest.mark.xfail(
     condition=DEGRADED_SF,
     reason="documented adversarial-corpus degradation at this SF "
     "(SCALING.md): quantized-ANN recall / simhash precision",
-    strict=True,
+    strict=_tier in _KNOWN_DEGRADED,
 )
