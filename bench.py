@@ -4,6 +4,17 @@ ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
 
 Each query executes fully via the noop sink (no result serialization
 to Python — measures the engine, not the driver pickle path).
+
+Isolation protocol (round-over-round adjudication): suite-mode
+numbers move with SUITE composition — a growing query set raises
+executor cache pressure and GC on every member, so a +x% drift on
+one query between rounds cannot distinguish "this query regressed"
+from "the suite around it grew" (the r4 lesson: a +14% 43-query
+overlap drift with zero plan changes). `bench.py --isolate q1 q2 ...`
+answers that: each named query runs in its OWN fresh process/JVM
+(warmup + min-of-3), immune to suite composition by construction.
+Compare isolated numbers across rounds to adjudicate; suite mode
+remains the headline (it measures the amortized production mix).
 """
 
 from __future__ import annotations
@@ -82,7 +93,92 @@ HEADLINE = [
 ]
 
 
+def _extras() -> dict:
+    """Sketch-only production variants benched alongside the
+    registered exact forms."""
+    from skills_vectors_spark.operators.dedup import dedup_ngram_jaccard_production
+    from skills_vectors_spark.operators.relational2 import approx_percentile_production
+    from skills_vectors_spark.operators.scale2 import hll_sketch_production
+
+    return {
+        "approx_percentile_production": approx_percentile_production,
+        "hll_sketch_production": hll_sketch_production,
+        "dedup_ngram_jaccard_production": dedup_ngram_jaccard_production,
+    }
+
+
+def _sf_value(sf_dir: str):
+    sf = Path(sf_dir).name.replace("sf", "")
+    return float(sf) if sf.replace(".", "").isdigit() else sf
+
+
+def run_isolated(names: list[str]) -> None:
+    """One fresh process (and so one fresh JVM) per query: warmup +
+    min-of-3 steady state, unaffected by any other query's cached
+    blocks, shuffle files, or GC debt."""
+    import subprocess
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    timings: dict[str, float] = {}
+    for name in names:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True,
+            text=True,
+        )
+        lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"isolated run of {name} failed:\n{r.stderr[-2000:]}")
+        timings[name] = json.loads(lines[-1])["queries"][name]
+    print(
+        json.dumps(
+            {
+                "metric": "isolated_queries_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_value(sf_dir),
+            }
+        )
+    )
+
+
+def run_one(name: str) -> None:
+    """Child of --isolate: measure ONE query in this fresh process."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench_isolated")
+    spark.sparkContext.setLogLevel("ERROR")
+    from skills_vectors_spark import cache
+
+    fn = _extras().get(name) or registry.QUERIES[name]
+    best = None
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warmup
+    for _ in range(3):
+        cache.clear()
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        best = dt if best is None else min(best, dt)
+    print(
+        json.dumps(
+            {
+                "metric": "isolated_query_wall",
+                "value": best,
+                "unit": "sec",
+                "queries": {name: best},
+                "sf": _sf_value(sf_dir),
+            }
+        )
+    )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--isolate":
+        run_isolated(sys.argv[2:] or HEADLINE)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+        run_one(sys.argv[2])
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -117,15 +213,7 @@ def main() -> None:
     # sketch-only production variants: the constant-memory forms the
     # exact+gate registered queries trade into at 100 TB. Benched
     # alongside so the production path has its own wall-clock row.
-    from skills_vectors_spark.operators.dedup import dedup_ngram_jaccard_production
-    from skills_vectors_spark.operators.relational2 import approx_percentile_production
-    from skills_vectors_spark.operators.scale2 import hll_sketch_production
-
-    extras = {
-        "approx_percentile_production": approx_percentile_production,
-        "hll_sketch_production": hll_sketch_production,
-        "dedup_ngram_jaccard_production": dedup_ngram_jaccard_production,
-    }
+    extras = _extras()
 
     timings: dict[str, float] = {}
     for _ in range(2):
@@ -142,7 +230,6 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 
-    sf = Path(sf_dir).name.replace("sf", "")
     print(
         json.dumps(
             {
@@ -150,7 +237,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": _sf_value(sf_dir),
             }
         )
     )

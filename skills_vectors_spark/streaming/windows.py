@@ -405,14 +405,21 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def transform_with_state_available() -> bool:
-    """transformWithStateInPandas speaks protobuf to its state server;
-    the runtime lacks google.protobuf (no installs in this container),
-    so the query registers only where the dependency exists."""
+    """transformWithStateInPandas speaks protobuf to its state server.
+    This runtime has no google.protobuf wheel, so activation goes
+    through the vendored minimal runtime (protocompat/_vendor) — the
+    probe loads the generated StateMessage module end-to-end, which
+    exercises descriptor parsing and class building, not just an
+    import of the shim package."""
+    from skills_vectors_spark import protocompat
+
+    if not protocompat.ensure_local():
+        return False
     try:
-        from google.protobuf import descriptor  # noqa: F401
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
 
         return True
-    except ImportError:
+    except Exception:
         return False
 
 
@@ -426,6 +433,13 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch GROUP BY, which is the oracle. Ties on max value break
     toward the lowest event_id in both formulations."""
     import pandas as pd
+
+    from skills_vectors_spark import protocompat
+
+    # the StatefulProcessor's state calls run in the WORKER python
+    # processes; ship the vendored protobuf runtime to them (no-op
+    # when a real wheel exists)
+    protocompat.ensure_workers(spark)
 
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
