@@ -37,28 +37,37 @@ def test_sweep_window_prioritizes_least_attested():
     registry.load_all()
     window = list(registry.QUERIES)[:50]
     for must in [
-        # relational2: r1 stale-fails + r3-rewritten
-        "join_asof",
-        "seq_funnel",
-        "win_islands",
-        "win_range_interval",
-        "agg_filtered",
-        "agg_mode",
-        "fn_try_arith",
-        "agg_approx_percentile",
-        "sample_stratified",
+        # changed in r5 — must re-attest on current code
+        "dedup_url",
+        "eval_recall_lsh",
+        "stream_transform_state",
+        "graph_pagerank",
+        "agg_heavy_hitters",
+        "join_bloom_prefilter",
+        "scan_binaryfile",
         "agg_percentile",
-        "sql_api_region_revenue",
-        "sql_api_topk_revenue",
-        # relevance: rewritten trio + newcomer
-        "text_tfidf_sim",
-        "text_bm25_search",
-        "quality_perplexity",
-        "search_hybrid_rrf",
-        # promoted r3 newcomers
-        "mix_corpus",
-        "split_train_eval",
-        "eval_dedup_compare",
-        "stream_foreach_batch",
+        # r2-vintage rotation (r4 verdict's top ask)
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_clusters",
+        "dedup_embed_cosine",
+        "dedup_apply",
+        "dedup_containment",
+        "dedup_decontaminate",
+        "mm_image_features",
+        "mm_arrow_bytes",
+        "embed_mock",
+        "embed_with_status",
+        "embed_provider_switch",
+        "knn_exact_l2",
+        "eval_avgsim",
+        "eval_recall",
+        "report_pivot",
+        "dedup_embed_cosine_blas",
+        "sim_topk_bruteforce",
+        "embed_project_pca",
+        "stream_tumbling",
+        "stream_stateful",
+        "stream_join_interval",
     ]:
         assert must in window, f"{must} fell out of the 50-query sweep window"
