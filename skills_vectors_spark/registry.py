@@ -55,6 +55,7 @@ _PROMOTED = [
     "dedup_url",
     "eval_recall_lsh",
     "stream_transform_state",
+    "stream_transform_topk",
     "graph_pagerank",
     "agg_heavy_hitters",
     "join_bloom_prefilter",

@@ -511,6 +511,102 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_transform_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user top-3 (value, event_id) via the Spark 4 arbitrary-state
+    ListState — the second transformWithStateInPandas seat, exercising
+    the typed-list RocksDB state variable (ListStatePut/Get, paginated
+    fetch) next to stream_transform_state's ValueState. State per user
+    is a bounded 3-element list + one counter regardless of stream
+    length; for fully-arrived bounded input the final list equals the
+    batch per-group top-3, which is the oracle. Ties break toward the
+    lowest event_id in both formulations."""
+    import pandas as pd
+
+    from skills_vectors_spark import protocompat
+
+    protocompat.ensure_workers(spark)
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("rnk", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+
+    class TopKProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getListState("top3", "value DOUBLE, event_id BIGINT")
+            self._n = handle.getValueState("nseen", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = (
+                [(float(v), int(e)) for (v, e) in self._top.get()]
+                if self._top.exists()
+                else []
+            )
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+                for v, eid in zip(pdf["value"], pdf["event_id"]):
+                    cur.append((float(v), int(eid)))
+            cur.sort(key=lambda t: (-t[0], t[1]))
+            cur = cur[:3]
+            self._top.put(cur)
+            self._n.update((n,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(cur),
+                    "n_seen": [n] * len(cur),
+                    "rnk": list(range(1, len(cur) + 1)),
+                    "value": [v for v, _ in cur],
+                    "event_id": [e for _, e in cur],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = stream_events(spark, sf_dir).select("user_id", "event_id", "value")
+        profiled = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=TopKProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        out = run_to_completion(profiled, mode="update")
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    from pyspark.sql.window import Window as W
+
+    # keep only each user's FINAL emission (highest n_seen) — earlier
+    # micro-batches emitted interim top-3 snapshots in Update mode
+    final = out.withColumn("_maxn", F.max("n_seen").over(W.partitionBy("user_id")))
+    return (
+        final.filter(F.col("n_seen") == F.col("_maxn"))
+        .select(
+            "user_id",
+            "rnk",
+            (F.round(F.col("value") * 100) / 100).alias("value"),
+            "event_id",
+        )
+    )
+
+
 if transform_with_state_available():  # pragma: no cover - env-dependent
     register(
         "stream_transform_state",
@@ -528,3 +624,17 @@ if transform_with_state_available():  # pragma: no cover - env-dependent
         FROM ranked GROUP BY user_id
         """,
     )(stream_transform_state)
+    register(
+        "stream_transform_topk",
+        """
+        WITH ranked AS (
+          SELECT user_id, value, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id ASC) AS rnk
+          FROM events
+        )
+        SELECT user_id, CAST(rnk AS BIGINT) AS rnk,
+               round(value * 100) / 100 AS value, event_id
+        FROM ranked WHERE rnk <= 3
+        """,
+    )(stream_transform_topk)

@@ -134,6 +134,39 @@ def test_stream_transform_state_matches_batch(spark, sf_dir):
     assert got == gold
 
 
+def test_stream_transform_topk_matches_batch(spark, sf_dir):
+    import pytest
+
+    from skills_vectors_spark.streaming.windows import (
+        stream_transform_topk,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf not available in this runtime")
+
+    got = {
+        (r.user_id, r.rnk): (r.value, r.event_id)
+        for r in stream_transform_topk(spark, sf_dir).collect()
+    }
+    ev = sources.load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    gold_df = (
+        ev.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "user_id",
+            "rnk",
+            (F.round(F.col("value") * 100) / 100).alias("value"),
+            "event_id",
+        )
+    )
+    gold = {(r.user_id, r.rnk): (r.value, r.event_id) for r in gold_df.collect()}
+    assert got == gold
+
+
 def test_embed_project_pca_shapes_and_error(spark, sf_dir):
     from skills_vectors_spark.operators import vector_blas
 
