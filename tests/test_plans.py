@@ -99,3 +99,52 @@ def test_composite_text_queries_persist_shared_subtrees(spark, sf_dir):
     # Exchanges for tfidf)
     assert PlanFacts.of(text_tfidf_sim(spark, sf_dir)).n_exchanges_live <= 10
     assert PlanFacts.of(text_bm25_search(spark, sf_dir)).n_exchanges_live <= 12
+
+
+def test_dedup_url_canonicalization_stays_in_codegen(spark, sf_dir):
+    from skills_vectors_spark.operators.scale3 import dedup_url
+    from skills_vectors_spark.plans import physical_plan
+
+    # the r5 rewrite keeps canonicalization in whole-stage codegen
+    # with the anchored single-pattern extraction: no Python stage
+    # (the Arrow variant measured slower), and exactly two exchanges
+    # (parallelism repartition + the canonical-key groupBy)
+    plan = physical_plan(dedup_url(spark, sf_dir))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "MapInArrow" not in plan and "MapInPandas" not in plan, plan
+    facts = PlanFacts.of(dedup_url(spark, sf_dir))
+    assert facts.n_exchanges_live <= 2, facts.n_exchanges_live
+
+
+def test_agg_percentile_two_pass_structure(spark, sf_dir):
+    """The exact-quantile refinement must stay two JVM passes: the
+    returned result is a LocalRelation (values computed from the two
+    bounded collects), and no Python workers appear anywhere — the r3
+    form shipped full groups through applyInPandas."""
+    from unittest import mock
+
+    from skills_vectors_spark.operators import relational2
+
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDataFrame
+
+    collected_plans = []
+    orig = ClassicDataFrame.collect
+
+    def spy(df):
+        collected_plans.append(df._jdf.queryExecution().executedPlan().toString())
+        return orig(df)
+
+    with mock.patch.object(ClassicDataFrame, "collect", spy):
+        out = relational2.agg_percentile(spark, sf_dir)
+    assert len(collected_plans) == 2, f"expected 2 passes, got {len(collected_plans)}"
+    for plan in collected_plans:
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+    # pass 2 must be guarded by the cheap long-typed IN prefilter
+    assert " IN (" in collected_plans[1] or "isin" in collected_plans[1].lower(), (
+        collected_plans[1]
+    )
+    from skills_vectors_spark.plans import physical_plan
+
+    assert "LocalTableScan" in physical_plan(out) or "LocalRelation" in physical_plan(
+        out
+    )
