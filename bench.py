@@ -90,6 +90,8 @@ HEADLINE = [
     "stream_cms_counters",
     "join_bloom_prefilter",
     "scan_binaryfile",
+    "stream_transform_state",
+    "stream_transform_topk",
 ]
 
 
