@@ -56,6 +56,7 @@ _PROMOTED = [
     "eval_recall_lsh",
     "stream_transform_state",
     "stream_transform_topk",
+    "stream_transform_typecounts",
     "graph_pagerank",
     "agg_heavy_hitters",
     "join_bloom_prefilter",

@@ -607,6 +607,98 @@ def stream_transform_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_transform_typecounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type histogram via the Spark 4 arbitrary-state
+    MapState — the third and final state-variable kind (typed
+    key->value map in RocksDB: getValue/containsKey/updateValue and
+    the paginated iterator all exercised), completing the
+    ValueState / ListState / MapState trio. State per user is one
+    counter per DISTINCT event type — bounded by type cardinality,
+    not stream length; for fully-arrived bounded input the final map
+    equals the batch (user, type) GROUP BY, which is the oracle."""
+    import pandas as pd
+
+    from skills_vectors_spark import protocompat
+
+    protocompat.ensure_workers(spark)
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    class TypeCountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "type_counts", "event_type STRING", "n BIGINT"
+            )
+            self._n = handle.getValueState("nseen", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            batch: dict[str, int] = {}
+            for pdf in rows:
+                n += len(pdf)
+                for et in pdf["event_type"]:
+                    batch[str(et)] = batch.get(str(et), 0) + 1
+            for et, c in batch.items():
+                prev = (
+                    self._counts.getValue((et,))
+                    if self._counts.containsKey((et,))
+                    else None
+                )
+                self._counts.updateValue((et,), ((prev[0] if prev else 0) + c,))
+            self._n.update((n,))
+            items = [(k[0], v[0]) for k, v in self._counts.iterator()]
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(items),
+                    "n_seen": [n] * len(items),
+                    "event_type": [k for k, _ in items],
+                    "n": [v for _, v in items],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = stream_events(spark, sf_dir).select("user_id", "event_type")
+        profiled = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=TypeCountProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        out = run_to_completion(profiled, mode="update")
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    from pyspark.sql.window import Window as W
+
+    # each user's FINAL emission carries the complete map snapshot
+    final = out.withColumn("_maxn", F.max("n_seen").over(W.partitionBy("user_id")))
+    return (
+        final.filter(F.col("n_seen") == F.col("_maxn"))
+        .select("user_id", "event_type", "n")
+        .distinct()
+    )
+
+
 if transform_with_state_available():  # pragma: no cover - env-dependent
     register(
         "stream_transform_state",
@@ -638,3 +730,10 @@ if transform_with_state_available():  # pragma: no cover - env-dependent
         FROM ranked WHERE rnk <= 3
         """,
     )(stream_transform_topk)
+    register(
+        "stream_transform_typecounts",
+        """
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type
+        """,
+    )(stream_transform_typecounts)

@@ -167,6 +167,31 @@ def test_stream_transform_topk_matches_batch(spark, sf_dir):
     assert got == gold
 
 
+def test_stream_transform_typecounts_matches_batch(spark, sf_dir):
+    import pytest
+
+    from skills_vectors_spark.streaming.windows import (
+        stream_transform_typecounts,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf not available in this runtime")
+
+    got = {
+        (r.user_id, r.event_type): r.n
+        for r in stream_transform_typecounts(spark, sf_dir).collect()
+    }
+    ev = sources.load(spark, sf_dir, "events")
+    gold = {
+        (r.user_id, r.event_type): r.n
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    }
+    assert got == gold
+
+
 def test_embed_project_pca_shapes_and_error(spark, sf_dir):
     from skills_vectors_spark.operators import vector_blas
 
