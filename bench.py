@@ -92,6 +92,7 @@ HEADLINE = [
     "scan_binaryfile",
     "stream_transform_state",
     "stream_transform_topk",
+    "stream_transform_typecounts",
 ]
 
 

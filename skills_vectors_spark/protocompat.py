@@ -78,6 +78,8 @@ def ensure_workers(spark) -> None:
     """Ship the vendored runtime to this application's Python workers
     (no-op when the workers' interpreter already has the real wheel —
     i.e. when the driver import resolved outside the vendor dir)."""
+    if not ensure_local():
+        raise ImportError("protobuf shim failed to load (see protocompat)")
     import google.protobuf
 
     if not google.protobuf.__file__.startswith(_VENDOR_DIR):
