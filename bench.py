@@ -93,6 +93,8 @@ HEADLINE = [
     "stream_transform_state",
     "stream_transform_topk",
     "stream_transform_typecounts",
+    "retention_cohorts",
+    "seq_transitions",
 ]
 
 

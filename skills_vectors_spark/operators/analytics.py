@@ -1,0 +1,141 @@
+"""Behavioral-analytics wave (round 5): cohort retention and event
+transitions — the two classic product-analytics operators the
+registry lacked next to its funnel (seq_funnel) and sessionization
+(sessionize_batch) seats.
+
+Reference tie: the reference's evaluation loop reduces per-user
+match behavior to summary tables (/root/reference/skills_for_jobs.py:354-387);
+these operators are the same user-grain reduction applied to the
+event stream, the workload any training-data/product pipeline runs
+to understand its users before sampling from them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from skills_vectors_spark import sources
+from skills_vectors_spark.registry import register
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS age_days
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ),
+    sizes AS (
+      SELECT cohort_day, count(*) AS cohort_size
+      FROM firsts GROUP BY cohort_day
+    )
+    SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(a.age_days AS BIGINT) AS age_days,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           round(count(*) / CAST(s.cohort_size AS DOUBLE) * 1e6) / 1e6
+             AS retention
+    FROM activity a JOIN sizes s ON a.cohort_day = s.cohort_day
+    GROUP BY a.cohort_day, a.age_days, s.cohort_size
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by their first
+    active day; each (cohort_day, age_days) cell counts distinct
+    users from that cohort active that many days later, plus the
+    retention fraction — the standard product-analytics triangle.
+
+    Scale shape: one shuffle on user_id computes first-day per user;
+    the activity join reuses the same user_id partitioning (no extra
+    fact shuffle beyond the user-grain exchange); the final
+    (cohort, age) agg is map-side-combinable over at most
+    |cohorts| x |ages| cells — days x days, tiny at any corpus size.
+    Cohort sizes ride the same firsts subtree, not a second scan of
+    the fact table.
+    """
+    ev = sources.load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = firsts.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id", "cohort_day", F.datediff("day", "cohort_day").alias("age_days")
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", "age_days")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("age_days").cast("long").alias("age_days"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            (
+                F.round(F.col("n_active") / F.col("cohort_size").cast("double") * 1e6)
+                / 1e6
+            ).alias("retention"),
+        )
+    )
+
+
+@register(
+    "seq_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)
+                 * 1e6) / 1e6 AS p_next
+    FROM pairs
+    """,
+)
+def seq_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (Markov counts): each
+    user's timeline ordered by (ts, event_id) yields (prev, next)
+    pairs; counts plus the row-normalized transition probability —
+    the path-analysis primitive behind sankey/flow views and
+    next-action models.
+
+    Scale shape: ONE shuffle on user_id feeds the lag window; the
+    pair count is map-side-combinable into |types|^2 cells and the
+    probability normalization windows over those same tiny cells —
+    nothing after the first exchange scales with the corpus.
+    """
+    ev = sources.load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    wprev = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        (F.round(F.col("n") / F.sum("n").over(wprev).cast("double") * 1e6) / 1e6).alias(
+            "p_next"
+        ),
+    )

@@ -57,6 +57,8 @@ _PROMOTED = [
     "stream_transform_state",
     "stream_transform_topk",
     "stream_transform_typecounts",
+    "retention_cohorts",
+    "seq_transitions",
     "graph_pagerank",
     "agg_heavy_hitters",
     "join_bloom_prefilter",
@@ -149,6 +151,7 @@ def load_all() -> None:
     import skills_vectors_spark.operators.relational2  # noqa: F401
     import skills_vectors_spark.operators.scale3  # noqa: F401
     import skills_vectors_spark.operators.multimodal2  # noqa: F401
+    import skills_vectors_spark.operators.analytics  # noqa: F401
 
     # Reorder deterministically — not by import-time insertion, which
     # test collection or ad-hoc imports can perturb. Within-module

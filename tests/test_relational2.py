@@ -125,3 +125,35 @@ def test_agg_percentile_histogram_path_edge_distributions(spark, sf_dir):
     for g, vs in groups.items():
         exp = np.quantile(np.array(vs), [0.5, 0.9, 0.99], method="linear")
         assert got[g] == pt.approx(tuple(exp), abs=1.1e-4), g
+
+
+def test_retention_cohorts_invariants(spark, sf_dir):
+    from skills_vectors_spark.operators.analytics import retention_cohorts
+
+    rows = retention_cohorts(spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert 0 < r.n_active <= r.cohort_size
+        assert abs(r.retention - round(r.n_active / r.cohort_size, 6)) < 1e-9
+        by_cohort.setdefault(r.cohort_day, {})[r.age_days] = r
+    for cohort, ages in by_cohort.items():
+        # day 0 retention is definitionally 1.0 (everyone active on
+        # their own first day)
+        assert 0 in ages and ages[0].retention == 1.0, cohort
+        assert ages[0].n_active == ages[0].cohort_size
+
+
+def test_seq_transitions_rows_normalize(spark, sf_dir):
+    from collections import defaultdict
+
+    from skills_vectors_spark.operators.analytics import seq_transitions
+
+    rows = seq_transitions(spark, sf_dir).collect()
+    assert rows
+    per_prev = defaultdict(float)
+    for r in rows:
+        assert r.n > 0 and 0 < r.p_next <= 1
+        per_prev[r.prev_type] += r.p_next
+    for prev, total in per_prev.items():
+        assert abs(total - 1.0) < 1e-4, (prev, total)
