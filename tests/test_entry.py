@@ -41,6 +41,10 @@ def test_sweep_window_prioritizes_least_attested():
         "dedup_url",
         "eval_recall_lsh",
         "stream_transform_state",
+        "stream_transform_topk",
+        "stream_transform_typecounts",
+        "retention_cohorts",
+        "seq_transitions",
         "graph_pagerank",
         "agg_heavy_hitters",
         "join_bloom_prefilter",
