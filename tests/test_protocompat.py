@@ -155,3 +155,72 @@ def test_vendor_zip_importable_standalone(tmp_path):
         env={"PYTHONPATH": zpath, "PATH": "/usr/bin:/bin"},
     )
     assert r.stdout.strip() == "ok", r.stderr
+
+
+# ---------------------------------------------------- property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=0, max_value=2**64 - 1))
+def test_varint_roundtrip_property(v):
+    from google.protobuf._minirt import read_varint, write_varint
+
+    out = bytearray()
+    write_varint(out, v)
+    got, pos = read_varint(bytes(out), 0)
+    assert got == v and pos == len(out)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    status=st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    err=st.text(max_size=40),
+    value=st.binary(max_size=60),
+)
+def test_state_response_roundtrip_property(status, err, value):
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    msg = sm.StateResponse(statusCode=status, errorMessage=err, value=value)
+    back = sm.StateResponse()
+    back.ParseFromString(msg.SerializeToString())
+    assert back.statusCode == status
+    assert back.errorMessage == err
+    assert back.value == value
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    name=st.text(max_size=30),
+    schema=st.text(max_size=30),
+    ttl=st.one_of(st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+)
+def test_state_call_command_roundtrip_property(name, schema, ttl):
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    cmd = sm.StateCallCommand()
+    cmd.stateName = name
+    cmd.schema = schema
+    if ttl is not None:
+        cmd.ttl.durationMs = ttl
+    back = sm.StateCallCommand()
+    back.ParseFromString(cmd.SerializeToString())
+    assert back.stateName == name and back.schema == schema
+    if ttl is not None:
+        assert back.ttl.durationMs == ttl
+    else:
+        assert not back.HasField("ttl")
+
+
+@settings(max_examples=100, deadline=None)
+@given(values=st.lists(st.binary(max_size=30), max_size=10), fetch=st.booleans())
+def test_repeated_bytes_roundtrip_property(values, fetch):
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    put = sm.ListStatePut(value=values, fetchWithArrow=fetch)
+    back = sm.ListStatePut()
+    back.ParseFromString(put.SerializeToString())
+    assert list(back.value) == values
+    assert back.fetchWithArrow == fetch
