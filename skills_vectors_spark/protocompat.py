@@ -66,7 +66,10 @@ def vendor_zip_path(scratch_dir: str) -> str:
         or os.path.getmtime(zpath) < max(os.path.getmtime(f) for f, _ in sources)
     )
     if stale:
-        tmp = zpath + ".tmp"
+        # pid-unique temp + atomic rename: two processes (e.g. pytest
+        # and a driver sim) may build concurrently without corrupting
+        # each other's archive
+        tmp = f"{zpath}.{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w") as zf:
             for full, rel in sources:
                 zf.write(full, rel)
