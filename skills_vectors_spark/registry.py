@@ -34,19 +34,18 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Round-5 window: (a) queries whose code or oracle changed THIS
-# round and therefore must re-attest on current code (dedup_url
-# rewrite + integer-div fix, scale3 cache-unpersist hygiene,
-# scrub_pii prefilter, eval_recall_lsh's oracle-computed recall gate,
-# scan_binaryfile fixture-dir cleanup, the newly activated
-# stream_transform_state, and any perf squeeze of agg_percentile /
-# search_hybrid_rrf); then (b) the r2-vintage families the r4 verdict
-# ordered rotated in — dedup's seven oracle-backed r2 rows (the file
-# took additive edits in r3 AND r4 since those rows), all five
-# multimodal queries, the embed trio, the knn quartet, the
-# vector_blas trio, and the seven r2 streaming queries — after which
-# every oracle-backed query's latest green row is at most two rounds
-# old.
+# Round-5 window: (a) queries whose code or oracle changed or that
+# are NEW this round and therefore must attest on current code
+# (dedup_url rewrite + integer-div fix, the agg_percentile two-pass
+# rebuild, eval_recall_lsh's cross-engine recall oracle, the scale3
+# cache-unpersist hygiene, scan_binaryfile fixture-dir cleanup, the
+# three newly activated arbitrary-state queries, and the analytics
+# pair); then (b) the r2-vintage families the r4 verdict ordered
+# rotated in — dedup's seven oracle-backed r2 rows (the file took
+# additive edits in r3 AND r4 since those rows), all five multimodal
+# queries, the embed trio, the knn quartet, the vector_blas trio,
+# and the seven r2 streaming queries — after which every
+# oracle-backed query's latest green row is at most two rounds old.
 _PROMOTED = [
     # (a) changed this round — least-attested surface, sweep first
     # (scrub_pii and search_hybrid_rrf were slated for perf work but
