@@ -95,6 +95,7 @@ HEADLINE = [
     "stream_transform_typecounts",
     "retention_cohorts",
     "seq_transitions",
+    "ts_gapfill",
 ]
 
 

@@ -140,3 +140,73 @@ def seq_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_next"
         ),
     )
+
+
+@register(
+    "ts_gapfill",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             round(avg(value) * 1e6) / 1e6 AS v
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    spans AS (
+      SELECT user_id, min(h) AS hmin, max(h) AS hmax FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS h
+      FROM spans
+    )
+    SELECT g.user_id, epoch_us(g.h) AS hour_us,
+           last_value(hy.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           hy.v IS NULL AS filled
+    FROM grid g LEFT JOIN hourly hy ON hy.user_id = g.user_id AND hy.h = g.h
+    """,
+)
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap filling: per-user hourly averages
+    densified onto each user's full [first, last] hour grid, missing
+    hours carried forward (LOCF) and flagged — the
+    time_bucket_gapfill primitive every timeseries warehouse ships,
+    the step that turns an irregular event log into a
+    regularly-sampled training series.
+
+    Scale shape: the hourly rollup is one map-side-combinable agg;
+    the grid explode is bounded per user by the CALENDAR SPAN in
+    hours (never by event count); the fill join and the LOCF window
+    share the user_id partitioning. Hourly values are rounded BEFORE
+    the carry-forward so filled cells are bit-identical across
+    engines.
+    """
+    ev = sources.load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", "ts").alias("h"), "value"
+    )
+    hourly = ev.groupBy("user_id", "h").agg(
+        (F.round(F.avg("value") * 1e6) / 1e6).alias("v")
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.unix_micros(F.col("h").cast("timestamp")).alias("hour_us"),
+            F.last("v", ignorenulls=True).over(w).alias("value"),
+            F.col("v").isNull().alias("filled"),
+        )
+    )

@@ -58,6 +58,7 @@ _PROMOTED = [
     "stream_transform_typecounts",
     "retention_cohorts",
     "seq_transitions",
+    "ts_gapfill",
     "graph_pagerank",
     "agg_heavy_hitters",
     "join_bloom_prefilter",

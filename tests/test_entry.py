@@ -45,6 +45,7 @@ def test_sweep_window_prioritizes_least_attested():
         "stream_transform_typecounts",
         "retention_cohorts",
         "seq_transitions",
+        "ts_gapfill",
         "graph_pagerank",
         "agg_heavy_hitters",
         "join_bloom_prefilter",

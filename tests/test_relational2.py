@@ -157,3 +157,25 @@ def test_seq_transitions_rows_normalize(spark, sf_dir):
         per_prev[r.prev_type] += r.p_next
     for prev, total in per_prev.items():
         assert abs(total - 1.0) < 1e-4, (prev, total)
+
+
+def test_ts_gapfill_grid_contiguous_and_locf(spark, sf_dir):
+    from skills_vectors_spark.operators.analytics import ts_gapfill
+
+    rows = ts_gapfill(spark, sf_dir).collect()
+    assert rows
+    HOUR_US = 3_600_000_000
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, urows in by_user.items():
+        urows.sort(key=lambda r: r.hour_us)
+        # dense contiguous hourly grid from first to last hour
+        hours = [r.hour_us for r in urows]
+        assert hours == list(range(hours[0], hours[-1] + 1, HOUR_US)), user
+        # endpoints are observations, and every filled cell carries
+        # the previous cell's value forward
+        assert not urows[0].filled and not urows[-1].filled
+        for prev, cur in zip(urows, urows[1:]):
+            if cur.filled:
+                assert cur.value == prev.value, (user, cur.hour_us)
