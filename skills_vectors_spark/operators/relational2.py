@@ -290,6 +290,10 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for g in sorted(hist)
     ]
+    if not out:  # empty input: VALUES needs >= 1 tuple
+        return spark.createDataFrame(
+            [], "l_returnflag string, p50 double, p90 double, p99 double"
+        )
     # literal VALUES -> LocalRelation: no parallelize job for the
     # 3-row result (createDataFrame costs a full job at action time).
     # repr() is the shortest round-tripping decimal form of a double,

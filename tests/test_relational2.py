@@ -179,3 +179,13 @@ def test_ts_gapfill_grid_contiguous_and_locf(spark, sf_dir):
         for prev, cur in zip(urows, urows[1:]):
             if cur.filled:
                 assert cur.value == prev.value, (user, cur.hour_us)
+
+
+def test_agg_percentile_empty_input(spark, sf_dir):
+    from unittest import mock
+
+    df = spark.createDataFrame([], "l_returnflag string, l_extendedprice double")
+    with mock.patch.object(relational2.sources, "load", lambda *_a: df):
+        out = relational2.agg_percentile(spark, sf_dir)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["l_returnflag", "p50", "p90", "p99"]
