@@ -96,6 +96,7 @@ HEADLINE = [
     "retention_cohorts",
     "seq_transitions",
     "ts_gapfill",
+    "quality_entropy",
 ]
 
 

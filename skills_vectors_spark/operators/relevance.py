@@ -439,3 +439,46 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rnk", (F.round(F.col("f") * 1e6) / 1e6).alias("rrf"))
         .orderBy("rnk")
     )
+
+
+@register(
+    "quality_entropy",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest({D_TOKS}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    nd AS (
+      SELECT doc_id, sum(tf) AS n, count(*) AS uniq FROM tf GROUP BY doc_id
+    )
+    SELECT tf.doc_id,
+           CAST(nd.n AS BIGINT) AS n_tok,
+           CAST(nd.uniq AS BIGINT) AS n_uniq,
+           round(sum(-(tf.tf / nd.n) * log2(tf.tf / nd.n)) * 1e6) / 1e6
+             AS entropy_bits
+    FROM tf JOIN nd ON tf.doc_id = nd.doc_id
+    GROUP BY tf.doc_id, nd.n, nd.uniq
+    """,
+)
+def quality_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits) —
+    the information-theoretic sibling of quality_repetition's
+    frequency-fraction signals: boilerplate and looping text carries
+    low entropy, natural prose carries high, so entropy thresholds are
+    a standard training-corpus quality cut. Rides the same persisted
+    `_term_freqs` subtree as the TF-IDF/BM25/perplexity family: a
+    doc's term frequencies never leave the partition that built them,
+    and the per-doc agg after the doc_id join is map-side-combinable.
+    """
+    tf = _term_freqs(spark, sf_dir)
+    nd = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n"), F.count("*").alias("uniq")
+    )
+    joined = tf.join(nd, "doc_id")
+    p = F.col("tf") / F.col("n")
+    return joined.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_tok"),
+        F.max("uniq").cast("long").alias("n_uniq"),
+        (F.round(F.sum(-p * F.log2(p)) * 1e6) / 1e6).alias("entropy_bits"),
+    )

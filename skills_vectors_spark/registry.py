@@ -59,6 +59,7 @@ _PROMOTED = [
     "retention_cohorts",
     "seq_transitions",
     "ts_gapfill",
+    "quality_entropy",
     "graph_pagerank",
     "agg_heavy_hitters",
     "join_bloom_prefilter",

@@ -46,6 +46,7 @@ def test_sweep_window_prioritizes_least_attested():
         "retention_cohorts",
         "seq_transitions",
         "ts_gapfill",
+        "quality_entropy",
         "graph_pagerank",
         "agg_heavy_hitters",
         "join_bloom_prefilter",

@@ -189,3 +189,18 @@ def test_agg_percentile_empty_input(spark, sf_dir):
         out = relational2.agg_percentile(spark, sf_dir)
     assert out.collect() == []
     assert [f.name for f in out.schema.fields] == ["l_returnflag", "p50", "p90", "p99"]
+
+
+def test_quality_entropy_bounds(spark, sf_dir):
+    import math
+
+    from skills_vectors_spark.operators.relevance import quality_entropy
+
+    rows = quality_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_uniq <= r.n_tok
+        # 0 <= H <= log2(distinct tokens), and H == 0 iff one token
+        assert -1e-6 <= r.entropy_bits <= math.log2(r.n_uniq) + 1e-6
+        if r.n_uniq == 1:
+            assert r.entropy_bits == 0.0
