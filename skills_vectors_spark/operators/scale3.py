@@ -204,7 +204,7 @@ _URL_ANCHORED_RE = r"^([A-Za-z]+)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
              regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
                '/+$', '') AS path,
              regexp_replace(regexp_replace(
-               regexp_extract(url, '\\?([^#]*)', 1),
+               regexp_extract(url, '^[A-Za-z]+://[^/?#]+[^?#]*\\?([^#]*)', 1),
                'utm_[a-z]+=[^&#]*&?', '', 'g'), '&$', '') AS query
       FROM raw
     ),

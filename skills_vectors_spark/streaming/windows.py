@@ -499,8 +499,10 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = run_to_completion(profiled, mode="update")
     finally:
-        if prev:
+        if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     from pyspark.sql.window import Window as W
 
     w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
@@ -589,8 +591,10 @@ def stream_transform_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = run_to_completion(profiled, mode="update")
     finally:
-        if prev:
+        if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     from pyspark.sql.window import Window as W
 
     # keep only each user's FINAL emission (highest n_seen) — earlier
@@ -686,8 +690,10 @@ def stream_transform_typecounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = run_to_completion(profiled, mode="update")
     finally:
-        if prev:
+        if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     from pyspark.sql.window import Window as W
 
     # each user's FINAL emission carries the complete map snapshot

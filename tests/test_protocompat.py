@@ -106,7 +106,11 @@ def test_parse_repeated_messages_and_bytes():
     assert resp.timer[1].key == b"a"
     # repeated bytes (StateResponseWithListGet.value, field 3)
     lg = sm.StateResponseWithListGet()
-    lg.ParseFromString(bytes.fromhex("1a01611a0162200801"))
+    # value=[b'a', b'b'] then requireNextFetch=true (field 4 varint 1).
+    # The r5 form of this hex carried a trailing junk byte (tag with
+    # field number 0 / wire type 1) that the then-lenient skip path
+    # swallowed past the buffer end; skip_field now raises on it.
+    lg.ParseFromString(bytes.fromhex("1a01611a01622001"))
     assert list(lg.value) == [b"a", b"b"]
     assert lg.requireNextFetch is True
 
@@ -117,6 +121,18 @@ def test_unknown_fields_are_skipped():
     # unknown field 15 varint, then statusCode=3
     resp.ParseFromString(bytes.fromhex("78ff010803"))
     assert resp.statusCode == 3
+
+
+def test_truncated_length_delimited_raises():
+    sm = _sm()
+    lg = sm.StateResponseWithListGet()
+    # field 3 (bytes) declares length 5 but only 1 payload byte follows
+    with pytest.raises(ValueError, match="truncated"):
+        lg.ParseFromString(bytes.fromhex("1a0561"))
+    # truncated unknown length-delimited field must raise too (skip path)
+    resp = sm.StateResponse()
+    with pytest.raises(ValueError, match="truncated"):
+        resp.ParseFromString(bytes.fromhex("7a0561"))
 
 
 def test_descriptor_parse_covers_all_state_messages():
