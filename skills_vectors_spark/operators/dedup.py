@@ -218,10 +218,15 @@ def _perms(seed: int = 42) -> list[tuple[int, int]]:
 def shingle_sigs(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     """(doc_id, hs array<long>, sig array<long>[N_PERM]) — hashed
     distinct shingle set AND MinHash signature from ONE fused Arrow
-    pass. The JVM side tokenizes AND hashes each token (xxhash64
-    inside codegen — string hashing was the Python hot loop when done
-    with per-token crc32 calls; the same JVM-hash handoff the SimHash
-    tier uses); numpy then does everything per-shingle fully
+    pass. The JVM side tokenizes AND hashes each token (md5 prefix as
+    a 32-bit int inside codegen — string hashing was the Python hot
+    loop when done with per-token crc32 calls; md5-conv rather than
+    xxhash64 because DuckDB computes the identical value, which is
+    what lets eval_dedup_compare's oracle recompute this WHOLE
+    pipeline cross-engine — the token hash is the only primitive the
+    two engines must agree on, and 32 bits folded mod Mersenne-31 is
+    the same signature quality xxhash64 had after its own fold);
+    numpy then does everything per-shingle fully
     vectorized: a rolling polynomial n-gram mix mod Mersenne-31,
     np.unique for the set, and the (N_PERM x m) universal-hash
     modmul + row-min for the signature. Fusing the stages beat the
@@ -238,10 +243,18 @@ def shingle_sigs(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     toks = F.split(normalize_text("text"), " ")
-    # hash tokens JVM-side: transform(xxhash64) runs in codegen, and
-    # the Arrow batch then carries int64s, not strings
+    # hash tokens JVM-side: the transform runs in codegen, and the
+    # Arrow batch then carries int64s, not strings. Cross-engine
+    # contract: conv(substr(md5(t),1,8),16,10) here equals DuckDB's
+    # ('0x'||substr(md5(t),1,8))::BIGINT exactly.
     tdf = d.select(
-        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th")
+        "doc_id",
+        F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(F.encode(t, "UTF-8")), 1, 8), 16, 10).cast(
+                "long"
+            ),
+        ).alias("th"),
     )
     perms = _perms()
     A = np.array([a for a, _ in perms], dtype=np.int64)[:, None]  # (N_PERM, 1)
@@ -297,12 +310,26 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = base.select("doc_id", "sig")
     sets0 = base.select("doc_id", F.col("hs").alias("ss"))
     rows_per_band = N_PERM // N_BANDS
+    # band key = the EXACT 4-signature slice rendered as a short string
+    # (not an xxhash64 of it): identical buckets are then identical
+    # slices by construction in ANY engine, which is what lets the
+    # eval_dedup_compare oracle rebuild the same candidate set in
+    # DuckDB with a plain string_agg — and removes the (cosmically
+    # rare) cross-tuple hash-collision candidate the hashed form could
+    # admit. ~40-byte keys shuffle instead of 8-byte hashes; candidate
+    # generation cost is unchanged in shape.
     bands = sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig")[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
                     for b in range(N_BANDS)
                 ]
             )
@@ -520,33 +547,132 @@ def dedup_compare_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "eval_dedup_compare",
-    # Gate-column oracle: tier list + declared floors checked for
-    # real; the agreement gates are computed Spark-side from the
-    # seeded tier outputs (self-attested; value-level assertions in
-    # tests/test_dedup.py).
-    f"""
-    SELECT tier, recall_floor, precision_floor,
-           TRUE AS recall_ok, TRUE AS precision_ok
-    FROM (VALUES {", ".join(f"('{t}', {r}, {p})" for t, (r, p) in sorted(DEDUP_FLOORS.items()))})
-      AS d(tier, recall_floor, precision_floor)
-    """,
-)
+# The minhash tier's ENTIRE seeded pipeline re-expressed in DuckDB SQL
+# (the eval_recall_lsh pattern, ann.py, extended to MinHash): the 128
+# (a, b) permutation pairs are embedded as literals, token hashes are
+# the md5-conv value both engines compute identically, the rolling
+# trigram mix / per-permutation min / 4-row band keys / candidate
+# self-join / exact-Jaccard verification all recompute for real — so
+# the minhash row's numerators and gate booleans are genuinely
+# cross-engine, not Spark-attested.
+_POLY = 1000003
+_PERMS_SQL = ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(_perms()))
+_MINHASH_EVAL_SQL = f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_transform({D_TOKENS},
+               t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % {_MERSENNE}) AS th
+      FROM documents
+    ),
+    rolled AS (
+      SELECT doc_id,
+             CASE WHEN len(th) >= 3 THEN
+               list_transform(range(1, len(th) - 1),
+                 i -> ((th[i] * {_POLY} + th[i+1]) % {_MERSENNE}
+                        * {_POLY} + th[i+2]) % {_MERSENNE})
+             ELSE th END AS g
+      FROM docs WHERE len(th) > 0
+    ),
+    hsx AS (
+      SELECT DISTINCT doc_id, unnest(g) AS h FROM rolled
+    ),
+    sizes AS (
+      SELECT doc_id, count(*) AS n FROM hsx GROUP BY doc_id
+    ),
+    perms(k, a, b) AS (VALUES {_PERMS_SQL}),
+    sigrows AS (
+      SELECT x.doc_id, p.k, min((p.a * x.h + p.b) % {_MERSENNE}) AS sigv
+      FROM hsx x CROSS JOIN perms p
+      GROUP BY x.doc_id, p.k
+    ),
+    bandkeys AS (
+      SELECT doc_id, k // {N_PERM // N_BANDS} AS band,
+             string_agg(sigv::VARCHAR, ',' ORDER BY k) AS bucket
+      FROM sigrows GROUP BY doc_id, k // {N_PERM // N_BANDS}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bandkeys x
+      JOIN bandkeys y ON x.band = y.band AND x.bucket = y.bucket
+                     AND x.doc_id < y.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN hsx x ON x.doc_id = c.doc_a
+      JOIN hsx y ON y.doc_id = c.doc_b AND y.h = x.h
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    mh_pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= {JACCARD_THRESHOLD}
+    ),
+    gold AS ({_JACCARD_PAIRS_SQL}),
+    stats AS (
+      SELECT (SELECT count(*) FROM mh_pairs) AS n_found,
+             (SELECT count(*) FROM mh_pairs p
+                JOIN gold g ON g.doc_a = p.doc_a AND g.doc_b = p.doc_b) AS n_hit,
+             (SELECT count(*) FROM gold) AS n_gold
+    )
+    SELECT * FROM (
+      SELECT 'minhash' AS tier,
+             CAST(n_found AS BIGINT) AS n_found,
+             CAST(n_hit AS BIGINT) AS n_hit,
+             CAST({DEDUP_FLOORS["minhash"][0]} AS DOUBLE) AS recall_floor,
+             CAST({DEDUP_FLOORS["minhash"][1]} AS DOUBLE) AS precision_floor,
+             (round(n_hit::DOUBLE / greatest(n_gold, 1) * 1e6) / 1e6)
+               >= {DEDUP_FLOORS["minhash"][0]} AS recall_ok,
+             (round(n_hit::DOUBLE / greatest(n_found, 1) * 1e6) / 1e6)
+               >= {DEDUP_FLOORS["minhash"][1]} AS precision_ok
+      FROM stats
+      UNION ALL
+      SELECT 'mllib_minhash', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST({DEDUP_FLOORS["mllib_minhash"][0]} AS DOUBLE),
+             CAST({DEDUP_FLOORS["mllib_minhash"][1]} AS DOUBLE), TRUE, TRUE
+      UNION ALL
+      SELECT 'simhash', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST({DEDUP_FLOORS["simhash"][0]} AS DOUBLE),
+             CAST({DEDUP_FLOORS["simhash"][1]} AS DOUBLE), TRUE, TRUE
+    ) ORDER BY tier
+"""
+
+
+@register("eval_dedup_compare", _MINHASH_EVAL_SQL)
 def eval_dedup_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-hashable verdict over :func:`dedup_compare_report` —
     per approximate tier, whether pair recall and precision vs the
     exact gold clear that tier's declared floors (the same
     evaluate-against-gold shape as the reference's recall loop,
-    skills_for_jobs.py:199-211, applied to dedup)."""
+    skills_for_jobs.py:199-211, applied to dedup).
+
+    Attestation tiers: the MINHASH row's numerators (n_found, n_hit)
+    and gates are recomputed end-to-end by the DuckDB oracle
+    (_MINHASH_EVAL_SQL embeds the 128 seeded permutations as literals
+    and rebuilds signatures, band keys, candidates, and exact-Jaccard
+    verification from the parquet corpus). The mllib_minhash and
+    simhash rows stay self-attested (NULL numerators, literal gates):
+    MLlib's MinHashLSH hash seeds and the SimHash bit votes over
+    64-bit xxhash64 are not SQL-expressible in DuckDB; their
+    value-level assertions live in tests/test_dedup.py, and both fail
+    honestly at the degraded 10x tier exactly where theory predicts."""
+    is_mh = F.col("tier") == "minhash"
     floors_r = F.create_map(*[F.lit(x) for t, (r, _) in DEDUP_FLOORS.items() for x in (t, r)])
     floors_p = F.create_map(*[F.lit(x) for t, (_, p) in DEDUP_FLOORS.items() for x in (t, p)])
     return (
         dedup_compare_report(spark, sf_dir)
         .select(
             "tier",
+            F.when(is_mh, F.col("n_found")).cast("long").alias("n_found"),
+            F.when(is_mh, F.col("n_hit")).cast("long").alias("n_hit"),
             floors_r[F.col("tier")].alias("recall_floor"),
             floors_p[F.col("tier")].alias("precision_floor"),
+            # gates stay REAL for every tier (the sf0.1 simhash
+            # failure must keep failing honestly); the oracle's TRUE
+            # literals for the two non-SQL tiers are what's matched
+            # at the healthy sf0.01 gate
             (F.col("recall") >= floors_r[F.col("tier")]).alias("recall_ok"),
             (F.col("precision") >= floors_p[F.col("tier")]).alias("precision_ok"),
         )
