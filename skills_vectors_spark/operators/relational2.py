@@ -146,11 +146,18 @@ PCTL_GAMMA_LN = math.log(1.002)
 # negatives/zero/positives: |log index| < 2^20 for any finite double,
 # so +/-2^21 separates the three ranges
 PCTL_SIGN_OFFSET = 1 << 21
-# guard: one refinement level means pass 2 materializes the needed
-# buckets' rows; with relative-width buckets that is ~n*(gamma-1) per
-# bucket in expectation, but a pathological distribution could pack
-# one bucket, so fail loudly rather than silently collect the corpus
+# the final pick pass materializes the still-needed regions' rows;
+# refinement levels (below) keep splitting regions until the total
+# fits under this, so the driver/executor collect stays bounded
 PCTL_MAX_PICK_ROWS = 5_000_000
+# each refinement level splits an over-full region into this many
+# equal-width sub-ranges of its measured [lo, hi] — one extra codegen
+# scan narrows the candidate rows by up to 4096x
+PCTL_NSUB = 4096
+# ~6 levels take a region's width below one ulp of any double (then
+# every sub-range is single-valued and resolves for free), so hitting
+# this bound means arithmetic is broken, not the data
+PCTL_MAX_REFINE_LEVELS = 8
 
 
 def _pctl_bucket_expr() -> F.Column:
@@ -201,14 +208,23 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-join staging: the needed-bucket predicate is a literal
     codegen filter.
 
+    If the needed buckets together exceed PCTL_MAX_PICK_ROWS (a
+    distribution that packs one log bucket — e.g. millions of
+    near-identical prices), refinement levels engage instead of
+    failing: each level splits the over-full regions into PCTL_NSUB
+    equal-width sub-ranges of their measured [lo, hi] with one extra
+    codegen scan, resolves single-valued sub-ranges for free
+    (duplicate-heavy packing collapses at level 1), and re-checks the
+    bound. Width shrinks 4096x per level, so ~6 levels reach one ulp
+    — the PCTL_MAX_REFINE_LEVELS=8 guard is unreachable for real data.
+
     Earlier rounds: r3 shipped every group row through one Python
     worker (6.4x DuckDB); r4's equal-width histogram needed 3 jobs +
     an applyInPandas pick (measured 3.7 s / 9.7x at the 10x tier once
     benched in isolation). Two scans is the floor for exact quantiles
-    without per-value hashmap memory; each additional refinement
-    level would multiply the worst-case bucket bound down by
-    gamma-resolution if ever needed. Driver state: occupied-bucket
-    counts only. At 100 TB: two codegen scans, two tiny shuffles."""
+    without per-value hashmap memory (plus one scan per engaged
+    refinement level). Driver state: occupied-bucket counts only.
+    At 100 TB: two codegen scans, two tiny shuffles."""
     li = (
         sources.load(spark, sf_dir, "lineitem")
         .select("l_returnflag", F.col("l_extendedprice").alias("v"))
@@ -255,30 +271,109 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             cum += cnt
 
     if sel:
-        to_pick = sum(hist[g][b][0] for g, b in sel)
-        if to_pick > PCTL_MAX_PICK_ROWS:
-            raise ValueError(
-                f"agg_percentile pass 2 would materialize {to_pick} rows "
-                f"(> {PCTL_MAX_PICK_ROWS}); the value distribution packs a "
-                "log bucket — add a refinement level before running at "
-                "this scale"
+        # region = one driver-tracked value subrange of a group that
+        # still holds unresolved order statistics: (group, bucket b,
+        # row predicate, row count, lo, hi, [(k, offset-in-region)]).
+        # Level 0 regions are whole log buckets; each refinement level
+        # splits over-full regions into PCTL_NSUB equal-width
+        # sub-ranges of their measured [lo, hi] with ONE extra codegen
+        # scan, resolving sub-ranges that come back single-valued for
+        # free — duplicate-packed distributions (the pathological case
+        # for relative-width buckets) collapse at the first level
+        # because their packed sub-range has min == max.
+        regions: list[tuple[str, int, F.Column, int, float, float, list[tuple[int, int]]]] = [
+            (
+                g,
+                b,
+                (F.col("l_returnflag") == g) & (F.col("b") == b),
+                hist[g][b][0],
+                hist[g][b][1],
+                hist[g][b][2],
+                picks,
             )
-        needed = None
-        for g, b in sorted(sel):
-            clause = (F.col("l_returnflag") == g) & (F.col("b") == b)
-            needed = clause if needed is None else needed | clause
-        # cheap long-typed prefilter so the per-row cost of the pair
-        # check is one IN over ~9 longs, not 18 string comparisons
-        prefilter = F.col("b").isin([b for _, b in sel])
-        for r in (
-            lib.filter(prefilter & needed)
-            .groupBy("l_returnflag", "b")
-            .agg(F.sort_array(F.collect_list("v")).alias("vals"))
-            .collect()
-        ):
-            vals = r["vals"]
-            for k, off in sel[(r["l_returnflag"], r["b"])]:
-                kval[r["l_returnflag"]][k] = float(vals[off])
+            for (g, b), picks in sorted(sel.items())
+        ]
+        level = 0
+        while regions and sum(r[3] for r in regions) > PCTL_MAX_PICK_ROWS:
+            if level >= PCTL_MAX_REFINE_LEVELS:
+                raise ValueError(
+                    f"agg_percentile: {sum(r[3] for r in regions)} rows still "
+                    f"needed after {level} refinement levels (> "
+                    f"{PCTL_MAX_PICK_ROWS}) — sub-ulp region widths should "
+                    "have resolved; refusing to collect unbounded state"
+                )
+            level += 1
+            # one scan for ALL over-full regions: chained CASE columns
+            # assign each matching row its region id and equal-width
+            # sub-index; the same sub expression later reappears in the
+            # child predicate, so both sides of the split use identical
+            # JVM double arithmetic
+            sub_exprs: list[F.Column] = []
+            rid_col, sub_col, pred_total = None, None, None
+            for i, (g, b, pred, cnt, lo, hi, picks) in enumerate(regions):
+                width = (hi - lo) / PCTL_NSUB
+                e = F.least(
+                    F.floor((F.col("v") - F.lit(lo)) / F.lit(width)),
+                    F.lit(PCTL_NSUB - 1),
+                ).cast("long")
+                sub_exprs.append(e)
+                rid_col = F.when(pred, i) if rid_col is None else rid_col.when(pred, i)
+                sub_col = F.when(pred, e) if sub_col is None else sub_col.when(pred, e)
+                pred_total = pred if pred_total is None else pred_total | pred
+            by_rid: dict[int, dict[int, tuple[int, float, float]]] = {}
+            for r in (
+                lib.filter(F.col("b").isin(sorted({b for _, b, *_ in regions})) & pred_total)
+                .select(rid_col.alias("rid"), sub_col.alias("s"), "v")
+                .groupBy("rid", "s")
+                .agg(F.count("*").alias("cnt"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+                .collect()
+            ):
+                by_rid.setdefault(r["rid"], {})[r["s"]] = (
+                    r["cnt"],
+                    float(r["lo"]),
+                    float(r["hi"]),
+                )
+            nxt: list[tuple[str, int, F.Column, int, float, float, list[tuple[int, int]]]] = []
+            for i, (g, b, pred, cnt, lo, hi, picks) in enumerate(regions):
+                subs = by_rid.get(i, {})
+                todo = sorted(picks, key=lambda t: t[1])
+                cum, j = 0, 0
+                for s in sorted(subs):
+                    scnt, slo, shi = subs[s]
+                    child: list[tuple[int, int]] = []
+                    while j < len(todo) and todo[j][1] < cum + scnt:
+                        k, off = todo[j]
+                        if slo == shi:  # single-valued sub-range: free
+                            kval[g][k] = slo
+                        else:
+                            child.append((k, off - cum))
+                        j += 1
+                    if child:
+                        nxt.append(
+                            (g, b, pred & (sub_exprs[i] == s), scnt, slo, shi, child)
+                        )
+                    cum += scnt
+            regions = nxt
+
+        if regions:
+            rid_col, pred_total = None, None
+            for i, (g, b, pred, cnt, lo, hi, picks) in enumerate(regions):
+                rid_col = F.when(pred, i) if rid_col is None else rid_col.when(pred, i)
+                pred_total = pred if pred_total is None else pred_total | pred
+            # cheap long-typed prefilter so most rows fail one IN over
+            # a few longs instead of evaluating the full CASE chain
+            prefilter = F.col("b").isin(sorted({b for _, b, *_ in regions}))
+            for r in (
+                lib.filter(prefilter & pred_total)
+                .select(rid_col.alias("rid"), "v")
+                .groupBy("rid")
+                .agg(F.sort_array(F.collect_list("v")).alias("vals"))
+                .collect()
+            ):
+                g, _, _, _, _, _, picks = regions[r["rid"]]
+                vals = r["vals"]
+                for k, off in picks:
+                    kval[g][k] = float(vals[off])
 
     out = [
         (

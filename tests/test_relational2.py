@@ -127,6 +127,41 @@ def test_agg_percentile_histogram_path_edge_distributions(spark, sf_dir):
         assert got[g] == pt.approx(tuple(exp), abs=1.1e-4), g
 
 
+def test_agg_percentile_refinement_levels(spark, sf_dir, monkeypatch):
+    """Distributions that pack one log bucket must refine, not raise:
+    with the pick guard forced tiny, (a) a duplicate-packed bucket
+    resolves at level 1 via single-valued sub-ranges, (b) sub-ulp-
+    spaced distinct values force several levels of width shrink, and
+    (c) a mixed multi-group corpus exercises the multi-region CASE
+    chain. Results must still match numpy's linear quantile."""
+    from unittest import mock
+
+    import numpy as np
+    import pytest as pt
+
+    rng = np.random.default_rng(11)
+    groups = {
+        # 5k copies of one price + a thin tail in the SAME log bucket
+        "packed": [7000.0] * 5000 + [float(7000.0 + i * 1e-9) for i in range(200)],
+        # distinct values spaced ~1e-13 apart: one bucket, never
+        # resolvable without width refinement
+        "subulp": [float(7.0 + i * 1e-13) for i in range(800)],
+        # ordinary spread group to keep non-refined paths in the mix
+        "spread": [float(x) for x in np.exp(rng.normal(8, 2, 1500))],
+    }
+    rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "l_returnflag string, l_extendedprice double")
+    monkeypatch.setattr(relational2, "PCTL_MAX_PICK_ROWS", 50)
+    with mock.patch.object(relational2.sources, "load", lambda *_a: df):
+        got = {
+            r.l_returnflag: (r.p50, r.p90, r.p99)
+            for r in relational2.agg_percentile(spark, sf_dir).collect()
+        }
+    for g, vs in groups.items():
+        exp = np.quantile(np.array(vs), [0.5, 0.9, 0.99], method="linear")
+        assert got[g] == pt.approx(tuple(exp), abs=1.1e-4), g
+
+
 def test_retention_cohorts_invariants(spark, sf_dir):
     from skills_vectors_spark.operators.analytics import retention_cohorts
 
