@@ -32,8 +32,20 @@ EMBED_DIM = 32
 _PROVIDER = "mock-hash-v1"  # default; stands in for openai ada-002
 # the reference switches provider by env var, with different vector
 # dims (openai 1536-d / gemini 768-d — create_skill_embeddings.py:11-20,
-# dims at load_skill_vectors_pg.py:10-13); mirrored here at test scale
-PROVIDERS = {"mock-hash-v1": EMBED_DIM, "mock-openai": 48, "mock-gemini": 24}
+# dims at load_skill_vectors_pg.py:10-13); mirrored here at test scale.
+# mock-sqlhash-v1 is the CROSS-ENGINE provider: every coordinate is an
+# md5-derived value DuckDB computes bit-identically, which is what
+# lets embed_knn_pipeline's oracle recompute the embed->knn
+# composition end-to-end (the eval_recall_lsh pattern applied to the
+# embedding stage itself).
+SQLHASH_PROVIDER = "mock-sqlhash-v1"
+SQLHASH_DIM = 16
+PROVIDERS = {
+    "mock-hash-v1": EMBED_DIM,
+    "mock-openai": 48,
+    "mock-gemini": 24,
+    SQLHASH_PROVIDER: SQLHASH_DIM,
+}
 
 
 def _mock_embed_batch(texts: pd.Series, dim: int = EMBED_DIM) -> list[list[float]]:
@@ -46,6 +58,28 @@ def _mock_embed_batch(texts: pd.Series, dim: int = EMBED_DIM) -> list[list[float
         v = np.random.default_rng(seed).standard_normal(dim)
         v /= np.linalg.norm(v)
         out.append(v.astype(np.float32).tolist())
+    return out
+
+
+def _sqlhash_embed_batch(texts: pd.Series, dim: int = SQLHASH_DIM) -> list[list[float]]:
+    """Deterministic embedding whose every coordinate is SQL-
+    expressible: coord_j = ('0x'||substr(md5(text||':'||j),1,8))::BIGINT
+    / 2^31 - 1 in DuckDB terms — an exact double in [-1, 2) both
+    engines derive from the same md5 bytes, stored as float32 by the
+    schema cast (IEEE round-to-nearest in numpy, Arrow, and DuckDB
+    alike). Deliberately NOT unit-normalized: cosine is scale-
+    invariant, and skipping the norm keeps the stored value free of
+    any summation-order dependence."""
+    out = []
+    for t in texts:
+        out.append(
+            [
+                int.from_bytes(hashlib.md5(f"{t}:{j}".encode("utf-8")).digest()[:4], "big")
+                / 2147483648.0
+                - 1.0
+                for j in range(dim)
+            ]
+        )
     return out
 
 
@@ -69,13 +103,15 @@ def embed_documents(
     reference's provider switch (create_skill_embeddings.py:11-20)."""
     dim = PROVIDERS[provider]
 
+    batch_fn = _sqlhash_embed_batch if provider == SQLHASH_PROVIDER else _mock_embed_batch
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-partition setup: a real impl creates its API client here
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "embedding": _mock_embed_batch(pdf[text_col], dim),
+                    "embedding": batch_fn(pdf[text_col], dim),
                     "provider": provider,
                 }
             )
@@ -118,17 +154,53 @@ def embed_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embed_knn_pipeline")  # rows-only (depends on embed_mock vectors)
+_SQLHASH_COORD = (
+    "CAST(('0x' || substr(md5(text || ':' || CAST(j AS VARCHAR)), 1, 8))::BIGINT"
+    " / 2147483648.0 - 1.0 AS FLOAT)"
+)
+
+
+@register(
+    "embed_knn_pipeline",
+    # the full embed->knn composition recomputed in DuckDB: the
+    # mock-sqlhash-v1 provider's float32 coordinates are md5-derived
+    # values both engines produce bit-identically, and the cosine
+    # top-5 then reuses the knn_exact oracle pattern
+    f"""
+    WITH emb AS (
+      SELECT doc_id,
+             list_transform(range(0, {SQLHASH_DIM}), j -> {_SQLHASH_COORD}) AS v
+      FROM documents
+    ),
+    scored AS (
+      SELECT q.doc_id AS q_id, c.doc_id AS c_id,
+             list_cosine_similarity(q.v::DOUBLE[], c.v::DOUBLE[]) AS score
+      FROM emb q JOIN emb c ON q.doc_id <> c.doc_id
+      WHERE q.doc_id < 10
+    ),
+    ranked AS (
+      SELECT q_id, c_id, score,
+             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, round(score, 6) AS cos_sim
+    FROM ranked WHERE rnk <= 5
+    """,
+)
 def embed_knn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end flagship pipeline: embed documents -> top-5 cosine
     neighbors per query doc — the full E2+E1 composition (embed ->
     index -> search -> rank) of the reference, in one declarative
     plan. First 10 docs act as 'jobs', the corpus as 'skills'
-    (skills_for_jobs.py:416-433)."""
+    (skills_for_jobs.py:416-433). Embeds with the mock-sqlhash-v1
+    provider so the WHOLE composition is oracle-recomputable: the
+    stored float32 coordinates are exact md5-derived values, and the
+    cosine/rank stage inherits knn_exact's proven cross-engine
+    parity (list_cosine_similarity over DOUBLE[] + round 6)."""
     from pyspark.sql import Window
     from skills_vectors_spark.functions.vector import cosine_sim
 
-    emb = embed_documents(sources.load(spark, sf_dir, "documents"))
+    emb = embed_documents(sources.load(spark, sf_dir, "documents"), provider=SQLHASH_PROVIDER)
     q = emb.filter(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -144,7 +216,7 @@ def embed_knn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 5)
-        .select("q_id", "rnk", "c_id", (F.round(F.col("score") * 1e6) / 1e6).alias("cos_sim"))
+        .select("q_id", "rnk", "c_id", F.round("score", 6).alias("cos_sim"))
     )
 
 
