@@ -52,15 +52,87 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fake_decode_image(payload: bytes) -> np.ndarray:
-    """STUB DECODE — deterministic fake standing in for PIL.Image.open.
-    Derives a (h, w, 3) uint8 array from the payload hash so tests are
-    hermetic. Replace with a real decoder in production.
-    """
-    digest = hashlib.md5(payload).digest()
-    h, w = 8 + digest[0] % 8, 8 + digest[1] % 8
-    rng = np.random.default_rng(int.from_bytes(digest[2:10], "big"))
-    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL image decode: binary P6 PPM (netpbm format spec, public —
+    netpbm.sourceforge.net/doc/ppm.html). Parses the magic number,
+    whitespace/comment-separated width, height, and maxval tokens,
+    then reads the raw RGB raster into a (h, w, 3) uint8 array.
+    Raises on anything malformed — a truncated raster must never
+    silently yield a short image."""
+    if payload[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM: magic {payload[:2]!r}")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        c = payload[pos : pos + 1]
+        if c == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(payload) and payload[pos : pos + 1].isdigit():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+        else:
+            raise ValueError(f"bad PPM header byte {c!r} at {pos}")
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    raster = payload[pos : pos + h * w * 3]
+    if len(raster) != h * w * 3:
+        raise ValueError(f"truncated PPM raster: {len(raster)} != {h * w * 3}")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _plant_ppm(text: str) -> bytes:
+    """Fixture planting for the image queries: a REAL binary P6 PPM
+    whose dimensions and pixel values derive deterministically from
+    md5(text), so the DuckDB oracle can predict exactly what the real
+    decoder must recover. Raster: channel c pixel (y, x) = base_c +
+    y + x, with base_c < 128 and y + x <= 28, so no byte ever wraps —
+    which keeps the channel means closed-form (base_c + (h-1)/2 +
+    (w-1)/2)."""
+    digest = hashlib.md5(text.encode("utf-8")).hexdigest()
+    h = 8 + int(digest[0:2], 16) % 8
+    w = 8 + int(digest[2:4], 16) % 8
+    base = [int(digest[4:6], 16) % 128, int(digest[6:8], 16) % 128, int(digest[8:10], 16) % 128]
+    grad = np.arange(h)[:, None] + np.arange(w)[None, :]
+    img = np.stack([b + grad for b in base], axis=-1).astype(np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + img.tobytes()
+
+
+def ppm_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload) for the IMAGE subset, with payloads that are
+    real P6 PPM files planted from the documents table (_plant_ppm).
+    The generic media_table keeps serving the frame/audio/metadata
+    queries; the image decode path reads these genuine image bytes."""
+    d = sources.load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    spread = d.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def plant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [_plant_ppm(t) for t in pdf["text"]],
+                }
+            )
+
+    return spread.mapInPandas(
+        plant,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
 
 
 _IMG_SCHEMA = T.StructType(
@@ -78,17 +150,16 @@ _IMG_SCHEMA = T.StructType(
 def image_features_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode -> per-channel feature extraction over image payloads,
     emitting the RAW feature columns (mean_r/g/b) a pipeline consumes.
-    The registered ``mm_image_features`` derives its plausibility gate
-    from these — the stub decoder's pixel stats aren't SQL-expressible,
-    so the declared query can't carry them through the hash oracle,
-    but the features must stay available as API."""
+    The decode is the REAL P6 PPM parser (decode_ppm) reading genuine
+    planted image bytes; the means are computed from the decoded
+    raster, not from any metadata shortcut."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-partition init: a real impl would set up the codec here
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = _fake_decode_image(bytes(payload))
+                img = decode_ppm(bytes(payload))
                 means = img.reshape(-1, 3).mean(axis=0)
                 rows.append(
                     (
@@ -102,11 +173,7 @@ def image_features_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in _IMG_SCHEMA.fields])
 
-    media = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
-    spread = media.select("media_id", "payload").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    return spread.mapInPandas(run, _IMG_SCHEMA)
+    return ppm_media_table(spark, sf_dir).mapInPandas(run, _IMG_SCHEMA)
 
 
 @register(
@@ -115,32 +182,41 @@ def image_features_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS media_id,
            8 + ('0x' || substr(md5(text), 1, 2))::INT % 8 AS height,
            8 + ('0x' || substr(md5(text), 3, 2))::INT % 8 AS width,
-           TRUE AS channel_means_plausible
+           round(('0x' || substr(md5(text), 5, 2))::INT % 128
+                 + (8 + ('0x' || substr(md5(text), 1, 2))::INT % 8 - 1) / 2.0
+                 + (8 + ('0x' || substr(md5(text), 3, 2))::INT % 8 - 1) / 2.0,
+                 6) AS mean_r,
+           round(('0x' || substr(md5(text), 7, 2))::INT % 128
+                 + (8 + ('0x' || substr(md5(text), 1, 2))::INT % 8 - 1) / 2.0
+                 + (8 + ('0x' || substr(md5(text), 3, 2))::INT % 8 - 1) / 2.0,
+                 6) AS mean_g,
+           round(('0x' || substr(md5(text), 9, 2))::INT % 128
+                 + (8 + ('0x' || substr(md5(text), 1, 2))::INT % 8 - 1) / 2.0
+                 + (8 + ('0x' || substr(md5(text), 3, 2))::INT % 8 - 1) / 2.0,
+                 6) AS mean_b
     FROM documents WHERE doc_id % 3 = 0
     """,
 )
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode -> per-channel feature extraction over image payloads.
-    Real plumbing: filter on media_type prunes before decode (metadata
-    predicate, no payload touched), decode runs once per row inside an
-    Arrow batch iterator. The stub decoder derives image dims from the
-    payload md5, so dims are SQL-checkable EXACTLY; the (fake) pixel
-    statistics are reduced to a plausibility gate: a channel mean of n
-    uniform bytes has sigma = 73.9/sqrt(n), worst case n=64 pixels ->
-    sigma 9.24, so the [80, 175] band is +/-5.1 sigma around 127.5
-    (per-trial p ~ 2e-7; safe for millions of docs, and still catches
-    any decoder whose output isn't uniform-byte shaped). Swap in a
-    real decoder and these become real feature columns with a
-    rows-only check. Raw channel means stay available via
-    :func:`image_features_full`."""
-    in_band = [
-        F.col(c).between(80.0, 175.0) for c in ("mean_r", "mean_g", "mean_b")
-    ]
+    The decode is REAL since r6: payloads are genuine binary P6 PPM
+    files (planted with md5-derived dims and a base_c + y + x gradient
+    raster, _plant_ppm) and decode_ppm parses header and raster for
+    real inside the Arrow batch iterator. The emitted channel means
+    are computed from the decoded pixels, and the oracle predicts them
+    EXACTLY in closed form (mean_c = base_c + (h-1)/2 + (w-1)/2 —
+    every term a multiple of 0.5, so float arithmetic is exact in both
+    engines): a decoder that misparses the header, drops raster bytes,
+    or transposes channels breaks the hash match.
+
+    Scale shape unchanged: metadata filter prunes to the image subset
+    before any payload is materialized, decode streams per partition
+    inside one Arrow pass, only small feature rows ever shuffle."""
     return image_features_full(spark, sf_dir).select(
         "media_id",
         "height",
         "width",
-        (in_band[0] & in_band[1] & in_band[2]).alias("channel_means_plausible"),
+        *[F.round(c, 6).alias(c) for c in ("mean_r", "mean_g", "mean_b")],
     )
 
 

@@ -3,12 +3,12 @@ nearest-neighbor downsample), completing the decode / feature-extract
 / resize / frame-sample quartet alongside operators/multimodal.py.
 
 Same contract as the rest of the mm family (no reference equivalent —
-the reference embeds text only, BASELINE.json north star): the decode
-is the clearly-marked deterministic stub (`_fake_decode_image`), the
-resize itself is REAL numpy index sampling over the decoded array,
-and everything around it — schema, Arrow batch shape, metadata-pruned
-scan, per-partition decode — is the production plumbing. Swapping the
-stub for PIL changes one import.
+the reference embeds text only, BASELINE.json north star): since r6
+the decode is the REAL P6 PPM parser (`decode_ppm`) over genuine
+planted image bytes, the resize is REAL numpy index sampling over the
+decoded array, and everything around it — schema, Arrow batch shape,
+metadata-pruned scan, per-partition decode — is the production
+plumbing. Swapping PPM for PIL changes one import.
 """
 
 from __future__ import annotations
@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from skills_vectors_spark.operators.multimodal import _fake_decode_image, media_table
+from skills_vectors_spark.operators.multimodal import decode_ppm, ppm_media_table
 from skills_vectors_spark.registry import register
 
 OUT_H, OUT_W = 16, 16  # fixed training-input resolution
@@ -61,7 +61,7 @@ def image_resize_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = _fake_decode_image(bytes(payload))
+                img = decode_ppm(bytes(payload))
                 out = _nn_resize(img)
                 rows.append(
                     (
@@ -76,11 +76,7 @@ def image_resize_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in _RESIZE_SCHEMA.fields])
 
-    media = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
-    spread = media.select("media_id", "payload").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    return spread.mapInPandas(run, _RESIZE_SCHEMA)
+    return ppm_media_table(spark, sf_dir).mapInPandas(run, _RESIZE_SCHEMA)
 
 
 N_BLOB_FILES = 24  # bounded fixture (test-SF only; prod scans real dirs)
@@ -147,30 +143,45 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_image_resize",
+    # mean_gray in closed form: the resized pixel (Y, X, c) copies
+    # source pixel (Y*h//16, X*w//16), whose planted value is
+    # base_c + y + x — so the resized total is 256*sum(base_c) +
+    # 48*S(h) + 48*S(w) with S(d) = sum_i (i*d)//16, all integer
+    # arithmetic until one final division both engines round alike
     f"""
-    SELECT doc_id AS media_id,
-           8 + ('0x' || substr(md5(text), 1, 2))::INT % 8 AS src_h,
-           8 + ('0x' || substr(md5(text), 3, 2))::INT % 8 AS src_w,
-           {OUT_H} AS out_h, {OUT_W} AS out_w,
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             8 + ('0x' || substr(md5(text), 1, 2))::INT % 8 AS src_h,
+             8 + ('0x' || substr(md5(text), 3, 2))::INT % 8 AS src_w,
+             ('0x' || substr(md5(text), 5, 2))::INT % 128
+               + ('0x' || substr(md5(text), 7, 2))::INT % 128
+               + ('0x' || substr(md5(text), 9, 2))::INT % 128 AS base_sum
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT media_id, src_h, src_w, {OUT_H} AS out_h, {OUT_W} AS out_w,
+           round((256 * base_sum
+                  + 48 * list_sum(list_transform(range(0, {OUT_H}), i -> (i * src_h) // {OUT_H}))
+                  + 48 * list_sum(list_transform(range(0, {OUT_W}), i -> (i * src_w) // {OUT_W})))
+                 / 768.0, 6) AS mean_gray,
            TRUE AS resize_valid
-    FROM documents WHERE doc_id % 3 = 0
+    FROM img
     """,
 )
 def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode -> fixed OUT_HxOUT_W (16x16) nearest-neighbor resize over
-    image payloads (the training-input normalization step). The stub
-    decoder derives source dims from the payload md5, so src dims and
-    output dims are SQL-checked EXACTLY; the (fake) pixel content is
-    reduced to a plausibility gate: the resized mean of >=64 distinct
-    uniform bytes must land in the same +/-5.1-sigma band as
-    mm_image_features ([80, 175] around 127.5), and the buffer length
-    must be exactly out_h*out_w*3. Value-level checks (every output
-    pixel is a copy of the source pixel at the computed index) live in
+    image payloads (the training-input normalization step). Since r6
+    the decode is REAL (decode_ppm over planted P6 bytes), so
+    mean_gray is a genuine pixel statistic of the resized raster and
+    the oracle predicts it EXACTLY in closed form from the planted
+    gradient — a decoder or resizer that picks wrong source indices
+    breaks the hash match. resize_valid keeps the buffer-length gate
+    (out_h*out_w*3 bytes); value-level checks (every output pixel is a
+    copy of the source pixel at the computed index) live in
     tests/test_scale3.py.
 
-    Scale shape: metadata filter prunes to images BEFORE any payload
-    is touched; decode+resize stream per partition inside one Arrow
-    pass; only dims and the gate shuffle — resized buffers stay
+    Scale shape: the image subset prunes BEFORE any payload is
+    materialized; decode+resize stream per partition inside one Arrow
+    pass; only dims and small stats shuffle — resized buffers stay
     executor-side unless the caller asks for image_resize_full.
     """
     full = image_resize_full(spark, sf_dir)
@@ -180,8 +191,6 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_w",
         "out_h",
         "out_w",
-        (
-            (F.length("resized") == F.lit(OUT_H * OUT_W * 3))
-            & F.col("mean_gray").between(80.0, 175.0)
-        ).alias("resize_valid"),
+        F.round("mean_gray", 6).alias("mean_gray"),
+        (F.length("resized") == F.lit(OUT_H * OUT_W * 3)).alias("resize_valid"),
     )

@@ -32,7 +32,36 @@ def test_mm_image_features_shape(spark, sf_dir):
     assert rows
     for r in rows[:20]:
         assert 8 <= r.height <= 15 and 8 <= r.width <= 15
-        assert r.channel_means_plausible
+        # planted gradient: mean_c = base_c + (h-1)/2 + (w-1)/2, so the
+        # mean sits in [0, 127] + [7, 14] and channels differ only by
+        # their base offsets
+        off = (r.height - 1) / 2 + (r.width - 1) / 2
+        for m in (r.mean_r, r.mean_g, r.mean_b):
+            assert off <= m <= 127 + off
+            assert float(m - off).is_integer(), (m, off)
+
+
+def test_decode_ppm_real_parser():
+    import numpy as np
+    import pytest as pt
+
+    from skills_vectors_spark.operators.multimodal import _plant_ppm, decode_ppm
+
+    # roundtrip: planted payload decodes to the planted raster
+    img = decode_ppm(_plant_ppm("hello multimodal"))
+    assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
+    # hand-built PPM with comments and multi-whitespace per the spec
+    raster = bytes(range(2 * 3 * 3))
+    payload = b"P6 # comment\n# full line\n 3\n\t2 # dims\n255\n" + raster
+    img2 = decode_ppm(payload)
+    assert img2.shape == (2, 3, 3)
+    assert img2.tobytes() == raster
+    with pt.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pt.raises(ValueError, match="truncated PPM raster"):
+        decode_ppm(b"P6\n3 2\n255\n" + raster[:-1])
+    with pt.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
 
 
 def test_mm_frame_sample_fanout(spark, sf_dir):

@@ -199,19 +199,16 @@ def test_mm_image_resize_pixels_are_source_copies(spark, sf_dir):
     import numpy as np
 
     from skills_vectors_spark.operators import multimodal2
-    from skills_vectors_spark.operators.multimodal import _fake_decode_image, media_table
+    from skills_vectors_spark.operators.multimodal import decode_ppm, ppm_media_table
 
     rows = multimodal2.image_resize_full(spark, sf_dir).collect()
     assert rows
     payloads = {
         r.media_id: bytes(r.payload)
-        for r in media_table(spark, sf_dir)
-        .filter("media_type = 'image'")
-        .select("media_id", "payload")
-        .collect()
+        for r in ppm_media_table(spark, sf_dir).collect()
     }
     for r in rows[:20]:
-        img = _fake_decode_image(payloads[r.media_id])
+        img = decode_ppm(payloads[r.media_id])
         assert (r.src_h, r.src_w) == img.shape[:2]
         out = np.frombuffer(bytes(r.resized), dtype=np.uint8).reshape(
             multimodal2.OUT_H, multimodal2.OUT_W, 3
