@@ -34,90 +34,89 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Round-5 window: (a) queries whose code or oracle changed or that
-# are NEW this round and therefore must attest on current code
-# (dedup_url rewrite + integer-div fix, the agg_percentile two-pass
-# rebuild, eval_recall_lsh's cross-engine recall oracle, the scale3
-# cache-unpersist hygiene, scan_binaryfile fixture-dir cleanup, the
-# three newly activated arbitrary-state queries, and the analytics
-# pair); then (b) the r2-vintage families the r4 verdict ordered
-# rotated in — dedup's seven oracle-backed r2 rows (the file took
-# additive edits in r3 AND r4 since those rows), all five multimodal
-# queries, the embed trio, the knn quartet, the vector_blas trio,
-# and the seven r2 streaming queries — after which every
-# oracle-backed query's latest green row is at most two rounds old.
+# Round-6 window (the r5 verdict's top ask: retire the r1 vintage):
+# (a) queries whose code or oracle changed this round and must attest
+# on current code — dedup_url (advisor's oracle anchoring),
+# eval_dedup_compare (minhash tier now cross-engine; dedup_minhash's
+# hashing changed with it), agg_percentile (refinement levels),
+# embed_knn_pipeline (graduated to oracle-backed via the sqlhash
+# provider), mm_image_features/mm_image_resize (real P6 PPM decode
+# with exact pixel-statistic oracles), and the arbitrary-state trio
+# (conf-restore guard touched all three function bodies);
+# (b) the 16 remaining r1-vintage relational rows;
+# (c) the r3-vintage strata: the 14-query functions_suite, the seven
+# r3 textstats rows, and four r3 scale rows (the rest of the r3
+# stratum — sink_partitioned/orc/clustered and scale2's r3 rows —
+# rotates in r7; every one sits on files unchanged since r3).
+# NOT slotted, deliberately: embed_mock/embed_with_status/
+# embed_provider_switch (embed.py's edit is an additive provider
+# branch — batch_fn dispatches to the old path bit-for-bit for every
+# existing provider) and the non-image mm queries (media_table is
+# untouched; the planted-PPM path is a separate new table).
 _PROMOTED = [
     # (a) changed this round — least-attested surface, sweep first
-    # (scrub_pii and search_hybrid_rrf were slated for perf work but
-    # measured under/at the bar once benched in isolation, so their
-    # code is untouched and their r4 rows stand — no slot needed)
     "dedup_url",
-    "eval_recall_lsh",
+    "eval_dedup_compare",
+    "agg_percentile",
+    "embed_knn_pipeline",
+    "mm_image_features",
+    "mm_image_resize",
     "stream_transform_state",
     "stream_transform_topk",
     "stream_transform_typecounts",
-    "retention_cohorts",
-    "seq_transitions",
-    "ts_gapfill",
-    "quality_entropy",
-    "graph_pagerank",
-    "agg_heavy_hitters",
-    "join_bloom_prefilter",
-    "scan_binaryfile",
-    "agg_percentile",
-    # (b) r2-vintage rotation: dedup family (r2 rows, file edited
-    # additively in r3+r4)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_embed_cosine",
-    "dedup_apply",
-    "dedup_containment",
-    "dedup_decontaminate",
-    # multimodal family (r2 rows)
-    "mm_image_features",
-    "mm_frame_sample",
-    "mm_metadata_stats",
-    "mm_audio_features",
-    "mm_arrow_bytes",
-    # embed family (r2 rows)
-    "embed_mock",
-    "embed_with_status",
-    "embed_provider_switch",
-    # knn family (r2 rows)
-    "knn_exact_l2",
-    "eval_avgsim",
-    "eval_recall",
-    "report_pivot",
-    # vector_blas (r2/r3 rows)
-    "dedup_embed_cosine_blas",
-    "sim_topk_bruteforce",
-    "embed_project_pca",
-    # streaming r2 rows (stream_foreach_batch re-attested r4)
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_stateful",
-    "stream_dedup_late",
-    "stream_enrich",
-    "stream_join_interval",
+    # (b) the r1 vintage: every relational row whose only green row
+    # is round 1 (file unchanged since the additive r3 edit)
+    "join_theta_range",
+    "join_cross_topk",
+    "agg_hash",
+    "agg_distinct",
+    "agg_collect",
+    "agg_rollup",
+    "agg_cube",
+    "agg_gsets",
+    "win_rank_topk",
+    "win_running",
+    "win_ntile_cume",
+    "sort_limit",
+    "dedup_first",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    # (c) r3 vintage: the whole functions_suite stratum
+    "fn_string",
+    "fn_date",
+    "fn_math",
+    "fn_array",
+    "fn_json",
+    "fn_cosine",
+    "fn_l2",
+    "fn_regex",
+    "fn_conditional",
+    "fn_bitwise",
+    "fn_explode",
+    "fn_map",
+    "fn_variant",
+    "fn_xml",
+    # (c) r3 textstats rows (text_stats/token_count/quality_repetition
+    # /scrub_pii re-attested in r4 — no slot needed)
+    "lang_id",
+    "quality_score",
+    "fingerprint",
+    "fingerprint_rolling",
+    "text_chunk",
+    "diag_skew",
+    "diag_partition_stats",
+    # (c) four r3 scale rows (file order)
+    "sink_bucketed",
+    "sink_json",
+    "join_skew_salted",
+    "rollup_hypertable",
 ]
 
-# Relational §2.B rows already re-attested in r4 (the four
-# sources/sinks) or r3 (two window/agg rewrites): exclude them from
-# the r1 backfill so the window slots go to the stalest rows.
-_BACKFILL_SKIP = {
-    "scan_parquet",
-    "scan_csv",
-    "sink_parquet",
-    "sink_overwrite",
-    "agg_approx_distinct",
-    "win_lag_lead",
-}
-
-# No deferrals this rotation: every registered query either sits in
-# the current 50-slot window or already has a green row on current
-# code from r1-r3.
+# r7 rotation queue (r3 vintage that did not fit this window):
+# sink_partitioned, sink_orc, sink_clustered, scale2's twelve r3 rows
+# (join_range_binned ... sink_upsert_partition), knn_exact,
+# knn_filtered, eval_backend_compare.
 _DEFERRED: list[str] = []
 
 
@@ -128,13 +127,12 @@ def load_all() -> None:
     sweeps (tools/driver_sim.py's first-N window, spot checks, and any
     consumer that samples the registry front-to-back). The head of the
     order is the surface with the least accumulated verification
-    signal. Round-5 rotation (the r4 verdict's top ask): queries
-    changed this round first, then the r2-vintage families
-    (dedup/multimodal/embed/knn/vector_blas/streaming) whose green
-    rows are two rounds old, then relational r1 backfill (file order,
-    minus the rows re-attested in r3/r4) — so a bounded front-to-back
-    sweep always lands on the operators whose correctness is least
-    attested on CURRENT code.
+    signal. Round-6 rotation (the r5 verdict's top ask): queries
+    changed this round first, then the 16 r1-vintage relational rows,
+    then the r3 strata (functions_suite, textstats, scale) — the
+    explicit 50-entry _PROMOTED list IS the window; after this
+    rotation no oracle-backed query's latest green row predates r3,
+    and the r3 remainder is queued for r7 (see _DEFERRED comment).
     """
     import skills_vectors_spark.operators.functions_suite  # noqa: F401
     import skills_vectors_spark.operators.textstats  # noqa: F401
@@ -159,21 +157,8 @@ def load_all() -> None:
     # registration order is always file order (a module registers all
     # of its queries during its single import), so grouping by each
     # query's defining module gives a stable canonical order.
-    head_modules: list[str] = []
-    backfill_modules = ["relational"]
-    mod_of = {n: fn.__module__.rsplit(".", 1)[-1] for n, fn in QUERIES.items()}
-    deferred = set(_DEFERRED)
-    order = [n for m in head_modules for n in QUERIES if mod_of[n] == m and n not in deferred]
+    order = [n for n in _PROMOTED if n in QUERIES]
     seen = set(order)
-    order += [n for n in _PROMOTED if n in QUERIES and n not in seen]
-    seen.update(order)
-    order += [
-        n
-        for m in backfill_modules
-        for n in QUERIES
-        if mod_of[n] == m and n not in seen and n not in deferred and n not in _BACKFILL_SKIP
-    ]
-    seen.update(order)
     order += [n for n in _DEFERRED if n in QUERIES and n not in seen]
     seen.update(order)
     order += [n for n in QUERIES if n not in seen]

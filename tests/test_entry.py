@@ -27,53 +27,48 @@ def test_entry_contract(spark):
 def test_sweep_window_prioritizes_least_attested():
     """Bounded front-to-back sweeps read the first 50 registered
     queries; that window must hold the least-attested-on-current-code
-    surface. Round-4 rotation: all of relational2 (9 queries whose
-    only driver row was the r1 events-loader error, plus the three
-    rewritten by r3 perf work), relevance (the _term_freqs fusion
-    postdates the trio's green rows; search_hybrid_rrf is new), the
-    promoted r3 newcomers, then relational backfill."""
+    surface. Round-6 rotation (the r5 verdict's top ask): queries
+    changed in r6 first, then the 16 r1-vintage relational rows, then
+    the r3 strata (functions_suite, textstats, scale)."""
     from skills_vectors_spark import registry
 
     registry.load_all()
     window = list(registry.QUERIES)[:50]
     for must in [
-        # changed in r5 — must re-attest on current code
+        # changed in r6 — must re-attest on current code
         "dedup_url",
-        "eval_recall_lsh",
+        "eval_dedup_compare",
+        "agg_percentile",
+        "embed_knn_pipeline",
+        "mm_image_features",
+        "mm_image_resize",
         "stream_transform_state",
         "stream_transform_topk",
         "stream_transform_typecounts",
-        "retention_cohorts",
-        "seq_transitions",
-        "ts_gapfill",
-        "quality_entropy",
-        "graph_pagerank",
-        "agg_heavy_hitters",
-        "join_bloom_prefilter",
-        "scan_binaryfile",
-        "agg_percentile",
-        # r2-vintage rotation (r4 verdict's top ask)
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_clusters",
-        "dedup_embed_cosine",
-        "dedup_apply",
-        "dedup_containment",
-        "dedup_decontaminate",
-        "mm_image_features",
-        "mm_arrow_bytes",
-        "embed_mock",
-        "embed_with_status",
-        "embed_provider_switch",
-        "knn_exact_l2",
-        "eval_avgsim",
-        "eval_recall",
-        "report_pivot",
-        "dedup_embed_cosine_blas",
-        "sim_topk_bruteforce",
-        "embed_project_pca",
-        "stream_tumbling",
-        "stream_stateful",
-        "stream_join_interval",
+        # the r1 vintage being retired
+        "join_theta_range",
+        "join_cross_topk",
+        "agg_hash",
+        "agg_distinct",
+        "agg_collect",
+        "agg_rollup",
+        "agg_cube",
+        "agg_gsets",
+        "win_rank_topk",
+        "win_running",
+        "win_ntile_cume",
+        "sort_limit",
+        "dedup_first",
+        "set_union",
+        "set_intersect",
+        "set_except",
+        # r3 strata
+        "fn_string",
+        "fn_xml",
+        "fn_cosine",
+        "lang_id",
+        "diag_partition_stats",
+        "sink_bucketed",
+        "rollup_hypertable",
     ]:
         assert must in window, f"{must} fell out of the 50-query sweep window"
