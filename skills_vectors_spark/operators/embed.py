@@ -62,25 +62,59 @@ def _mock_embed_batch(texts: pd.Series, dim: int = EMBED_DIM) -> list[list[float
 
 
 def _sqlhash_embed_batch(texts: pd.Series, dim: int = SQLHASH_DIM) -> list[list[float]]:
-    """Deterministic embedding whose every coordinate is SQL-
-    expressible: coord_j = ('0x'||substr(md5(text||':'||j),1,8))::BIGINT
-    / 2^31 - 1 in DuckDB terms — an exact double in [-1, 2) both
-    engines derive from the same md5 bytes, stored as float32 by the
-    schema cast (IEEE round-to-nearest in numpy, Arrow, and DuckDB
-    alike). Deliberately NOT unit-normalized: cosine is scale-
-    invariant, and skipping the norm keeps the stored value free of
-    any summation-order dependence."""
+    """Python reference implementation of the sqlhash embedding —
+    kept as the parity witness for the codegen column below (unit
+    test asserts bit-identical float32 output); the engine path is
+    sqlhash_embedding_col."""
     out = []
     for t in texts:
+        inner = hashlib.md5(t.encode("utf-8")).hexdigest()
         out.append(
             [
-                int.from_bytes(hashlib.md5(f"{t}:{j}".encode("utf-8")).digest()[:4], "big")
+                int.from_bytes(
+                    hashlib.md5(f"{inner}:{j}".encode("utf-8")).digest()[:4], "big"
+                )
                 / 2147483648.0
                 - 1.0
                 for j in range(dim)
             ]
         )
     return out
+
+
+def sqlhash_embedding_col(text_col: str = "text", dim: int = SQLHASH_DIM):
+    """Deterministic embedding whose every coordinate is SQL-
+    expressible AND computed entirely in JVM codegen (no Python
+    worker): coord_j = conv(substr(md5(md5(text)||':'||j),1,8),16,10)
+    / 2^31 - 1 — equal to DuckDB's ('0x'||substr(md5(..),1,8))::BIGINT
+    form, an exact double in [-1, 1) both engines derive from the
+    same md5 bytes, stored as float32 by the cast (IEEE
+    round-to-nearest everywhere). The text is digested ONCE and the
+    per-coordinate hashes run over the fixed 32-char hex digest —
+    without the inner md5 every coordinate re-hashes the whole
+    document (16x the scan's dominant cost on multi-KB docs; measured
+    0.95 s -> ~0.2 s at 5k docs). Deliberately NOT unit-normalized:
+    cosine is scale-invariant, and skipping the norm keeps the stored
+    value free of any summation-order dependence."""
+    inner = F.md5(F.encode(F.col(text_col), "UTF-8"))
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.encode(F.concat(inner, F.lit(f":{j}")), "UTF-8")),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                / F.lit(2147483648.0)
+                - F.lit(1.0)
+            ).cast("float")
+            for j in range(dim)
+        ]
+    )
 
 
 _EMBED_SCHEMA = T.StructType(
@@ -103,7 +137,20 @@ def embed_documents(
     reference's provider switch (create_skill_embeddings.py:11-20)."""
     dim = PROVIDERS[provider]
 
-    batch_fn = _sqlhash_embed_batch if provider == SQLHASH_PROVIDER else _mock_embed_batch
+    # spread the (often single-partition) input so embedding batches
+    # run on every core / executor, not one
+    spread = df.select(id_col, text_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    if provider == SQLHASH_PROVIDER:
+        # engine-expression provider: whole-stage codegen, no Python
+        # worker stage at all — and a plan that reuses for free when a
+        # pipeline references the embeddings from several branches
+        return spread.select(
+            F.col(id_col).alias("doc_id"),
+            sqlhash_embedding_col(text_col, dim).alias("embedding"),
+            F.lit(provider).alias("provider"),
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-partition setup: a real impl creates its API client here
@@ -111,16 +158,11 @@ def embed_documents(
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "embedding": batch_fn(pdf[text_col], dim),
+                    "embedding": _mock_embed_batch(pdf[text_col], dim),
                     "provider": provider,
                 }
             )
 
-    # spread the (often single-partition) input so embedding batches
-    # run on every core / executor, not one
-    spread = df.select(id_col, text_col).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    )
     return spread.mapInPandas(run, _EMBED_SCHEMA)
 
 
@@ -155,7 +197,7 @@ def embed_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQLHASH_COORD = (
-    "CAST(('0x' || substr(md5(text || ':' || CAST(j AS VARCHAR)), 1, 8))::BIGINT"
+    "CAST(('0x' || substr(md5(dig || ':' || CAST(j AS VARCHAR)), 1, 8))::BIGINT"
     " / 2147483648.0 - 1.0 AS FLOAT)"
 )
 
@@ -164,13 +206,17 @@ _SQLHASH_COORD = (
     "embed_knn_pipeline",
     # the full embed->knn composition recomputed in DuckDB: the
     # mock-sqlhash-v1 provider's float32 coordinates are md5-derived
-    # values both engines produce bit-identically, and the cosine
-    # top-5 then reuses the knn_exact oracle pattern
+    # values both engines produce bit-identically (text digested once,
+    # coordinates from the hex digest), and the cosine top-5 then
+    # reuses the knn_exact oracle pattern
     f"""
-    WITH emb AS (
+    WITH digests AS (
+      SELECT doc_id, md5(text) AS dig FROM documents
+    ),
+    emb AS (
       SELECT doc_id,
              list_transform(range(0, {SQLHASH_DIM}), j -> {_SQLHASH_COORD}) AS v
-      FROM documents
+      FROM digests
     ),
     scored AS (
       SELECT q.doc_id AS q_id, c.doc_id AS c_id,

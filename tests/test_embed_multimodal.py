@@ -27,6 +27,28 @@ def test_embed_depends_only_on_text(spark):
     assert e1 == e2
 
 
+def test_sqlhash_codegen_matches_python_reference(spark):
+    """The JVM codegen sqlhash embedding must be bit-identical (after
+    the float32 cast) to the Python reference implementation — the
+    parity the embed_knn_pipeline oracle depends on."""
+    import numpy as np
+    import pandas as pd
+
+    texts = ["hello world", "", "ünïcode ✓ test", "a" * 500, "x:y:0"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.embedding
+        for r in embed.embed_documents(df, provider=embed.SQLHASH_PROVIDER).collect()
+    }
+    ref = embed._sqlhash_embed_batch(pd.Series(texts))
+    for i, expect in enumerate(ref):
+        assert np.array_equal(
+            np.array(got[i], dtype=np.float32), np.array(expect, dtype=np.float32)
+        ), texts[i][:20]
+
+
 def test_mm_image_features_shape(spark, sf_dir):
     rows = multimodal.mm_image_features(spark, sf_dir).collect()
     assert rows
