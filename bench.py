@@ -97,6 +97,9 @@ HEADLINE = [
     "seq_transitions",
     "ts_gapfill",
     "quality_entropy",
+    "eval_ndcg_mrr",
+    "quality_drift_psi",
+    "text_pmi_bigrams",
 ]
 
 

@@ -55,6 +55,11 @@ def register(name: str, oracle: str | None = None):
 # untouched; the planted-PPM path is a separate new table).
 _PROMOTED = [
     # (a) changed this round — least-attested surface, sweep first
+    # (incl. the corpus-eval wave, NEW in r6: ranking metrics, PSI
+    # drift, PMI collocations — brand-new queries need first rows)
+    "eval_ndcg_mrr",
+    "quality_drift_psi",
+    "text_pmi_bigrams",
     "dedup_url",
     "eval_dedup_compare",
     "agg_percentile",
@@ -104,19 +109,18 @@ _PROMOTED = [
     "fingerprint",
     "fingerprint_rolling",
     "text_chunk",
-    "diag_skew",
     "diag_partition_stats",
-    # (c) four r3 scale rows (file order)
+    # (c) two r3 scale rows (file order)
     "sink_bucketed",
-    "sink_json",
-    "join_skew_salted",
     "rollup_hypertable",
 ]
 
 # r7 rotation queue (r3 vintage that did not fit this window):
-# sink_partitioned, sink_orc, sink_clustered, scale2's twelve r3 rows
-# (join_range_binned ... sink_upsert_partition), knn_exact,
-# knn_filtered, eval_backend_compare.
+# diag_skew, sink_json, join_skew_salted (displaced by the new
+# corpus-eval wave), sink_partitioned, sink_orc, sink_clustered,
+# scale2's twelve r3 rows (join_range_binned ...
+# sink_upsert_partition), knn_exact, knn_filtered,
+# eval_backend_compare.
 _DEFERRED: list[str] = []
 
 
@@ -151,6 +155,7 @@ def load_all() -> None:
     import skills_vectors_spark.operators.scale3  # noqa: F401
     import skills_vectors_spark.operators.multimodal2  # noqa: F401
     import skills_vectors_spark.operators.analytics  # noqa: F401
+    import skills_vectors_spark.operators.corpus_eval  # noqa: F401
 
     # Reorder deterministically — not by import-time insertion, which
     # test collection or ad-hoc imports can perturb. Within-module

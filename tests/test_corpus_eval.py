@@ -1,0 +1,140 @@
+"""Round-6 corpus-eval wave: ranking-metric invariants, PSI
+non-negativity/bucket-spine shape, PMI ordering/support-floor
+contracts, and plan-shape checks (the PSI scan must stay a two-
+exchange codegen plan; PMI's bigram arm must never leave the JVM).
+Cross-engine value parity is the driver's oracle check; these tests
+pin the mathematical invariants that hold at ANY tier.
+"""
+
+from __future__ import annotations
+
+import math
+
+from skills_vectors_spark.operators import corpus_eval
+from skills_vectors_spark.operators.relevance import N_Q_DOCS, TOPK
+from skills_vectors_spark.plans import PlanFacts, physical_plan
+
+
+# ------------------------------------------------ eval_ndcg_mrr
+
+def test_ndcg_mrr_invariants(spark, sf_dir):
+    rows = corpus_eval.eval_ndcg_mrr(spark, sf_dir).collect()
+    assert len(rows) == N_Q_DOCS
+    for r in rows:
+        assert 0.0 <= r.ndcg <= 1.0, r
+        assert 0 <= r.n_hits <= TOPK, r
+        if r.n_hits > 0:
+            # first hit is at some position 1..K
+            assert 1.0 / TOPK - 1e-9 <= r.mrr <= 1.0 + 1e-9, r
+        else:
+            assert r.mrr == 0.0, r
+        # a query with zero hits has zero gain
+        if r.n_hits == 0:
+            assert r.ndcg == 0.0, r
+
+
+def test_ndcg_idcg_constant_matches_definition():
+    expect = sum((TOPK + 1 - i) / math.log2(i + 1) for i in range(1, TOPK + 1))
+    assert corpus_eval.IDCG_AT_K == expect
+
+
+def test_ndcg_overlap_retrieval_finds_signal(spark, sf_dir):
+    # the lexical-overlap candidate tier must beat random: across all
+    # queries it should surface at least one gold document somewhere
+    rows = corpus_eval.eval_ndcg_mrr(spark, sf_dir).collect()
+    assert sum(r.n_hits for r in rows) > 0
+
+
+# ------------------------------------------------ quality_drift_psi
+
+def test_psi_bucket_spine_and_totals(spark, sf_dir):
+    rows = sorted(
+        corpus_eval.quality_drift_psi(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(corpus_eval.PSI_BUCKETS))
+    # every PSI term is non-negative: (pa-pb)*ln(pa/pb) >= 0 always
+    for r in rows:
+        assert r.psi_term >= -1e-6, r
+        assert 0.0 < r.pa < 1.0 and 0.0 < r.pb < 1.0, r
+    # single shared total on every row, equal to the term sum
+    totals = {r.psi_total for r in rows}
+    assert len(totals) == 1
+    assert abs(sum(r.psi_term for r in rows) - rows[0].psi_total) < 1e-4
+
+
+def test_psi_counts_cover_the_corpus(spark, sf_dir):
+    from skills_vectors_spark import sources
+
+    rows = corpus_eval.quality_drift_psi(spark, sf_dir).collect()
+    n_docs = sources.load(spark, sf_dir, "documents").count()
+    assert sum(r.n_a + r.n_b for r in rows) == n_docs
+
+
+def test_psi_plan_is_two_exchange_codegen(spark, sf_dir):
+    df = corpus_eval.quality_drift_psi(spark, sf_dir)
+    p = physical_plan(df)
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    facts = PlanFacts.of(df)
+    # bucket agg exchange + the 10-row spine join/window machinery;
+    # nothing that scales with the corpus shuffles more than once
+    assert facts.n_exchanges_live <= 4, facts.n_exchanges_live
+    assert facts.has_broadcast  # counts broadcast into the spine
+
+
+# ------------------------------------------------ text_pmi_bigrams
+
+def test_pmi_ordering_and_support_floor(spark, sf_dir):
+    rows = corpus_eval.text_pmi_bigrams(spark, sf_dir).collect()
+    assert 0 < len(rows) <= corpus_eval.PMI_TOPN
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.cnt_ab >= corpus_eval.PMI_MIN_COUNT, r
+        assert r.w1 and r.w2, r
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_pmi_bigram_arm_stays_jvm_side(spark, sf_dir):
+    # the bigram extraction (slice+zip+explode) must be pure codegen;
+    # the only Python stage allowed anywhere is the shared _term_freqs
+    # cache build (unigram side), which the live plan reads as an
+    # InMemoryRelation after first use
+    from skills_vectors_spark.plans import _strip_cached_subtrees
+
+    df = corpus_eval.text_pmi_bigrams(spark, sf_dir)
+    df.count()  # materialize the shared tf cache
+    live = _strip_cached_subtrees(physical_plan(df))
+    assert "BatchEvalPython" not in live
+    assert "MapInPandas" not in live
+
+
+def test_pmi_value_definition_on_counts(spark, sf_dir):
+    # recompute pmi for the top row from raw corpus counts
+    import re
+    from collections import Counter
+
+    from skills_vectors_spark import sources
+
+    texts = [
+        r.text
+        for r in sources.load(spark, sf_dir, "documents").select("text").collect()
+        if r.text is not None
+    ]
+    ws = re.compile(r"\s+", re.ASCII)
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    n_bi = 0
+    for t in texts:
+        toks = ws.sub(" ", t.lower()).strip(" ").split(" ")
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+        n_bi += max(0, len(toks) - 1)
+    n_uni = sum(uni.values())
+    top = corpus_eval.text_pmi_bigrams(spark, sf_dir).collect()[0]
+    expect = math.log(
+        (bi[(top.w1, top.w2)] / n_bi)
+        / ((uni[top.w1] / n_uni) * (uni[top.w2] / n_uni))
+    )
+    assert abs(top.pmi - expect) < 1e-5
+    assert top.cnt_ab == bi[(top.w1, top.w2)]

@@ -36,6 +36,9 @@ def test_sweep_window_prioritizes_least_attested():
     window = list(registry.QUERIES)[:50]
     for must in [
         # changed in r6 — must re-attest on current code
+        "eval_ndcg_mrr",
+        "quality_drift_psi",
+        "text_pmi_bigrams",
         "dedup_url",
         "eval_dedup_compare",
         "agg_percentile",
