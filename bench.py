@@ -100,12 +100,15 @@ HEADLINE = [
     "eval_ndcg_mrr",
     "quality_drift_psi",
     "text_pmi_bigrams",
+    "anomaly_mad",
+    "scan_merge_schema",
 ]
 
 
 def _extras() -> dict:
     """Sketch-only production variants benched alongside the
     registered exact forms."""
+    from skills_vectors_spark.operators.analytics import anomaly_mad_production
     from skills_vectors_spark.operators.dedup import dedup_ngram_jaccard_production
     from skills_vectors_spark.operators.relational2 import approx_percentile_production
     from skills_vectors_spark.operators.scale2 import hll_sketch_production
@@ -114,6 +117,7 @@ def _extras() -> dict:
         "approx_percentile_production": approx_percentile_production,
         "hll_sketch_production": hll_sketch_production,
         "dedup_ngram_jaccard_production": dedup_ngram_jaccard_production,
+        "anomaly_mad_production": anomaly_mad_production,
     }
 
 

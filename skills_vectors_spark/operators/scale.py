@@ -236,3 +236,49 @@ def sink_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
     )
     return spark.read.parquet(path).filter(F.col("user_id") == CLUSTER_USER)
+
+
+@register(
+    "scan_merge_schema",
+    """
+    SELECT p_partkey, p_brand, CAST(NULL AS DOUBLE) AS p_retailprice,
+           1 AS schema_v
+    FROM part WHERE p_partkey % 2 = 0
+    UNION ALL
+    SELECT p_partkey, p_brand, p_retailprice, 2 AS schema_v
+    FROM part WHERE p_partkey % 2 = 1
+    """,
+)
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: two generations of the same dataset —
+    v1 written before `p_retailprice` existed, v2 after — read back as
+    ONE DataFrame via `mergeSchema`, the old generation null-padded.
+    This is the lakehouse reality every long-lived corpus hits (a new
+    extraction field appears mid-corpus; historical files are never
+    rewritten), and the reason engine-declared schemas (SURVEY §1.3)
+    must still tolerate per-file drift on read.
+
+    Scale shape: schema merge is a FOOTER-only operation — Spark reads
+    each file's parquet schema from its footer and unions them; no
+    data pass, no shuffle. The scan itself stays partition-parallel
+    with pruning/pushdown intact per generation.
+    """
+    path = _scratch(sf_dir, "part_evolving")
+    part = sources.load(spark, sf_dir, "part")
+    (
+        part.filter(F.col("p_partkey") % 2 == 0)
+        .select("p_partkey", "p_brand", F.lit(1).alias("schema_v"))
+        .write.mode("overwrite")
+        .parquet(path + "/gen1")
+    )
+    (
+        part.filter(F.col("p_partkey") % 2 == 1)
+        .select("p_partkey", "p_brand", "p_retailprice", F.lit(2).alias("schema_v"))
+        .write.mode("overwrite")
+        .parquet(path + "/gen2")
+    )
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(path + "/gen1", path + "/gen2")
+        .select("p_partkey", "p_brand", "p_retailprice", "schema_v")
+    )

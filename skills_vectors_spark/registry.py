@@ -60,6 +60,8 @@ _PROMOTED = [
     "eval_ndcg_mrr",
     "quality_drift_psi",
     "text_pmi_bigrams",
+    "anomaly_mad",
+    "scan_merge_schema",
     "dedup_url",
     "eval_dedup_compare",
     "agg_percentile",
@@ -107,8 +109,6 @@ _PROMOTED = [
     "lang_id",
     "quality_score",
     "fingerprint",
-    "fingerprint_rolling",
-    "text_chunk",
     "diag_partition_stats",
     # (c) two r3 scale rows (file order)
     "sink_bucketed",
@@ -116,8 +116,9 @@ _PROMOTED = [
 ]
 
 # r7 rotation queue (r3 vintage that did not fit this window):
-# diag_skew, sink_json, join_skew_salted (displaced by the new
-# corpus-eval wave), sink_partitioned, sink_orc, sink_clustered,
+# diag_skew, sink_json, join_skew_salted, fingerprint_rolling,
+# text_chunk (displaced by the new corpus-eval + anomaly/schema
+# waves), sink_partitioned, sink_orc, sink_clustered,
 # scale2's twelve r3 rows (join_range_binned ...
 # sink_upsert_partition), knn_exact, knn_filtered,
 # eval_backend_compare.

@@ -39,6 +39,8 @@ def test_sweep_window_prioritizes_least_attested():
         "eval_ndcg_mrr",
         "quality_drift_psi",
         "text_pmi_bigrams",
+        "anomaly_mad",
+        "scan_merge_schema",
         "dedup_url",
         "eval_dedup_compare",
         "agg_percentile",

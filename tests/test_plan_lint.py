@@ -30,6 +30,8 @@ BNLJ_ALLOWED = {
     "dedup_embed_cosine",  # declared exact all-pairs tier (scale twins: blas/lsh)
     "sim_topk_bruteforce",  # declared brute-force baseline (GEMM-side)
     "text_tfidf_sim",  # 1-row corpus-size scalar broadcast into idf
+    "eval_ndcg_mrr",  # consumes text_tfidf_sim as gold (same scalar broadcast)
+    "text_pmi_bigrams",  # 1-row (n_bi, n_uni) corpus-total scalar broadcast
     "text_bm25_search",  # 1-row (n_docs, avgdl) scalar broadcast
     "search_hybrid_rrf",  # 1-row query-vector + bm25 scalar broadcasts
     "seq_funnel",  # cross of three 1-row stage counts
