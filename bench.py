@@ -102,6 +102,7 @@ HEADLINE = [
     "text_pmi_bigrams",
     "anomaly_mad",
     "scan_merge_schema",
+    "stream_drift_psi",
 ]
 
 

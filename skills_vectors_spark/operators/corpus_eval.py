@@ -217,9 +217,15 @@ def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output schema data-independent, and everything after the
     first agg is constant-size work regardless of corpus size.
     """
-    eps = PSI_BUCKETS / 2.0  # 0.5 per bucket over the fixed spine
     docs = sources.load(spark, sf_dir, "documents")
-    cnt = (
+    return _psi_report(spark, _psi_bucket_counts(docs))
+
+
+def _psi_bucket_counts(docs: DataFrame) -> DataFrame:
+    """(bucket, n_a, n_b) split counts — the aggregation shared by the
+    batch monitor and its streaming twin (identical expressions, so
+    stream==batch equality is by construction, not by coincidence)."""
+    return (
         docs.select(
             F.least(
                 F.lit(9), F.floor(F.col("n_chars") / F.lit(PSI_BUCKET_W))
@@ -232,6 +238,13 @@ def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("n_b"),
         )
     )
+
+
+def _psi_report(spark: SparkSession, cnt: DataFrame) -> DataFrame:
+    """Spine-join + smoothing + PSI terms over final (bucket, n_a,
+    n_b) counts — constant-size post-processing shared by the batch
+    and streaming monitors."""
+    eps = PSI_BUCKETS / 2.0  # 0.5 per bucket over the fixed spine
     spine = spark.range(PSI_BUCKETS).select(F.col("id").alias("bucket"))
     f = spine.join(F.broadcast(cnt), "bucket", "left").select(
         "bucket",
@@ -355,3 +368,72 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt_ab").cast("long").alias("cnt_ab"),
         "pmi",
     )
+
+
+_DOCS_STREAM_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+@register(
+    "stream_drift_psi",
+    # same oracle as quality_drift_psi: the streaming monitor's final
+    # state must equal the one-shot batch computation exactly —
+    # micro-batch-merged counts are checked cell-for-cell through the
+    # identical PSI post-processing
+    f"""
+    WITH b AS (
+      SELECT CAST(least(9, floor(n_chars / {PSI_BUCKET_W!r})) AS BIGINT) AS bucket,
+             doc_id % 2 AS side
+      FROM documents
+    ), cnt AS (
+      SELECT bucket,
+             sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_b
+      FROM b GROUP BY bucket
+    ), spine AS (
+      SELECT unnest(generate_series(0, {PSI_BUCKETS - 1})) AS bucket
+    ), f AS (
+      SELECT s.bucket, coalesce(c.n_a, 0) AS n_a, coalesce(c.n_b, 0) AS n_b
+      FROM spine s LEFT JOIN cnt c ON c.bucket = s.bucket
+    ), tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM f),
+    p AS (
+      SELECT bucket, n_a, n_b,
+             (n_a + 0.5) / (ta + {PSI_BUCKETS / 2.0!r}) AS pa,
+             (n_b + 0.5) / (tb + {PSI_BUCKETS / 2.0!r}) AS pb
+      FROM f CROSS JOIN tot
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(pa * 1e6) / 1e6 AS pa, round(pb * 1e6) / 1e6 AS pb,
+           round((pa - pb) * ln(pa / pb) * 1e6) / 1e6 AS psi_term,
+           round(sum((pa - pb) * ln(pa / pb)) OVER () * 1e6) / 1e6 AS psi_total
+    FROM p
+    """,
+)
+def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PSI drift monitor maintained BY A STREAM: documents arrive
+    through a Structured Streaming file source and the split counts
+    are a real streaming aggregation (complete mode); the final
+    micro-batch-merged state flows through the SAME spine-join/
+    smoothing/PSI post-processing as the batch monitor. The batch
+    oracle checks mergeability end-to-end: streamed counts must equal
+    the one-shot batch computation cell-for-cell — the
+    stream_cms_counters pattern applied to drift monitoring, which is
+    how a production pipeline actually watches an INCOMING corpus
+    feed rather than re-scanning the lake per check.
+
+    Scale shape: streaming state is |buckets| rows x 2 counters —
+    constant regardless of stream length (the reason complete mode is
+    safe); per-micro-batch work is the same map-side-combinable
+    conditional sum as the batch scan.
+    """
+    from skills_vectors_spark.streaming.windows import run_to_completion
+
+    docs = (
+        spark.readStream.schema(_DOCS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    cnt = run_to_completion(_psi_bucket_counts(docs))
+    return _psi_report(spark, cnt)

@@ -62,6 +62,7 @@ _PROMOTED = [
     "text_pmi_bigrams",
     "anomaly_mad",
     "scan_merge_schema",
+    "stream_drift_psi",
     "dedup_url",
     "eval_dedup_compare",
     "agg_percentile",
@@ -108,7 +109,6 @@ _PROMOTED = [
     # /scrub_pii re-attested in r4 — no slot needed)
     "lang_id",
     "quality_score",
-    "fingerprint",
     "diag_partition_stats",
     # (c) two r3 scale rows (file order)
     "sink_bucketed",
@@ -117,8 +117,9 @@ _PROMOTED = [
 
 # r7 rotation queue (r3 vintage that did not fit this window):
 # diag_skew, sink_json, join_skew_salted, fingerprint_rolling,
-# text_chunk (displaced by the new corpus-eval + anomaly/schema
-# waves), sink_partitioned, sink_orc, sink_clustered,
+# text_chunk, fingerprint (displaced by the new corpus-eval +
+# anomaly/schema/stream-drift waves), sink_partitioned, sink_orc,
+# sink_clustered,
 # scale2's twelve r3 rows (join_range_binned ...
 # sink_upsert_partition), knn_exact, knn_filtered,
 # eval_backend_compare.

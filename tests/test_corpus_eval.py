@@ -138,3 +138,25 @@ def test_pmi_value_definition_on_counts(spark, sf_dir):
     )
     assert abs(top.pmi - expect) < 1e-5
     assert top.cnt_ab == bi[(top.w1, top.w2)]
+
+
+# ------------------------------------------------ stream_drift_psi
+
+def test_stream_drift_psi_equals_batch(spark, sf_dir):
+    batch = sorted(
+        corpus_eval.quality_drift_psi(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    streamed = sorted(
+        corpus_eval.stream_drift_psi(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    # micro-batch-merged counts through the shared post-processing
+    # must equal the one-shot batch computation cell for cell
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+def test_stream_drift_psi_restores_shuffle_conf(spark, sf_dir):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    corpus_eval.stream_drift_psi(spark, sf_dir).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev

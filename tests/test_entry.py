@@ -41,6 +41,7 @@ def test_sweep_window_prioritizes_least_attested():
         "text_pmi_bigrams",
         "anomaly_mad",
         "scan_merge_schema",
+        "stream_drift_psi",
         "dedup_url",
         "eval_dedup_compare",
         "agg_percentile",
