@@ -103,6 +103,7 @@ HEADLINE = [
     "anomaly_mad",
     "scan_merge_schema",
     "stream_drift_psi",
+    "sink_merge_rows",
 ]
 
 

@@ -282,3 +282,76 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path + "/gen1", path + "/gen2")
         .select("p_partkey", "p_brand", "p_retailprice", "schema_v")
     )
+
+
+@register(
+    "sink_merge_rows",
+    """
+    WITH updates AS (
+      SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+      FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      UNION ALL
+      SELECT c_custkey + 1000000 AS c_custkey,
+             'new-' || CAST(c_custkey AS VARCHAR) AS c_name,
+             0.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT coalesce(u.c_custkey, t.c_custkey) AS c_custkey,
+           coalesce(u.c_name, t.c_name) AS c_name,
+           round(coalesce(u.c_acctbal, t.c_acctbal) * 100) / 100 AS c_acctbal
+    FROM (SELECT c_custkey, c_name, c_acctbal FROM customer) t
+    FULL OUTER JOIN updates u ON u.c_custkey = t.c_custkey
+    """,
+)
+def sink_merge_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE (upsert) without a table format: a changeset
+    (updated balances for one segment + brand-new keys) merges into a
+    materialized target via FULL OUTER join on the key — matched rows
+    take the update, source-only rows insert, target-only rows carry
+    over — then the target is rewritten and re-read. With
+    `sink_upsert_partition` (partition-level restatement) and
+    `scd2_history` (history-preserving merge) this completes the
+    lakehouse write-path trio: MERGE current-state semantics at row
+    grain, the operation behind every incremental corpus refresh.
+
+    Scale shape: one key-grain shuffle join (both sides repartition
+    on c_custkey); the rewrite is partition-parallel. A real table
+    format (Delta/Iceberg) turns the full rewrite into
+    touched-file-only copy-on-write, but the JOIN SHAPE — the part
+    that scales with data — is exactly this plan.
+    """
+    path = _scratch(sf_dir, "customer_merge_target")
+    cust = sources.load(spark, sf_dir, "customer")
+    target = cust.select("c_custkey", "c_name", "c_acctbal")
+    target.write.mode("overwrite").parquet(path)
+    updates = (
+        cust.filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.concat(F.lit("new-"), F.col("c_custkey").cast("string")).alias(
+                    "c_name"
+                ),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    t = spark.read.parquet(path)
+    u = updates.select(
+        F.col("c_custkey").alias("u_key"),
+        F.col("c_name").alias("u_name"),
+        F.col("c_acctbal").alias("u_bal"),
+    )
+    merged = t.join(u, t.c_custkey == u.u_key, "full_outer").select(
+        F.coalesce("u_key", "c_custkey").alias("c_custkey"),
+        F.coalesce("u_name", "c_name").alias("c_name"),
+        (F.round(F.coalesce("u_bal", "c_acctbal") * 100) / 100).alias("c_acctbal"),
+    )
+    out = _scratch(sf_dir, "customer_merge_out")
+    merged.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)

@@ -63,6 +63,7 @@ _PROMOTED = [
     "anomaly_mad",
     "scan_merge_schema",
     "stream_drift_psi",
+    "sink_merge_rows",
     "dedup_url",
     "eval_dedup_compare",
     "agg_percentile",
@@ -108,7 +109,6 @@ _PROMOTED = [
     # (c) r3 textstats rows (text_stats/token_count/quality_repetition
     # /scrub_pii re-attested in r4 — no slot needed)
     "lang_id",
-    "quality_score",
     "diag_partition_stats",
     # (c) two r3 scale rows (file order)
     "sink_bucketed",
@@ -117,9 +117,9 @@ _PROMOTED = [
 
 # r7 rotation queue (r3 vintage that did not fit this window):
 # diag_skew, sink_json, join_skew_salted, fingerprint_rolling,
-# text_chunk, fingerprint (displaced by the new corpus-eval +
-# anomaly/schema/stream-drift waves), sink_partitioned, sink_orc,
-# sink_clustered,
+# text_chunk, fingerprint, quality_score (displaced by the new
+# corpus-eval + anomaly/schema/stream-drift/merge waves),
+# sink_partitioned, sink_orc, sink_clustered,
 # scale2's twelve r3 rows (join_range_binned ...
 # sink_upsert_partition), knn_exact, knn_filtered,
 # eval_backend_compare.

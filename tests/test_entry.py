@@ -42,6 +42,7 @@ def test_sweep_window_prioritizes_least_attested():
         "anomaly_mad",
         "scan_merge_schema",
         "stream_drift_psi",
+        "sink_merge_rows",
         "dedup_url",
         "eval_dedup_compare",
         "agg_percentile",

@@ -310,3 +310,30 @@ def test_scan_merge_schema_null_pads_old_generation(spark, sf_dir):
     # both generations present and disjoint by parity
     assert {r.schema_v for r in rows} == {1, 2}
     assert all(r.p_partkey % 2 == (0 if r.schema_v == 1 else 1) for r in rows)
+
+
+def test_sink_merge_rows_semantics(spark, sf_dir):
+    from skills_vectors_spark import sources
+    from skills_vectors_spark.operators.scale import sink_merge_rows
+
+    base = {
+        r.c_custkey: r
+        for r in sources.load(spark, sf_dir, "customer").collect()
+    }
+    merged = {r.c_custkey: r for r in sink_merge_rows(spark, sf_dir).collect()}
+    n_inserts = sum(1 for k in base if k % 97 == 0)
+    assert len(merged) == len(base) + n_inserts
+    for k, b in base.items():
+        m = merged[k]
+        if b.c_mktsegment == "AUTOMOBILE":
+            # matched: balance updated
+            assert abs(m.c_acctbal - round(b.c_acctbal + 100.0, 2)) < 1e-9, k
+        else:
+            # target-only: carried over untouched
+            assert abs(m.c_acctbal - round(b.c_acctbal, 2)) < 1e-9, k
+        assert m.c_name == b.c_name
+    for k in base:
+        if k % 97 == 0:
+            # source-only: inserted under the remapped key
+            ins = merged[k + 1000000]
+            assert ins.c_name == f"new-{k}" and ins.c_acctbal == 0.0
