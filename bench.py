@@ -104,6 +104,7 @@ HEADLINE = [
     "scan_merge_schema",
     "stream_drift_psi",
     "sink_merge_rows",
+    "eval_ab_lift",
 ]
 
 

@@ -324,3 +324,101 @@ def anomaly_mad_production(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(breach, 1).otherwise(0)).cast("long").alias("n_outliers"),
         )
     )
+
+
+Z_CRIT = 1.959963984540054  # two-sided 95% normal critical value
+AB_VALUE_CUT = 48.0  # event-level conversion: purchase above this value
+
+
+@register(
+    "eval_ab_lift",
+    f"""
+    WITH per_event AS (
+      SELECT event_id % 2 AS arm,
+             CASE WHEN event_type = 'purchase' AND value > {AB_VALUE_CUT!r}
+                  THEN 1 ELSE 0 END AS conv
+      FROM events
+    ), arms AS (
+      SELECT arm, count(*) AS n, sum(conv) AS k FROM per_event GROUP BY arm
+    ), w AS (
+      SELECT max(CASE WHEN arm = 0 THEN n END) AS n_c,
+             max(CASE WHEN arm = 0 THEN k END) AS k_c,
+             max(CASE WHEN arm = 1 THEN n END) AS n_t,
+             max(CASE WHEN arm = 1 THEN k END) AS k_t
+      FROM arms
+    )
+    SELECT CAST(n_c AS BIGINT) AS n_control,
+           CAST(k_c AS BIGINT) AS conv_control,
+           CAST(n_t AS BIGINT) AS n_treatment,
+           CAST(k_t AS BIGINT) AS conv_treatment,
+           round(k_c / CAST(n_c AS DOUBLE) * 1e6) / 1e6 AS rate_control,
+           round(k_t / CAST(n_t AS DOUBLE) * 1e6) / 1e6 AS rate_treatment,
+           round(((k_t / CAST(n_t AS DOUBLE)) / (k_c / CAST(n_c AS DOUBLE)) - 1)
+                 * 1e6) / 1e6 AS lift,
+           round((k_t / CAST(n_t AS DOUBLE) - k_c / CAST(n_c AS DOUBLE))
+                 / sqrt(((k_c + k_t) / CAST(n_c + n_t AS DOUBLE))
+                        * (1 - (k_c + k_t) / CAST(n_c + n_t AS DOUBLE))
+                        * (1.0 / n_c + 1.0 / n_t)) * 1e6) / 1e6 AS z,
+           abs((k_t / CAST(n_t AS DOUBLE) - k_c / CAST(n_c AS DOUBLE))
+               / sqrt(((k_c + k_t) / CAST(n_c + n_t AS DOUBLE))
+                      * (1 - (k_c + k_t) / CAST(n_c + n_t AS DOUBLE))
+                      * (1.0 / n_c + 1.0 / n_t))) > {Z_CRIT!r} AS significant
+    FROM w
+    """,
+)
+def eval_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: events split into control/treatment by
+    key parity (the stand-in for a real assignment hash), event-level
+    conversion (a purchase above AB_VALUE_CUT — the click-through-rate
+    shape), then per-arm rates, relative lift, and the pooled
+    two-proportion z statistic with a 95% significance flag — the
+    experimentation primitive next to the funnel/retention/transition
+    seats. (On uniformly-synthetic data the flag should come out
+    false — the unit test pins that the instrument does not
+    hallucinate an effect.)
+
+    Scale shape: the conversion indicator and arm key are computed in
+    the scan; the arm rollup is a map-side-combinable agg into 2
+    cells, and the final single-row statistics are constant-size
+    arithmetic — nothing past the 2-cell exchange grows with the
+    corpus. The z expression is written with identical literal
+    structure in both engines so the boolean flag compares identical
+    doubles.
+    """
+    ev = sources.load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    per_event = ev.select(
+        (F.col("event_id") % 2).alias("arm"),
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("value") > AB_VALUE_CUT), 1
+        )
+        .otherwise(0)
+        .alias("conv"),
+    )
+    arms = per_event.groupBy("arm").agg(
+        F.count("*").alias("n"), F.sum("conv").alias("k")
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("arm") == 0, F.col("k"))).alias("k_c"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("arm") == 1, F.col("k"))).alias("k_t"),
+    )
+    rate_c = F.col("k_c") / F.col("n_c").cast("double")
+    rate_t = F.col("k_t") / F.col("n_t").cast("double")
+    pooled = (F.col("k_c") + F.col("k_t")) / (
+        F.col("n_c") + F.col("n_t")
+    ).cast("double")
+    z = (rate_t - rate_c) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n_c") + 1.0 / F.col("n_t"))
+    )
+    return w.select(
+        F.col("n_c").cast("long").alias("n_control"),
+        F.col("k_c").cast("long").alias("conv_control"),
+        F.col("n_t").cast("long").alias("n_treatment"),
+        F.col("k_t").cast("long").alias("conv_treatment"),
+        (F.round(rate_c * 1e6) / 1e6).alias("rate_control"),
+        (F.round(rate_t * 1e6) / 1e6).alias("rate_treatment"),
+        (F.round((rate_t / rate_c - 1) * 1e6) / 1e6).alias("lift"),
+        (F.round(z * 1e6) / 1e6).alias("z"),
+        (F.abs(z) > F.lit(Z_CRIT)).alias("significant"),
+    )

@@ -64,6 +64,7 @@ _PROMOTED = [
     "scan_merge_schema",
     "stream_drift_psi",
     "sink_merge_rows",
+    "eval_ab_lift",
     "dedup_url",
     "eval_dedup_compare",
     "agg_percentile",
@@ -104,7 +105,6 @@ _PROMOTED = [
     "fn_bitwise",
     "fn_explode",
     "fn_map",
-    "fn_variant",
     "fn_xml",
     # (c) r3 textstats rows (text_stats/token_count/quality_repetition
     # /scrub_pii re-attested in r4 — no slot needed)
@@ -117,8 +117,8 @@ _PROMOTED = [
 
 # r7 rotation queue (r3 vintage that did not fit this window):
 # diag_skew, sink_json, join_skew_salted, fingerprint_rolling,
-# text_chunk, fingerprint, quality_score (displaced by the new
-# corpus-eval + anomaly/schema/stream-drift/merge waves),
+# text_chunk, fingerprint, quality_score, fn_variant (displaced by
+# the new corpus-eval + anomaly/schema/stream-drift/merge/ab waves),
 # sink_partitioned, sink_orc, sink_clustered,
 # scale2's twelve r3 rows (join_range_binned ...
 # sink_upsert_partition), knn_exact, knn_filtered,

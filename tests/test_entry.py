@@ -43,6 +43,7 @@ def test_sweep_window_prioritizes_least_attested():
         "scan_merge_schema",
         "stream_drift_psi",
         "sink_merge_rows",
+        "eval_ab_lift",
         "dedup_url",
         "eval_dedup_compare",
         "agg_percentile",

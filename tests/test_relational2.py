@@ -337,3 +337,34 @@ def test_sink_merge_rows_semantics(spark, sf_dir):
             # source-only: inserted under the remapped key
             ins = merged[k + 1000000]
             assert ins.c_name == f"new-{k}" and ins.c_acctbal == 0.0
+
+
+def test_eval_ab_lift_consistency_and_no_false_effect(spark, sf_dir):
+    import math
+
+    from skills_vectors_spark import sources
+    from skills_vectors_spark.operators.analytics import (
+        AB_VALUE_CUT,
+        Z_CRIT,
+        eval_ab_lift,
+    )
+
+    [r] = eval_ab_lift(spark, sf_dir).collect()
+    n_events = sources.load(spark, sf_dir, "events").count()
+    assert r.n_control + r.n_treatment == n_events
+    assert 0 < r.conv_control < r.n_control
+    assert 0 < r.conv_treatment < r.n_treatment
+    assert abs(r.rate_control - round(r.conv_control / r.n_control, 6)) < 1e-9
+    assert abs(r.rate_treatment - round(r.conv_treatment / r.n_treatment, 6)) < 1e-9
+    # recompute z from the counts
+    pc, pt = r.conv_control / r.n_control, r.conv_treatment / r.n_treatment
+    pooled = (r.conv_control + r.conv_treatment) / (r.n_control + r.n_treatment)
+    z = (pt - pc) / math.sqrt(
+        pooled * (1 - pooled) * (1 / r.n_control + 1 / r.n_treatment)
+    )
+    assert abs(r.z - round(z, 6)) < 1e-9
+    # parity split of uniform synthetic data: the instrument must NOT
+    # hallucinate a significant effect
+    assert r.significant == (abs(z) > Z_CRIT)
+    assert not r.significant
+    assert AB_VALUE_CUT == 48.0
