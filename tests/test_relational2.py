@@ -251,14 +251,14 @@ def test_anomaly_mad_matches_numpy(spark, sf_dir):
         anomaly_mad,
     )
 
-    ev = sources.load(spark, sf_dir, "events").select("user_id", "value").collect()
-    by_user: dict = {}
-    for r in ev:
-        by_user.setdefault(r.user_id, []).append(r.value)
+    # Arrow path, not collect(): at the 10x battery tier this frame is
+    # 1M rows — py4j row-object deserialization takes minutes and GBs
+    pdf = sources.load(spark, sf_dir, "events").select("user_id", "value").toPandas()
+    by_user = {uid: g["value"].to_numpy() for uid, g in pdf.groupby("user_id")}
     out = {r.user_id: r for r in anomaly_mad(spark, sf_dir).collect()}
     assert set(out) == set(by_user)
     for uid, vals in by_user.items():
-        a = np.array(vals)
+        a = np.asarray(vals)
         med = float(np.percentile(a, 50))
         dev = np.abs(a - med)
         mad = float(np.percentile(dev, 50))
