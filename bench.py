@@ -105,6 +105,7 @@ HEADLINE = [
     "stream_drift_psi",
     "sink_merge_rows",
     "eval_ab_lift",
+    "stream_sink_files",
 ]
 
 

@@ -65,6 +65,7 @@ _PROMOTED = [
     "stream_drift_psi",
     "sink_merge_rows",
     "eval_ab_lift",
+    "stream_sink_files",
     "dedup_url",
     "eval_dedup_compare",
     "agg_percentile",
@@ -104,7 +105,6 @@ _PROMOTED = [
     "fn_conditional",
     "fn_bitwise",
     "fn_explode",
-    "fn_map",
     "fn_xml",
     # (c) r3 textstats rows (text_stats/token_count/quality_repetition
     # /scrub_pii re-attested in r4 — no slot needed)
@@ -117,9 +117,9 @@ _PROMOTED = [
 
 # r7 rotation queue (r3 vintage that did not fit this window):
 # diag_skew, sink_json, join_skew_salted, fingerprint_rolling,
-# text_chunk, fingerprint, quality_score, fn_variant (displaced by
-# the new corpus-eval + anomaly/schema/stream-drift/merge/ab waves),
-# sink_partitioned, sink_orc, sink_clustered,
+# text_chunk, fingerprint, quality_score, fn_variant, fn_map
+# (displaced by the r6 new-operator waves), sink_partitioned,
+# sink_orc, sink_clustered,
 # scale2's twelve r3 rows (join_range_binned ...
 # sink_upsert_partition), knn_exact, knn_filtered,
 # eval_backend_compare.

@@ -743,3 +743,77 @@ if transform_with_state_available():  # pragma: no cover - env-dependent
         FROM events GROUP BY user_id, event_type
         """,
     )(stream_transform_typecounts)
+
+
+@register(
+    "stream_sink_files",
+    # append-mode watermark-close semantics, exactly: a window flushes
+    # to the file sink once the final watermark (max event time minus
+    # the 1-hour delay) has passed its END — so the oracle keeps
+    # every hour bucket whose end <= max(ts) - 1 hour and drops the
+    # still-open tail, mirroring what the checkpointed parquet sink
+    # actually committed
+    """
+    WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+    w AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(value) * 100) / 100 AS sum_value
+      FROM events GROUP BY 1
+    )
+    SELECT w.h AS window_start, w.n, w.sum_value
+    FROM w, m WHERE w.h + INTERVAL 1 HOUR <= m.mx - INTERVAL 1 HOUR
+    """,
+)
+def stream_sink_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production streaming sink: hourly windowed aggregates
+    written APPEND-mode to checkpointed parquet files — Spark's
+    exactly-once file commit (manifest-tracked, no partial files) —
+    then read back as a batch table. Unlike the memory-sink queries
+    (complete mode: every window re-emitted each batch), append mode
+    emits a window exactly once, when the watermark closes it; the
+    still-open tail windows are correctly ABSENT from the files, and
+    the batch oracle reproduces that boundary arithmetically.
+
+    Scale shape: streaming state is one row per open window (bounded
+    by the watermark horizon, not stream length); the sink writes
+    partition-parallel files with a transactional manifest per
+    micro-batch — the shape a 100 TB ingest pipeline runs
+    continuously. Output + checkpoint dirs are recreated per run for
+    determinism.
+    """
+    import shutil
+
+    from skills_vectors_spark.scratch import scratch as _scratch
+
+    out = _scratch(sf_dir, "stream_sink_out")
+    chk = _scratch(sf_dir, "stream_sink_chk")
+    for p in (out, chk):
+        shutil.rmtree(p, ignore_errors=True)
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.round(F.sum("value") * 100) / 100).alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.schema("window_start timestamp, n long, sum_value double").parquet(out)

@@ -160,3 +160,37 @@ def test_stream_drift_psi_restores_shuffle_conf(spark, sf_dir):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     corpus_eval.stream_drift_psi(spark, sf_dir).collect()
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+# ------------------------------------------------ stream_sink_files
+
+def test_stream_sink_files_commit_and_watermark_boundary(spark, sf_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from skills_vectors_spark import sources
+    from skills_vectors_spark.scratch import scratch
+    from skills_vectors_spark.streaming.windows import stream_sink_files
+
+    out_rows = stream_sink_files(spark, sf_dir).collect()
+    assert out_rows
+    # exactly-once file commit: the sink wrote a transactional
+    # manifest (_spark_metadata), not bare files
+    assert os.path.isdir(os.path.join(scratch(sf_dir, "stream_sink_out"), "_spark_metadata"))
+    # watermark-close boundary: every emitted window ended at least
+    # one hour (the delay) before the max event time, and the open
+    # tail is absent
+    mx = (
+        sources.load(spark, sf_dir, "events")
+        .agg(F.max(F.col("ts").cast("timestamp")).alias("mx"))
+        .collect()[0]
+        .mx
+    )
+    import datetime
+
+    for r in out_rows:
+        assert r.window_start + datetime.timedelta(hours=2) <= mx + datetime.timedelta(hours=1)
+        assert r.n > 0
+    starts = [r.window_start for r in out_rows]
+    assert len(starts) == len(set(starts))  # append mode: one emit per window

@@ -44,6 +44,7 @@ def test_sweep_window_prioritizes_least_attested():
         "stream_drift_psi",
         "sink_merge_rows",
         "eval_ab_lift",
+        "stream_sink_files",
         "dedup_url",
         "eval_dedup_compare",
         "agg_percentile",
