@@ -308,15 +308,101 @@ def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fake_decode_audio(payload: bytes, sr: int = 16000) -> np.ndarray:
-    """STUB DECODE — deterministic fake standing in for
-    torchaudio.load / soundfile.read. Derives a 1-D float32 waveform
-    (0.5-2.0 s at `sr`) from the payload hash so tests are hermetic.
-    Replace with a real decoder in production."""
-    digest = hashlib.md5(payload + b"audio").digest()
-    n = sr // 2 + int.from_bytes(digest[:2], "big") % (3 * sr // 2)
-    rng = np.random.default_rng(int.from_bytes(digest[2:10], "big"))
-    return (rng.standard_normal(n) * 0.1).astype(np.float32)
+AUDIO_SR = 16000  # fixture sample rate
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """REAL audio decode: RIFF/WAVE PCM (the public Microsoft/IBM WAVE
+    container format). Walks the chunk list, parses the `fmt ` chunk
+    (requires uncompressed PCM, mono, 16-bit) and the `data` chunk,
+    and returns (sample_rate, float64 waveform in [-1, 1)). Raises on
+    anything malformed — a truncated data chunk must never silently
+    yield a short clip."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE file: {payload[:12]!r}")
+    pos, sr, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated {cid!r} chunk: {len(body)} != {size}")
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            ch = int.from_bytes(body[2:4], "little")
+            sr = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if (fmt, ch, bits) != (1, 1, 16):
+                raise ValueError(f"unsupported WAV: fmt={fmt} ch={ch} bits={bits}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if sr is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    return sr, samples.astype(np.float64) / 32768.0
+
+
+def _plant_wav(text: str) -> bytes:
+    """Fixture planting for the audio queries: a REAL RIFF/WAVE PCM
+    file whose waveform is a square wave with md5-derived length n,
+    amplitude A, and half-period p — so every emitted feature is
+    closed-form for the oracle: rms == peak == A/32768 (all samples
+    are ±A; exact in IEEE doubles since A < 2^15 and the divisor is a
+    power of two), and the zero-crossing count over n samples is
+    floor((n-1)/p) exactly."""
+    digest = hashlib.md5((text + "audio").encode("utf-8")).hexdigest()
+    n = 8000 + int(digest[0:4], 16) % 24000
+    amp = 1000 + int(digest[4:8], 16) % 15000
+    p = 2 + int(digest[8:10], 16) % 14
+    signs = 1 - 2 * ((np.arange(n) // p) % 2)  # +1, -1 blocks of length p
+    samples = (signs * amp).astype("<i2")
+    data = samples.tobytes()
+    header = (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + AUDIO_SR.to_bytes(4, "little")
+        + (AUDIO_SR * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits
+        + b"data"
+        + len(data).to_bytes(4, "little")
+    )
+    return header + data
+
+
+def wav_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload) for the AUDIO subset, with payloads that
+    are real RIFF/WAVE PCM files planted from the documents table
+    (_plant_wav) — the audio mirror of ppm_media_table."""
+    d = sources.load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    spread = d.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def plant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [_plant_wav(t) for t in pdf["text"]],
+                }
+            )
+
+    return spread.mapInPandas(
+        plant,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
 
 
 _AUDIO_SCHEMA = T.StructType(
@@ -334,61 +420,71 @@ _AUDIO_SCHEMA = T.StructType(
 def audio_features_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode -> waveform feature extraction over audio payloads,
     emitting the RAW feature columns (rms, peak, zcr) a pipeline
-    consumes; the registered ``mm_audio_features`` derives its
-    plausibility gate from these."""
+    consumes. The decode is the REAL RIFF/WAVE parser (decode_wav)
+    reading genuine planted PCM bytes; every statistic is computed
+    from the decoded waveform, not from any metadata shortcut."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sr = 16000
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w = _fake_decode_audio(bytes(payload), sr)
+                sr, w = decode_wav(bytes(payload))
                 zc = float(np.mean(np.abs(np.diff(np.signbit(w)))))
                 rms = float(np.sqrt(np.mean(w**2)))
                 peak = float(np.abs(w).max())
                 rows.append((int(mid), len(w), len(w) / sr, rms, peak, zc))
             yield pd.DataFrame(rows, columns=[f.name for f in _AUDIO_SCHEMA.fields])
 
-    media = media_table(spark, sf_dir).filter(F.col("media_type") == "audio")
-    spread = media.select("media_id", "payload").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    return spread.mapInPandas(run, _AUDIO_SCHEMA)
+    return wav_media_table(spark, sf_dir).mapInPandas(run, _AUDIO_SCHEMA)
 
 
 @register(
     "mm_audio_features",
     """
+    WITH a AS (
+      SELECT doc_id,
+             8000 + ('0x' || substr(md5(text || 'audio'), 1, 4))::INT % 24000
+               AS n,
+             1000 + ('0x' || substr(md5(text || 'audio'), 5, 4))::INT % 15000
+               AS amp,
+             2 + ('0x' || substr(md5(text || 'audio'), 9, 2))::INT % 14 AS p
+      FROM documents WHERE doc_id % 3 = 1
+    )
     SELECT doc_id AS media_id,
-           8000 + ('0x' || substr(md5(text || 'audio'), 1, 4))::INT % 24000
-             AS n_samples,
-           (8000 + ('0x' || substr(md5(text || 'audio'), 1, 4))::INT % 24000)
-             / 16000.0 AS duration_s,
-           TRUE AS features_plausible
-    FROM documents WHERE doc_id % 3 = 1
+           n AS n_samples,
+           n / 16000.0 AS duration_s,
+           round(amp / 32768.0 * 1e6) / 1e6 AS rms,
+           round(amp / 32768.0 * 1e6) / 1e6 AS peak,
+           round(((n - 1) // p) / CAST(n - 1 AS DOUBLE) * 1e6) / 1e6 AS zcr
+    FROM a
     """,
 )
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode -> waveform feature extraction over audio payloads
     (duration, RMS energy, peak, zero-crossing rate — the standard
-    cheap audio quality/filtering features). Same contract as
-    mm_image_features: media_type predicate prunes before decode,
-    waveforms never leave the executor, the shuffle carries only
-    small feature rows. The stub decoder derives the sample count
-    from the payload md5, so n_samples/duration are SQL-checkable
-    EXACTLY (duration as the bit-identical IEEE division n/16000.0);
-    the (fake) waveform statistics reduce to a plausibility gate
-    (N(0, 0.1^2) samples: rms ~0.1, bounded peak, zcr ~0.5). Raw
-    rms/peak/zcr stay available via :func:`audio_features_full`."""
+    cheap audio quality/filtering features). The decode is REAL since
+    r6: payloads are genuine RIFF/WAVE PCM files (planted square
+    waves with md5-derived length/amplitude/half-period, _plant_wav)
+    and decode_wav walks the chunk list and parses the samples for
+    real inside the Arrow batch iterator. Every emitted feature is
+    computed from the decoded waveform AND predicted exactly by the
+    oracle in closed form: rms == peak == A/32768 (square wave, all
+    samples ±A — equality by construction, and both are measured
+    independently from the samples), zcr = floor((n-1)/p)/(n-1),
+    duration the bit-identical IEEE division n/16000.0. A decoder
+    that misreads the header, drops samples, or breaks the int16
+    scaling fails the hash match.
+
+    Scale shape unchanged: media_type predicate prunes before any
+    payload is materialized, waveforms never leave the executor,
+    only small feature rows shuffle."""
     return audio_features_full(spark, sf_dir).select(
         "media_id",
         "n_samples",
         "duration_s",
-        (
-            F.col("rms").between(0.05, 0.15)
-            & F.col("peak").between(0.2, 0.8)
-            & F.col("zcr").between(0.3, 0.7)
-        ).alias("features_plausible"),
+        (F.round(F.col("rms") * 1e6) / 1e6).alias("rms"),
+        (F.round(F.col("peak") * 1e6) / 1e6).alias("peak"),
+        (F.round(F.col("zcr") * 1e6) / 1e6).alias("zcr"),
     )
 
 

@@ -72,6 +72,7 @@ _PROMOTED = [
     "embed_knn_pipeline",
     "mm_image_features",
     "mm_image_resize",
+    "mm_audio_features",
     "stream_transform_state",
     "stream_transform_topk",
     "stream_transform_typecounts",
@@ -104,7 +105,6 @@ _PROMOTED = [
     "fn_regex",
     "fn_conditional",
     "fn_bitwise",
-    "fn_explode",
     "fn_xml",
     # (c) r3 textstats rows (text_stats/token_count/quality_repetition
     # /scrub_pii re-attested in r4 — no slot needed)
@@ -117,8 +117,9 @@ _PROMOTED = [
 
 # r7 rotation queue (r3 vintage that did not fit this window):
 # diag_skew, sink_json, join_skew_salted, fingerprint_rolling,
-# text_chunk, fingerprint, quality_score, fn_variant, fn_map
-# (displaced by the r6 new-operator waves), sink_partitioned,
+# text_chunk, fingerprint, quality_score, fn_variant, fn_explode
+# (displaced by the r6 new-operator waves + the real-WAV audio
+# upgrade), sink_partitioned,
 # sink_orc, sink_clustered,
 # scale2's twelve r3 rows (join_range_binned ...
 # sink_upsert_partition), knn_exact, knn_filtered,

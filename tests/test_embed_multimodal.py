@@ -105,9 +105,36 @@ def test_mm_audio_features_deterministic(spark, sf_dir):
     assert rows, "audio subset must be non-empty"
     assert rows == sorted(map(tuple, mm_audio_features(spark, sf_dir).collect()))
     for r in rows:
-        _, n, dur, plausible = r
+        _, n, dur, rms, peak, zcr = r
         assert 8000 <= n <= 32000 and 0.5 <= dur <= 2.0
-        assert plausible
+        # square-wave fixture: rms equals peak, both in the planted
+        # amplitude range; zcr ~ 1/p for half-periods p in [2, 16)
+        assert rms == peak
+        assert 1000 / 32768 - 1e-6 <= peak <= 16000 / 32768 + 1e-6
+        assert 1 / 16 - 1e-3 <= zcr <= 1 / 2 + 1e-3
+
+
+def test_decode_wav_round_trip_and_malformed():
+    import numpy as np
+    import pytest as pt
+
+    from skills_vectors_spark.operators.multimodal import (
+        AUDIO_SR,
+        _plant_wav,
+        decode_wav,
+    )
+
+    payload = _plant_wav("some document text")
+    sr, w = decode_wav(payload)
+    assert sr == AUDIO_SR
+    assert w.dtype == np.float64 and len(w) >= 8000
+    assert np.all(np.isin(np.abs(w), np.abs(w[:1])))  # square wave: |s| constant
+    with pt.raises(ValueError):
+        decode_wav(b"RIFX" + payload[4:])  # bad magic
+    with pt.raises(ValueError):
+        decode_wav(payload[:-10])  # truncated data chunk
+    with pt.raises(ValueError):
+        decode_wav(payload[:12])  # no chunks at all
 
 
 def test_embed_with_status_surfaces_errors(spark, sf_dir):

@@ -51,6 +51,7 @@ def test_sweep_window_prioritizes_least_attested():
         "embed_knn_pipeline",
         "mm_image_features",
         "mm_image_resize",
+        "mm_audio_features",
         "stream_transform_state",
         "stream_transform_topk",
         "stream_transform_typecounts",
