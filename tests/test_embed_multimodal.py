@@ -162,3 +162,38 @@ def test_embed_provider_switch_dims(spark, sf_dir):
     for p, r in rows.items():
         assert r.dim == PROVIDERS[p]
         assert r.n_docs > 0
+
+
+def test_decode_wav_property_round_trip():
+    """Property: any int16 mono waveform written through a RIFF/WAVE
+    header is recovered exactly by decode_wav (builder and parser are
+    independent code paths)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from skills_vectors_spark.operators.multimodal import decode_wav
+
+    def build(samples: np.ndarray, sr: int) -> bytes:
+        data = samples.astype("<i2").tobytes()
+        return (
+            b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + sr.to_bytes(4, "little") + (sr * 2).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+            + b"data" + len(data).to_bytes(4, "little") + data
+        )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    def check(vals, sr):
+        samples = np.array(vals, dtype=np.int16)
+        got_sr, w = decode_wav(build(samples, sr))
+        assert got_sr == sr
+        assert np.array_equal((w * 32768.0).astype(np.int16), samples)
+
+    check()
