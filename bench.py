@@ -106,6 +106,7 @@ HEADLINE = [
     "sink_merge_rows",
     "eval_ab_lift",
     "stream_sink_files",
+    "agg_corr_matrix",
 ]
 
 

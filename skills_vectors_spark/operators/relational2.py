@@ -1069,3 +1069,62 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_to_number(F.col("event_type"), F.lit("999.99")).cast("double").alias("bad_cast"),
         F.col("user_id").cast("string").try_cast("long").alias("good_cast"),
     )
+
+
+CORR_PAIRS = (
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+)
+
+
+@register(
+    "agg_corr_matrix",
+    """
+    SELECT l_returnflag, x, y, corr_xy, n FROM (
+    """
+    + "\n    UNION ALL\n".join(
+        f"""
+      SELECT l_returnflag, '{x}' AS x, '{y}' AS y,
+             round(corr({x}, {y}) * 1e6) / 1e6 AS corr_xy,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag"""
+        for x, y in CORR_PAIRS
+    )
+    + "\n    )",
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation matrix in long form: each
+    (return-flag group, numeric-column pair) row carries the sample
+    correlation and the group size — the feature-screening pass a
+    modeling pipeline runs before deciding which columns carry
+    independent signal.
+
+    Scale shape: ONE map-side-combinable aggregation computes every
+    pair's co-moments simultaneously (|groups| x |pairs| cells of
+    constant-size state — Pearson is a streaming mergeable statistic);
+    the long-form unpivot is a stack over those few cells, never a
+    second pass over the fact. Correlation is scale-free, so the
+    sample-vs-population normalization cancels and both engines'
+    one-pass co-moment formulas agree to rounding.
+    """
+    li = sources.load(spark, sf_dir, "lineitem")
+    aggs = []
+    for i, (x, y) in enumerate(CORR_PAIRS):
+        aggs.append(
+            (F.round(F.corr(x, y) * 1e6) / 1e6).alias(f"c{i}")
+        )
+    wide = li.groupBy("l_returnflag").agg(
+        *aggs, F.count("*").cast("long").alias("n")
+    )
+    stack = ", ".join(
+        f"'{x}', '{y}', c{i}" for i, (x, y) in enumerate(CORR_PAIRS)
+    )
+    return wide.select(
+        "l_returnflag",
+        F.expr(
+            f"stack({len(CORR_PAIRS)}, {stack}) AS (x, y, corr_xy)"
+        ),
+        "n",
+    )

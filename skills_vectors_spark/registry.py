@@ -66,6 +66,7 @@ _PROMOTED = [
     "sink_merge_rows",
     "eval_ab_lift",
     "stream_sink_files",
+    "agg_corr_matrix",
     "dedup_url",
     "eval_dedup_compare",
     "agg_percentile",
@@ -104,7 +105,6 @@ _PROMOTED = [
     "fn_l2",
     "fn_regex",
     "fn_conditional",
-    "fn_bitwise",
     "fn_xml",
     # (c) r3 textstats rows (text_stats/token_count/quality_repetition
     # /scrub_pii re-attested in r4 — no slot needed)
@@ -117,9 +117,9 @@ _PROMOTED = [
 
 # r7 rotation queue (r3 vintage that did not fit this window):
 # diag_skew, sink_json, join_skew_salted, fingerprint_rolling,
-# text_chunk, fingerprint, quality_score, fn_variant, fn_explode
-# (displaced by the r6 new-operator waves + the real-WAV audio
-# upgrade), sink_partitioned,
+# text_chunk, fingerprint, quality_score, fn_variant, fn_explode,
+# fn_bitwise (displaced by the r6 new-operator waves + the real-WAV
+# audio upgrade), sink_partitioned,
 # sink_orc, sink_clustered,
 # scale2's twelve r3 rows (join_range_binned ...
 # sink_upsert_partition), knn_exact, knn_filtered,

@@ -45,6 +45,7 @@ def test_sweep_window_prioritizes_least_attested():
         "sink_merge_rows",
         "eval_ab_lift",
         "stream_sink_files",
+        "agg_corr_matrix",
         "dedup_url",
         "eval_dedup_compare",
         "agg_percentile",

@@ -368,3 +368,29 @@ def test_eval_ab_lift_consistency_and_no_false_effect(spark, sf_dir):
     assert r.significant == (abs(z) > Z_CRIT)
     assert not r.significant
     assert AB_VALUE_CUT == 48.0
+
+
+def test_agg_corr_matrix_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from skills_vectors_spark.operators.relational2 import (
+        CORR_PAIRS,
+        agg_corr_matrix,
+    )
+
+    pdf = (
+        sources.load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .toPandas()
+    )
+    got = {
+        (r.l_returnflag, r.x, r.y): (r.corr_xy, r.n)
+        for r in agg_corr_matrix(spark, sf_dir).collect()
+    }
+    assert len(got) == pdf["l_returnflag"].nunique() * len(CORR_PAIRS)
+    for flag, g in pdf.groupby("l_returnflag"):
+        for x, y in CORR_PAIRS:
+            expect = float(np.corrcoef(g[x].to_numpy(), g[y].to_numpy())[0, 1])
+            corr, n = got[(flag, x, y)]
+            assert n == len(g)
+            assert abs(corr - expect) < 2e-6, (flag, x, y)
