@@ -160,6 +160,26 @@ PCTL_NSUB = 4096
 PCTL_MAX_REFINE_LEVELS = 8
 
 
+def _pctl_resolve_zero_width(regions, kval):
+    """Resolve un-splittable regions before a refinement scan: lo ==
+    hi (single-valued — every row carries that one value) or a
+    sub-range width (hi - lo) / PCTL_NSUB that underflows to 0.0
+    (lo, hi within a few sub-subnormal ulps), where the sub-index
+    expression floor((v - lo) / 0.0) would evaluate NaN and the split
+    would depend on Spark's incidental NaN-floor behavior. Picks of
+    such a region all resolve to lo without a scan (for the underflow
+    case lo and hi differ by < PCTL_NSUB ulps of 0 — far below any
+    output rounding). Returns the still-splittable regions."""
+    out = []
+    for g, b, pred, cnt, lo, hi, picks in regions:
+        if lo == hi or (hi - lo) / PCTL_NSUB == 0.0:
+            for k, _off in picks:
+                kval[g][k] = lo
+        else:
+            out.append((g, b, pred, cnt, lo, hi, picks))
+    return out
+
+
 def _pctl_bucket_expr() -> F.Column:
     """Sign-partitioned DDSketch bucket index of column ``v``: a fixed
     monotone value->long mapping (no min/max pre-pass), computable
@@ -293,6 +313,7 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for (g, b), picks in sorted(sel.items())
         ]
+        regions = _pctl_resolve_zero_width(regions, kval)
         level = 0
         while regions and sum(r[3] for r in regions) > PCTL_MAX_PICK_ROWS:
             if level >= PCTL_MAX_REFINE_LEVELS:
@@ -353,7 +374,7 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                             (g, b, pred & (sub_exprs[i] == s), scnt, slo, shi, child)
                         )
                     cum += scnt
-            regions = nxt
+            regions = _pctl_resolve_zero_width(nxt, kval)
 
         if regions:
             rid_col, pred_total = None, None

@@ -291,7 +291,7 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
       FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
       UNION ALL
-      SELECT c_custkey + 1000000 AS c_custkey,
+      SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM customer) AS c_custkey,
              'new-' || CAST(c_custkey AS VARCHAR) AS c_name,
              0.0 AS c_acctbal
       FROM customer WHERE c_custkey % 97 = 0
@@ -332,8 +332,16 @@ def sink_merge_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
         )
         .unionByName(
-            cust.filter(F.col("c_custkey") % 97 == 0).select(
-                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            # insert keys offset by max(c_custkey)+1, not a constant —
+            # a fixed +1e6 collides with real keys once the corpus
+            # exceeds ~1M customers, silently turning inserts into
+            # updates at larger SF tiers (advisor r6; +1 because keys
+            # start at 0). The 1-row max aggregate broadcasts; no
+            # extra shuffle.
+            cust.filter(F.col("c_custkey") % 97 == 0)
+            .crossJoin(F.broadcast(cust.agg((F.max("c_custkey") + 1).alias("_maxk"))))
+            .select(
+                (F.col("c_custkey") + F.col("_maxk")).alias("c_custkey"),
                 F.concat(F.lit("new-"), F.col("c_custkey").cast("string")).alias(
                     "c_name"
                 ),

@@ -160,11 +160,13 @@ def load_all() -> None:
     import skills_vectors_spark.operators.analytics  # noqa: F401
     import skills_vectors_spark.operators.corpus_eval  # noqa: F401
 
-    # Reorder deterministically — not by import-time insertion, which
-    # test collection or ad-hoc imports can perturb. Within-module
-    # registration order is always file order (a module registers all
-    # of its queries during its single import), so grouping by each
-    # query's defining module gives a stable canonical order.
+    # Only the _PROMOTED window (and the _DEFERRED head after it) is
+    # order-stable: those names are pinned explicitly, so the
+    # driver's first-50 sweep is deterministic regardless of import
+    # order. The tail keeps raw QUERIES insertion order — an ad-hoc
+    # operator import before load_all() can shift tail positions,
+    # which only affects beyond-window sweep order, never membership
+    # or the graded window (advisor r6: comment corrected).
     order = [n for n in _PROMOTED if n in QUERIES]
     seen = set(order)
     order += [n for n in _DEFERRED if n in QUERIES and n not in seen]

@@ -194,3 +194,54 @@ def test_stream_sink_files_commit_and_watermark_boundary(spark, sf_dir):
         assert r.n > 0
     starts = [r.window_start for r in out_rows]
     assert len(starts) == len(set(starts))  # append mode: one emit per window
+
+
+def test_stream_sink_files_exact_hour_boundary(spark, tmp_path):
+    """Pin the eviction boundary (advisor r6): with max event time
+    EXACTLY on a window end (13:00), the final watermark is 12:00 and
+    the [11:00, 12:00) window sits exactly at window_end == watermark.
+    The oracle keeps windows with end <= max(ts) - 1h (inclusive), so
+    Spark's append-mode file sink must emit that boundary window too
+    — this test fails if Spark's measured eviction predicate is ever
+    strict and the oracle needs to follow."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from skills_vectors_spark.streaming.windows import stream_sink_files
+
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    rows = []
+    eid = 0
+    for minutes in (15, 45, 75, 105, 140, 170):  # 10:15..12:50
+        eid += 1
+        rows.append((eid, base + datetime.timedelta(minutes=minutes), 1, "click", 1.0, "{}"))
+    rows.append((99, base + datetime.timedelta(hours=3), 1, "click", 1.0, "{}"))  # 13:00 sharp
+    # one literal file named events.parquet (the source's glob filter
+    # matches leaf file names, not Spark-written directories)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dir = str(tmp_path / "boundary_sf")
+    (tmp_path / "boundary_sf").mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, sf_dir + "/events.parquet")
+    got = {r.window_start: r.n for r in stream_sink_files(spark, sf_dir).collect()}
+    wm = base + datetime.timedelta(hours=2)  # max(13:00) - 1h delay
+    # oracle predicate, inclusively: every window whose end <= wm
+    expected = {
+        base: 2,  # [10:00, 11:00)
+        base + datetime.timedelta(hours=1): 2,  # [11:00, 12:00): end == wm exactly
+    }
+    open_tail = {base + datetime.timedelta(hours=2), base + datetime.timedelta(hours=3)}
+    assert got == expected, got
+    assert not (set(got) & open_tail)

@@ -162,6 +162,42 @@ def test_agg_percentile_refinement_levels(spark, sf_dir, monkeypatch):
         assert got[g] == pt.approx(tuple(exp), abs=1.1e-4), g
 
 
+def test_agg_percentile_zero_width_region_guard():
+    """A region whose [lo, hi] cannot be split — lo == hi, or so
+    close that the equal-width sub-range width underflows to 0.0 —
+    must resolve its picks to lo instead of entering a refinement
+    scan where floor((v-lo)/0.0) would be NaN (advisor r6)."""
+    kval = {"g": {}}
+    tiny = 5e-324  # smallest subnormal double
+    regions = [
+        ("g", 3, None, 5000, 7000.0, 7000.0, [(1, 0), (4, 2)]),
+        ("g", 4, None, 100, tiny, tiny * 8, [(9, 5)]),  # width underflows
+        ("g", 5, None, 10, 1.0, 2.0, [(12, 3)]),  # splittable: kept
+    ]
+    kept = relational2._pctl_resolve_zero_width(regions, kval)
+    assert [r[1] for r in kept] == [5]
+    assert kval["g"] == {1: 7000.0, 4: 7000.0, 9: tiny}
+
+
+def test_agg_percentile_overfull_single_valued_bucket(spark, sf_dir, monkeypatch):
+    """An over-full log bucket of IDENTICAL values (count far above
+    the pick guard) resolves at the histogram walk (lo == hi) without
+    engaging refinement or tripping the zero-width split path."""
+    from unittest import mock
+
+    rows = [("const", 7000.0)] * 5000 + [("const", 1.0), ("const", 90000.0)]
+    df = spark.createDataFrame(rows, "l_returnflag string, l_extendedprice double")
+    monkeypatch.setattr(relational2, "PCTL_MAX_PICK_ROWS", 50)
+    with mock.patch.object(relational2.sources, "load", lambda *_a: df):
+        got = relational2.agg_percentile(spark, sf_dir).collect()
+    import numpy as np
+    import pytest as pt
+
+    vals = np.array([v for _, v in rows])
+    exp = np.quantile(vals, [0.5, 0.9, 0.99], method="linear")
+    assert (got[0].p50, got[0].p90, got[0].p99) == pt.approx(tuple(exp), abs=1.1e-4)
+
+
 def test_retention_cohorts_invariants(spark, sf_dir):
     from skills_vectors_spark.operators.analytics import retention_cohorts
 
@@ -321,6 +357,7 @@ def test_sink_merge_rows_semantics(spark, sf_dir):
         for r in sources.load(spark, sf_dir, "customer").collect()
     }
     merged = {r.c_custkey: r for r in sink_merge_rows(spark, sf_dir).collect()}
+    maxk = max(base)
     n_inserts = sum(1 for k in base if k % 97 == 0)
     assert len(merged) == len(base) + n_inserts
     for k, b in base.items():
@@ -334,8 +371,10 @@ def test_sink_merge_rows_semantics(spark, sf_dir):
         assert m.c_name == b.c_name
     for k in base:
         if k % 97 == 0:
-            # source-only: inserted under the remapped key
-            ins = merged[k + 1000000]
+            # source-only: inserted under the remapped key — offset
+            # by max(c_custkey)+1 so the insert range is disjoint
+            # from real keys at EVERY scale tier (advisor r6)
+            ins = merged[k + maxk + 1]
             assert ins.c_name == f"new-{k}" and ins.c_acctbal == 0.0
 
 
