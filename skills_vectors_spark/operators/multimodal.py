@@ -3,12 +3,16 @@ with typed metadata, processed by Arrow-batched Pandas UDFs
 (BASELINE.json north star; no reference equivalent — the reference
 embeds text only).
 
-The DECODE step is a clearly-marked deterministic fake (the container
-ships no image/audio libraries — see `_fake_decode_image`); everything
-around it is the real engineering: schema contract, mapInPandas batch
-shape, per-partition decoder init, explode-to-frames fan-out, and
-metadata-driven partition pruning. Swapping the fake for
-PIL/torchaudio changes one function.
+Every decode is REAL as of r7: binary P6 PPM for images (decode_ppm,
+r6), RIFF/WAVE PCM for audio (decode_wav, r6), and YUV4MPEG2 for
+video (decode_y4m, r7) — all public container formats parsed from
+genuine planted bytes, no media libraries needed. The fixtures plant
+payloads whose decoded content is md5-derived, so every feature the
+parsers recover is predicted closed-form by the DuckDB oracles; the
+engineering around the decoders is production-shaped: schema
+contract, mapInPandas batch shape, per-partition decoder init,
+explode-to-frames fan-out, and metadata-driven partition pruning.
+Swapping a parser for PIL/torchaudio/ffmpeg changes one function.
 
 Scale: payloads never leave the executor that read them; decode is
 per-partition streaming over Arrow batches (no collect, no driver
@@ -229,7 +233,109 @@ _FRAME_SCHEMA = T.StructType(
     ]
 )
 
-FRAME_SAMPLE_EVERY = 64  # bytes per synthetic "frame"
+FRAME_BYTES = 64  # fixture frame raster size (w * h = 64, Cmono)
+
+# legal (w, h) factorizations of FRAME_BYTES the planter picks among —
+# header variation the decoder must actually read to size the raster
+_Y4M_DIMS = [(1, 64), (2, 32), (4, 16), (8, 8), (16, 4), (32, 2), (64, 1)]
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """REAL video container decode: YUV4MPEG2 (the public mjpegtools
+    y4m format — wiki.multimedia.cx/index.php/YUV4MPEG2). Parses the
+    space-separated stream-header tagged tokens (W width, H height,
+    C chroma; F/I/A/X tokens validly present and skipped), then walks
+    the frame list: each frame is a `FRAME` magic + optional
+    parameters up to newline + exactly one fixed-size raster whose
+    length is determined by W/H/C. Returns (w, h, [raster bytes]).
+    Raises on bad stream magic, missing dims, unsupported chroma, a
+    bad frame marker, or a truncated raster — a short final frame
+    must never silently decode."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError(f"not a YUV4MPEG2 stream: {payload[:12]!r}")
+    w = h = None
+    chroma = b"420jpeg"  # spec default when no C token is present
+    for tok in payload[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"C":
+            chroma = val
+        # F (rate), I (interlace), A (aspect), X (extension) are legal
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    plane_sizes = {b"mono": w * h, b"444": 3 * w * h, b"420jpeg": w * h * 3 // 2, b"420": w * h * 3 // 2}
+    if chroma not in plane_sizes:
+        raise ValueError(f"unsupported y4m chroma {chroma!r}")
+    fsz = plane_sizes[chroma]
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("truncated FRAME header")
+        raster = payload[fnl + 1 : fnl + 1 + fsz]
+        if len(raster) != fsz:
+            raise ValueError(f"truncated frame raster: {len(raster)} != {fsz}")
+        frames.append(raster)
+        pos = fnl + 1 + fsz
+    return w, h, frames
+
+
+def _plant_y4m(text: str) -> bytes:
+    """Fixture planting for the video queries: a REAL YUV4MPEG2 stream
+    (md5-picked W/H factorization of the 64-byte Cmono raster, F/I/A/X
+    header tokens the decoder must skip) whose frame rasters are the
+    document's consecutive 64-byte chunks — so the frame hashes the
+    real decoder recovers are exactly md5 of the text's substrings,
+    closed-form for the oracle. Only FULL chunks become frames: a
+    synthetic padded tail frame would have no SQL-predictable hash."""
+    digest = hashlib.md5((text + "video").encode("utf-8")).hexdigest()
+    w, h = _Y4M_DIMS[int(digest[0:2], 16) % len(_Y4M_DIMS)]
+    raw = text.encode("utf-8")
+    n = len(raw) // FRAME_BYTES
+    parts = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 Cmono Xsvs\n".encode("ascii")]
+    for k in range(n):
+        parts.append(b"FRAME\n")
+        parts.append(raw[k * FRAME_BYTES : (k + 1) * FRAME_BYTES])
+    return b"".join(parts)
+
+
+def y4m_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload) for the VIDEO subset, with payloads that
+    are real YUV4MPEG2 streams planted from the documents table
+    (_plant_y4m) — the video mirror of ppm_media_table and
+    wav_media_table."""
+    d = sources.load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    spread = d.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def plant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [_plant_y4m(t) for t in pdf["text"]],
+                }
+            )
+
+    return spread.mapInPandas(
+        plant,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
 
 
 @register(
@@ -237,46 +343,50 @@ FRAME_SAMPLE_EVERY = 64  # bytes per synthetic "frame"
     f"""
     WITH v AS (
       SELECT doc_id AS media_id, text,
-             CAST(ceil(length(text) / {FRAME_SAMPLE_EVERY}.0) AS INT) AS n_frames
-      FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0
+             CAST(length(text) // {FRAME_BYTES} AS INT) AS n_frames
+      FROM documents WHERE doc_id % 3 = 2 AND length(text) >= {FRAME_BYTES}
     ), f AS (
       SELECT media_id, text, n_frames,
              unnest(range(0, n_frames)) AS g
       FROM v
     )
     SELECT media_id, CAST(g AS INT) AS frame_idx,
-           substr(md5(substr(text, g * {FRAME_SAMPLE_EVERY} + 1,
-                             {FRAME_SAMPLE_EVERY})), 1, 16) AS frame_hash,
+           substr(md5(substr(text, g * {FRAME_BYTES} + 1,
+                             {FRAME_BYTES})), 1, 16) AS frame_hash,
            n_frames
     FROM f
     """,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling: one input row fans out to ceil(len/step)
-    frame rows inside mapInPandas — the shuffle sees only small
-    (id, idx, hash) rows, never the payload. The frame 'decode' is the
-    same deterministic stub pattern; because payloads are the UTF-8
-    document bytes (ASCII corpus) and the frame hash is a plain md5,
-    the whole fan-out is SQL-checkable EXACTLY, chunk for chunk."""
+    """Video frame sampling: decode -> hash every frame of each video
+    payload, one input row fanning out to n_frames rows inside
+    mapInPandas — the shuffle sees only small (id, idx, hash) rows,
+    never the payload. The decode is REAL since r7 (the last synthetic
+    decoder retired): payloads are genuine YUV4MPEG2 streams (planted
+    with md5-picked W/H and real FRAME markers, _plant_y4m) and
+    decode_y4m parses the stream header and walks the frame list for
+    real inside the Arrow batch iterator. Because each planted raster
+    carries one full 64-byte chunk of the (ASCII) document text, the
+    oracle predicts every recovered frame hash EXACTLY as
+    md5(substr(text, ...)): a decoder that misreads W/H/C, loses sync
+    on a FRAME marker, or slices rasters short breaks the hash match.
+
+    Scale shape unchanged: media-type pruning happens before payloads
+    materialize, frames fan out executor-side before the exchange."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_hash": [], "n_frames": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                raw = bytes(payload)
-                chunks = [raw[i : i + FRAME_SAMPLE_EVERY] for i in range(0, len(raw), FRAME_SAMPLE_EVERY)]
-                for idx, c in enumerate(chunks):
+                _w, _h, frames = decode_y4m(bytes(payload))
+                for idx, raster in enumerate(frames):
                     out["media_id"].append(int(mid))
                     out["frame_idx"].append(idx)
-                    out["frame_hash"].append(hashlib.md5(c).hexdigest()[:16])
-                    out["n_frames"].append(len(chunks))
+                    out["frame_hash"].append(hashlib.md5(raster).hexdigest()[:16])
+                    out["n_frames"].append(len(frames))
             yield pd.DataFrame(out)
 
-    media = media_table(spark, sf_dir).filter(F.col("media_type") == "video")
-    spread = media.select("media_id", "payload").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    return spread.mapInPandas(run, _FRAME_SCHEMA)
+    return y4m_media_table(spark, sf_dir).mapInPandas(run, _FRAME_SCHEMA)
 
 
 @register(
