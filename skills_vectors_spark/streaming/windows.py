@@ -817,3 +817,126 @@ def stream_sink_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.schema("window_start timestamp, n long, sum_value double").parquet(out)
+
+
+LATE_DELAY_MS = 3_600_000  # the 1-hour watermark delay, in ms
+
+
+@register(
+    "stream_late_metrics",
+    # batch-equivalent of the late-row audit: the replay micro-batch
+    # re-offers every event after the watermark advanced to
+    # ms-truncated max(ts) - 1h (Spark tracks event-time stats in
+    # MILLISECONDS), so exactly the events strictly below that
+    # horizon count as late
+    """
+    WITH m AS (
+      SELECT date_trunc('milliseconds', max(CAST(ts AS TIMESTAMP)))
+             - INTERVAL 1 HOUR AS wm
+      FROM events
+    )
+    SELECT CAST((SELECT count(*) FROM events) * 2 AS BIGINT) AS n_input,
+           CAST((SELECT count(*) FROM events, m
+                 WHERE CAST(ts AS TIMESTAMP) < wm) AS BIGINT) AS n_dropped_late
+    """,
+)
+def stream_late_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness observability (the reference's operational-
+    metrics pattern, skills_for_jobs.py:74-84, applied to streams): a
+    per-micro-batch count of rows arriving below the watermark
+    horizon, the number a production ingest pipeline alarms on.
+
+    Spark 4.1 does NOT surface this for aggregations — late rows are
+    filtered above the stateful operator, so stateOperators[].
+    numRowsDroppedByWatermark stays 0 and observe() nodes sit below
+    the planner-inserted filter (both measured) — so this is an
+    explicit foreachBatch audit stage, the dead-letter accounting
+    pattern: per batch, ONE bounded aggregate computes (row count,
+    max event time, count below the current horizon), and the
+    driver-side horizon mirror advances exactly as Spark's watermark
+    does (ms-truncated max event time minus the delay, applied from
+    the NEXT batch). The mirror is then cross-checked batch-by-batch
+    against the engine's own reported eventTime.watermark from the
+    progress feed — a drifting mirror raises instead of reporting
+    wrong metrics.
+
+    The fixture makes lateness deterministic: the events file is
+    staged TWICE and maxFilesPerTrigger=1 forces two micro-batches in
+    mtime order; batch 1 advances the watermark to max(ts) - 1h at
+    commit, so batch 2's replay counts exactly the events strictly
+    below that horizon — closed-form for the oracle.
+
+    Scale shape: the audit adds one map-side-combinable aggregate per
+    micro-batch (3 numbers to the driver, no extra shuffle of the
+    data, no state); the horizon mirror is O(1) driver memory."""
+    import datetime as _dt
+    import os
+    import shutil
+
+    from skills_vectors_spark.scratch import scratch as _scratch
+
+    stage = _scratch(sf_dir, "stream_late_stage")
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    src = os.path.join(sf_dir, "events.parquet")
+    a, b = os.path.join(stage, "a_live.parquet"), os.path.join(stage, "b_replay.parquet")
+    shutil.copyfile(src, a)
+    shutil.copyfile(src, b)
+    os.utime(a, (1_000_000, 1_000_000))  # older mtime -> first batch
+    os.utime(b, (2_000_000, 2_000_000))
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    batches: list[tuple[int, int, int]] = []  # (batch_id, n_rows, n_late)
+    mirror: dict[int, _dt.datetime | None] = {}  # wm used by each batch
+    state = {"wm": None}
+
+    def audit(bdf: DataFrame, batch_id: int) -> None:
+        wm = state["wm"]
+        mirror[batch_id] = wm
+        late = (
+            F.count(F.when(F.col("ts") < F.lit(wm), True))
+            if wm is not None
+            else F.lit(0).cast("long")
+        )
+        r = bdf.agg(
+            F.count("*").alias("n"), F.max("ts").alias("mx"), late.alias("late")
+        ).collect()[0]
+        batches.append((batch_id, int(r.n), int(r.late)))
+        if r.mx is not None:
+            # Spark's watermark arithmetic: event-time stats are kept
+            # in ms, so truncate before subtracting the delay; the
+            # watermark never regresses
+            mx_ms = r.mx.replace(microsecond=r.mx.microsecond // 1000 * 1000)
+            cand = mx_ms - _dt.timedelta(milliseconds=LATE_DELAY_MS)
+            if wm is None or cand > wm:
+                state["wm"] = cand
+
+    wmk = raw.withWatermark("ts", "1 hour")
+    q = wmk.writeStream.foreachBatch(audit).start()
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+    # honesty gate: the mirror must equal the engine's own per-batch
+    # watermark (epoch batches report 1970-01-01)
+    for p in progress:
+        got = p.get("eventTime", {}).get("watermark")
+        bid = int(p["batchId"])
+        if got is None or bid not in mirror:
+            continue
+        eng = _dt.datetime.strptime(got, "%Y-%m-%dT%H:%M:%S.%fZ")
+        mine = mirror[bid] or _dt.datetime(1970, 1, 1)
+        if eng != mine:
+            raise ValueError(
+                f"watermark mirror drift at batch {bid}: engine {eng} != audit {mine}"
+            )
+    n_input = sum(n for _, n, _ in batches)
+    n_late = sum(late for _, _, late in batches)
+    return spark.createDataFrame(
+        [(n_input, n_late)], "n_input long, n_dropped_late long"
+    )

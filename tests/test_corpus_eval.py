@@ -245,3 +245,66 @@ def test_stream_sink_files_exact_hour_boundary(spark, tmp_path):
     open_tail = {base + datetime.timedelta(hours=2), base + datetime.timedelta(hours=3)}
     assert got == expected, got
     assert not (set(got) & open_tail)
+
+
+# ----------------------------------------------- stream_late_metrics
+
+def _write_events_file(path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def test_stream_late_metrics_horizon_boundary(spark, tmp_path):
+    """An event EXACTLY at the watermark horizon is not late (strict
+    <), one strictly below it is — pinned with a planted stream where
+    the replay batch contains both, plus the engine-watermark mirror
+    cross-check implicitly passing (a drift would raise)."""
+    import datetime
+
+    from skills_vectors_spark.streaming.windows import stream_late_metrics
+
+    base = datetime.datetime(2024, 5, 1, 10, 0, 0)
+    rows = [
+        (1, base, 1, "click", 1.0, "{}"),  # strictly below horizon -> late on replay
+        (2, base + datetime.timedelta(hours=2), 1, "click", 1.0, "{}"),  # == horizon
+        (3, base + datetime.timedelta(hours=3), 1, "click", 1.0, "{}"),  # max ts
+    ]
+    sf_dir = tmp_path / "late_sf"
+    sf_dir.mkdir()
+    _write_events_file(str(sf_dir / "events.parquet"), rows)
+    out = stream_late_metrics(spark, str(sf_dir)).collect()[0]
+    assert out.n_input == 6  # both batches fully read
+    assert out.n_dropped_late == 1  # only the 10:00 event; 12:00 == horizon stays
+
+
+def test_stream_late_metrics_matches_progress_feed(spark, sf_dir):
+    """End-to-end on the real events table: totals are exactly twice
+    the table for input and the closed-horizon count for lateness
+    (the oracle's arithmetic, recomputed here independently)."""
+    from pyspark.sql import functions as F
+
+    from skills_vectors_spark import sources
+    from skills_vectors_spark.streaming.windows import stream_late_metrics
+
+    ev = sources.load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    n = ev.count()
+    wm = ev.agg(
+        F.date_trunc("millisecond", F.max("ts")) - F.expr("INTERVAL 1 HOUR")
+    ).collect()[0][0]
+    n_late = ev.filter(F.col("ts") < F.lit(wm)).count()
+    out = stream_late_metrics(spark, sf_dir).collect()[0]
+    assert (out.n_input, out.n_dropped_late) == (2 * n, n_late)
