@@ -57,10 +57,17 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's event count, so the state per user is small by
     construction). Exploding that set replaces the join+distinct a
     naive formulation pays (a second full-fact shuffle; measured
-    1.01 s vs 0.73 s at the 1M-event tier); the cohort-size branch
-    re-aggregates the SAME user-grain exchange (ReuseExchange), and
-    the final matrix agg is map-side-combinable over at most
-    |cohorts| x |ages| cells — days x days, tiny at any corpus size.
+    1.01 s vs 0.73 s at the 1M-event tier). The cohort-size branch is
+    GONE as of r7 (the r6 verdict's ordered A/B): every user is
+    active at age 0 by definition, so cohort_size == the cohort's own
+    age-0 cell, recovered with one window over the |cohorts| x |ages|
+    matrix — days x days rows, tiny at any corpus size — instead of
+    re-aggregating the user-grain frame and broadcast-joining it
+    back. Measured a WASH at the 1M-event tier (min-of-3 isolated
+    1.00 s before vs 1.05 s after — the fact scan + user exchange is
+    the floor, confirming the accepted-floor register entry); kept
+    because it removes a whole second pass over the user-grain frame,
+    which is the term that grows at 100 TB.
     """
     ev = sources.load(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("date").alias("day")
@@ -68,14 +75,17 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(
         F.min("day").alias("cohort_day"), F.collect_set("day").alias("days")
     )
-    sizes = per_user.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
     activity = per_user.select("cohort_day", F.explode("days").alias("day")).select(
         "cohort_day", F.datediff("day", "cohort_day").alias("age_days")
     )
+    size_w = Window.partitionBy("cohort_day")
     return (
         activity.groupBy("cohort_day", "age_days")
         .agg(F.count("*").alias("n_active"))
-        .join(F.broadcast(sizes), "cohort_day")
+        .withColumn(
+            "cohort_size",
+            F.max(F.when(F.col("age_days") == 0, F.col("n_active"))).over(size_w),
+        )
         .select(
             F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
             F.col("age_days").cast("long").alias("age_days"),
@@ -124,6 +134,13 @@ def seq_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sources.load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
+    # r7 A/B (the r6 verdict's ordered squeeze): pre-aggregating per
+    # user (sort_array(collect_list(struct)) + slice/zip/explode, all
+    # JVM-side) LOSES to the lag window — min-of-3 isolated 1.42 s vs
+    # 0.97 s at the 1M-event tier; the ObjectHashAggregate list state
+    # costs more than the window's partition sort. The window plan is
+    # the measured floor: one user_id exchange, then everything is
+    # |types|^2 cells.
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.withColumn("prev_type", F.lag("event_type").over(w))

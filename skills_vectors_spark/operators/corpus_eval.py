@@ -36,7 +36,7 @@ from skills_vectors_spark.operators.relevance import (
     N_Q_DOCS,
     TOPK,
     _term_freqs,
-    text_tfidf_sim,
+    tfidf_weights,
 )
 from skills_vectors_spark.registry import register
 
@@ -117,34 +117,56 @@ def eval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     first, not just finding them; MRR is the reciprocal rank of the
     first gold hit.
 
-    Scale shape: both arms ride the persisted `_term_freqs` inverted
-    index (shared with the whole TF-IDF/BM25 family in-session); the
-    query side is filtered to N_Q_DOCS docs then BROADCAST into the
-    token join, so the corpus-side index streams without a shuffle;
-    gold (K rows x N queries) broadcasts into the scoring join; the
-    final metric agg touches K x N_QUERIES rows. IDCG is the ideal
-    permutation of the K graded gold entries — a compile-time
-    constant, identical literal in both engines.
+    Scale shape (r7 fusion, the r6 verdict's squeeze): both arms pair
+    documents through the SAME token equi-join, so one fused join
+    computes the weighted dot product (gold) AND the shared-token
+    count (candidate) in a single aggregate over the persisted
+    `tfidf_weights` frame (shared with text_tfidf_sim in-session) —
+    the second token join and the gold broadcast join of the r6 plan
+    are gone. The two rankings are two window sorts over the same
+    q_doc partitioning (one exchange); the query side is filtered to
+    N_Q_DOCS docs then BROADCAST into the token join, so the
+    corpus-side index streams without a shuffle; the final metric agg
+    touches K x N_QUERIES rows. IDCG is the ideal permutation of the
+    K graded gold entries — a compile-time constant, identical
+    literal in both engines.
     """
-    gold = text_tfidf_sim(spark, sf_dir).select(
-        "q_doc", "c_doc", (F.lit(TOPK + 1) - F.col("rnk")).alias("rel")
+    w = tfidf_weights(spark, sf_dir)
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
-    tf = _term_freqs(spark, sf_dir)
-    q = tf.filter(F.col("doc_id") < N_Q_DOCS).select(
-        F.col("doc_id").alias("q_doc"), "tok"
+    q = w.filter(F.col("doc_id") < N_Q_DOCS).select(
+        F.col("doc_id").alias("q_doc"), "tok", F.col("w").alias("wq")
     )
-    c = tf.select(F.col("doc_id").alias("c_doc"), "tok")
-    ov = (
+    c = w.select(F.col("doc_id").alias("c_doc"), "tok", F.col("w").alias("wc"))
+    pairs = (
         F.broadcast(q)
         .join(c, "tok")
         .filter(F.col("q_doc") != F.col("c_doc"))
         .groupBy("q_doc", "c_doc")
-        .agg(F.count("*").alias("n_shared"))
+        .agg(
+            F.sum(F.col("wq") * F.col("wc")).alias("dot"),
+            F.count("*").alias("n_shared"),
+        )
     )
-    w = Window.partitionBy("q_doc").orderBy(F.col("n_shared").desc(), "c_doc")
-    cand = ov.withColumn("pos", F.row_number().over(w)).filter(F.col("pos") <= TOPK)
-    hits = cand.join(F.broadcast(gold), ["q_doc", "c_doc"], "left").select(
-        "q_doc", "pos", F.coalesce("rel", F.lit(0)).alias("rel")
+    nq = nrm.select(F.col("doc_id").alias("q_doc"), F.col("nrm").alias("nq"))
+    nc = nrm.select(F.col("doc_id").alias("c_doc"), F.col("nrm").alias("nc"))
+    scored = (
+        pairs.join(F.broadcast(nq), "q_doc")
+        .join(F.broadcast(nc), "c_doc")
+        .withColumn("sim", F.col("dot") / (F.col("nq") * F.col("nc")))
+    )
+    gold_w = Window.partitionBy("q_doc").orderBy(F.col("sim").desc(), "c_doc")
+    cand_w = Window.partitionBy("q_doc").orderBy(F.col("n_shared").desc(), "c_doc")
+    both = scored.withColumn("grnk", F.row_number().over(gold_w)).withColumn(
+        "pos", F.row_number().over(cand_w)
+    )
+    hits = both.filter(F.col("pos") <= TOPK).select(
+        "q_doc",
+        "pos",
+        F.when(F.col("grnk") <= TOPK, F.lit(TOPK + 1) - F.col("grnk"))
+        .otherwise(F.lit(0))
+        .alias("rel"),
     )
     return hits.groupBy("q_doc").agg(
         (
