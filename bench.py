@@ -107,6 +107,12 @@ HEADLINE = [
     "eval_ab_lift",
     "stream_sink_files",
     "agg_corr_matrix",
+    # r7 wave
+    "stream_late_metrics",
+    "ts_ewma",
+    "agg_moments",
+    "agg_gini",
+    "text_zipf_slope",
 ]
 
 

@@ -439,3 +439,65 @@ def eval_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(z * 1e6) / 1e6).alias("z"),
         (F.abs(z) > F.lit(Z_CRIT)).alias("significant"),
     )
+
+
+EWMA_K = 16  # bounded lookback window (frames the geometric decay)
+EWMA_DECAY = 0.8  # per-step decay (1 - alpha)
+
+
+@register(
+    "ts_ewma",
+    f"""
+    WITH r AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT a.user_id, a.event_id,
+           round(sum(b.value * power({EWMA_DECAY!r}, a.rn - b.rn))
+                 / ((1 - power({EWMA_DECAY!r}, count(*)))
+                    / (1 - {EWMA_DECAY!r})) * 1e6) / 1e6 AS ewma
+    FROM r a JOIN r b
+      ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - {EWMA_K - 1} AND a.rn
+    GROUP BY a.user_id, a.event_id, a.rn
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each user's event
+    values over a BOUNDED lookback of the last K events (the
+    normalized/adjusted EWMA over a truncated geometric window — the
+    smoothing a monitoring pipeline runs over per-user metrics).
+    Bounding the window is the scale decision: the classic recursive
+    EWMA needs either per-row sequential state or an unbounded
+    (1-a)^(-rn) factoring that overflows doubles for long histories;
+    truncating at K = 16 steps (weight floor 0.8^15 ~ 3.5%) makes it
+    a pure window computation with closed-form normalization
+    (1 - d^m) / (1 - d).
+
+    Scale shape: ONE exchange on user_id feeds the ordered window;
+    collect_list over the K-row frame is constant state per row; the
+    weighted fold is a JVM higher-order function (zip_with/aggregate,
+    no Python). The oracle expresses the same frame as a bounded
+    row_number self-join — identical weights, identical closed-form
+    denominator."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_K - 1), 0)
+    )
+    ev = sources.load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    vals = ev.withColumn("vals", F.collect_list("value").over(w))
+    num = F.expr(
+        f"aggregate(zip_with(vals, sequence(size(vals) - 1, 0, -1),"
+        f" (v, e) -> v * power({EWMA_DECAY!r}, e)),"
+        f" cast(0 as double), (acc, x) -> acc + x)"
+    )
+    den = (1 - F.pow(F.lit(EWMA_DECAY), F.size("vals"))) / (1 - EWMA_DECAY)
+    return vals.select(
+        "user_id",
+        "event_id",
+        (F.round(num / den * 1e6) / 1e6).alias("ewma"),
+    )

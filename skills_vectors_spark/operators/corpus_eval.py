@@ -459,3 +459,63 @@ def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = run_to_completion(_psi_bucket_counts(docs))
     return _psi_report(spark, cnt)
+
+
+ZIPF_TOPN = 1000  # rank-frequency fit over the top-N tokens
+
+
+@register(
+    "text_zipf_slope",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest({D_TOKS}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ), freq AS (
+      SELECT tok, CAST(sum(tf) AS BIGINT) AS freq FROM tf GROUP BY tok
+    ), ranked AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, tok) AS DOUBLE))
+               AS x,
+             ln(CAST(freq AS DOUBLE)) AS y
+      FROM freq
+      ORDER BY freq DESC, tok LIMIT {ZIPF_TOPN}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)) * 1e6) / 1e6
+             AS slope,
+           round((sum(y) - (count(*) * sum(x * y) - sum(x) * sum(y))
+                           / (count(*) * sum(x * x) - sum(x) * sum(x))
+                           * sum(x)) / count(*) * 1e6) / 1e6 AS intercept
+    FROM ranked
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS slope
+    and intercept of ln(frequency) against ln(rank) for the top-N
+    tokens — the corpus-health diagnostic a data pipeline runs to
+    spot template spam or boilerplate floods (natural text slopes
+    ~ -1; machine-generated repetition bends the curve). Identical
+    closed-form normal-equation arithmetic in both engines,
+    deterministic rank tie-break by token.
+
+    Scale shape: rides the persisted `_term_freqs` inverted index;
+    the vocabulary agg is map-side-combinable; the top-N truncation
+    is a TakeOrdered over |vocab| rows (never the corpus); the fit is
+    a 5-sum aggregate over N rows on the driver-adjacent tail."""
+    tf = _term_freqs(spark, sf_dir)
+    freq = tf.groupBy("tok").agg(F.sum("tf").cast("long").alias("freq"))
+    top = freq.orderBy(F.col("freq").desc(), "tok").limit(ZIPF_TOPN)
+    rw = Window.orderBy(F.col("freq").desc(), "tok")
+    ranked = top.select(
+        F.log(F.row_number().over(rw).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    n, sx, sy = F.count("*"), F.sum("x"), F.sum("y")
+    sxy, sxx = F.sum(F.col("x") * F.col("y")), F.sum(F.col("x") * F.col("x"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return ranked.agg(
+        n.cast("long").alias("n_tokens"),
+        (F.round(slope * 1e6) / 1e6).alias("slope"),
+        (F.round((sy - slope * sx) / n * 1e6) / 1e6).alias("intercept"),
+    )

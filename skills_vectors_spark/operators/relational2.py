@@ -1149,3 +1149,132 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n",
     )
+
+
+# shift for the moment sums: skewness/kurtosis are translation
+# invariant, so centering near the data's magnitude (l_extendedprice
+# ~ 1e3..1e5) before raising to the 4th power keeps the power sums
+# small and the cross-engine cancellation benign
+MOMENTS_SHIFT = 40000.0
+
+
+@register(
+    "agg_moments",
+    f"""
+    WITH u AS (
+      SELECT l_returnflag, l_extendedprice - {MOMENTS_SHIFT!r} AS u
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             avg(u) AS m1, avg(u * u) AS m2,
+             avg(u * u * u) AS m3, avg(u * u * u * u) AS m4
+      FROM u GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((m1 + {MOMENTS_SHIFT!r}) * 1e6) / 1e6 AS mean,
+           round((m2 - m1 * m1) * 1e6) / 1e6 AS variance,
+           round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                 / power(m2 - m1 * m1, 1.5) * 1e6) / 1e6 AS skewness,
+           round(((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2
+                   - 3 * m1 * m1 * m1 * m1)
+                  / power(m2 - m1 * m1, 2.0) - 3) * 1e6) / 1e6
+             AS kurtosis
+    FROM s
+    """,
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group distribution moments — mean, population variance,
+    skewness, excess kurtosis — from ONE pass of power sums (the
+    engines' built-in skewness/kurtosis disagree on sample-vs-
+    population normalization, so both sides compute the textbook
+    population formulas from identical literal arithmetic). Values
+    are shifted by a literal before the 4th-power sums: the moments
+    above the mean are translation-invariant and the shift keeps the
+    cancellation in m2 - m1^2 etc. benign in IEEE doubles.
+
+    Scale shape: one map-side-combinable aggregation (4 avgs + count
+    per group — constant mergeable state), |groups| result rows; no
+    second pass, no shuffle beyond the group exchange."""
+    u = sources.load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", (F.col("l_extendedprice") - MOMENTS_SHIFT).alias("u")
+    )
+    s = u.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("u").alias("m1"),
+        F.avg(F.col("u") * F.col("u")).alias("m2"),
+        F.avg(F.col("u") * F.col("u") * F.col("u")).alias("m3"),
+        F.avg(F.col("u") * F.col("u") * F.col("u") * F.col("u")).alias("m4"),
+    )
+    m1, m2, m3, m4 = F.col("m1"), F.col("m2"), F.col("m3"), F.col("m4")
+    var = m2 - m1 * m1
+    return s.select(
+        "l_returnflag",
+        "n",
+        (F.round((m1 + F.lit(MOMENTS_SHIFT)) * 1e6) / 1e6).alias("mean"),
+        (F.round(var * 1e6) / 1e6).alias("variance"),
+        (
+            F.round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5) * 1e6)
+            / 1e6
+        ).alias("skewness"),
+        (
+            F.round(
+                (
+                    (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1)
+                    / F.pow(var, 2.0)
+                    - 3
+                )
+                * 1e6
+            )
+            / 1e6
+        ).alias("kurtosis"),
+    )
+
+
+@register(
+    "agg_gini",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rk
+      FROM orders
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round((2.0 * sum(rk * o_totalprice)
+                  - (count(*) + 1) * sum(o_totalprice))
+                 / (count(*) * sum(o_totalprice)) * 1e6) / 1e6 AS gini
+    FROM r GROUP BY o_orderpriority
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Gini coefficient of the value distribution (the
+    inequality measure a corpus planner runs over per-source token
+    budgets or spend): rank values within the group, then
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) — the exact
+    closed form over sorted order statistics, identical arithmetic
+    both engines, deterministic tie-break by key.
+
+    Scale shape: one exchange on the group key feeds the ranking
+    window, then the Gini sum is a map-side-combinable aggregate over
+    the SAME partitioning (no second exchange — the groupBy rides the
+    window's hash partitioning); |groups| output rows."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    r = (
+        sources.load(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice", "o_orderkey")
+        .withColumn("rk", F.row_number().over(w))
+    )
+    return r.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        (
+            F.round(
+                (
+                    2.0 * F.sum(F.col("rk") * F.col("o_totalprice"))
+                    - (F.count("*") + 1) * F.sum("o_totalprice")
+                )
+                / (F.count("*") * F.sum("o_totalprice"))
+                * 1e6
+            )
+            / 1e6
+        ).alias("gini"),
+    )

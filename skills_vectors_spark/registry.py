@@ -34,96 +34,97 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Round-6 window (the r5 verdict's top ask: retire the r1 vintage):
-# (a) queries whose code or oracle changed this round and must attest
-# on current code — dedup_url (advisor's oracle anchoring),
-# eval_dedup_compare (minhash tier now cross-engine; dedup_minhash's
-# hashing changed with it), agg_percentile (refinement levels),
-# embed_knn_pipeline (graduated to oracle-backed via the sqlhash
-# provider), mm_image_features/mm_image_resize (real P6 PPM decode
-# with exact pixel-statistic oracles), and the arbitrary-state trio
-# (conf-restore guard touched all three function bodies);
-# (b) the 16 remaining r1-vintage relational rows;
-# (c) the r3-vintage strata: the 14-query functions_suite, the seven
-# r3 textstats rows, and four r3 scale rows (the rest of the r3
-# stratum — sink_partitioned/orc/clustered and scale2's r3 rows —
-# rotates in r7; every one sits on files unchanged since r3).
-# NOT slotted, deliberately: embed_mock/embed_with_status/
-# embed_provider_switch (embed.py's edit is an additive provider
-# branch — batch_fn dispatches to the old path bit-for-bit for every
-# existing provider) and the non-image mm queries (media_table is
-# untouched; the planted-PPM path is a separate new table).
+# Round-7 window (the r6 verdict's ordered rotation):
+# (a) brand-new r7 queries needing first rows (stream_late_metrics,
+# ts_ewma, agg_moments, agg_gini, text_zipf_slope) plus every query
+# whose semantics changed this round — mm_frame_sample (real Y4M
+# container parse), eval_ndcg_mrr (fused-arm plan),
+# retention_cohorts (age-0 cohort sizing), seq_transitions (A/B'd,
+# floor documented), agg_percentile (zero-width guard),
+# sink_merge_rows (scale-safe insert keys), stream_sink_files
+# (boundary pinned);
+# (b) the six rows the r6 verdict flagged as stale-on-edited-files:
+# the embed trio (embed.py, r6 provider branch) and
+# mm_metadata_stats/mm_arrow_bytes (+ mm_image_*/mm_audio_features
+# riding the same r7-edited multimodal.py);
+# (c) the promised r3-vintage queue: knn_exact/knn_filtered/
+# eval_backend_compare, diag_skew, the sink family, join_skew_salted,
+# fingerprint(+_rolling), text_chunk, quality_score,
+# fn_variant/explode/bitwise/map, and scale2's whole r3 stratum
+# (join_range_binned ... sink_upsert_partition).
+# NOT slotted (r8 queue, see _DEFERRED comment): mix_corpus,
+# split_train_eval, and the
+# stale-by-file-edit-only neighbors (relevance.py's tfidf family,
+# corpus_eval.py's r6 wave, analytics.py's gapfill/anomaly/ab rows,
+# windows.py's stream family, scan_merge_schema) — all re-verified
+# against the sf0.01 oracle by tools/sweep_sf.py this round; their
+# code is unchanged and the driver rotation reaches them next.
 _PROMOTED = [
-    # (a) changed this round — least-attested surface, sweep first
-    # (incl. the corpus-eval wave, NEW in r6: ranking metrics, PSI
-    # drift, PMI collocations — brand-new queries need first rows)
+    # (a) new in r7 / changed semantics — least-attested, sweep first
+    "stream_late_metrics",
+    "ts_ewma",
+    "agg_moments",
+    "agg_gini",
+    "text_zipf_slope",
+    "mm_frame_sample",
     "eval_ndcg_mrr",
-    "quality_drift_psi",
-    "text_pmi_bigrams",
-    "anomaly_mad",
-    "scan_merge_schema",
-    "stream_drift_psi",
-    "sink_merge_rows",
-    "eval_ab_lift",
-    "stream_sink_files",
-    "agg_corr_matrix",
-    "dedup_url",
-    "eval_dedup_compare",
+    "retention_cohorts",
+    "seq_transitions",
     "agg_percentile",
-    "embed_knn_pipeline",
+    "sink_merge_rows",
+    "stream_sink_files",
+    # (b) stale rows on edited files (r6 verdict item 4 + the r7
+    # multimodal.py edit)
     "mm_image_features",
     "mm_image_resize",
     "mm_audio_features",
-    "stream_transform_state",
-    "stream_transform_topk",
-    "stream_transform_typecounts",
-    # (b) the r1 vintage: every relational row whose only green row
-    # is round 1 (file unchanged since the additive r3 edit)
-    "join_theta_range",
-    "join_cross_topk",
-    "agg_hash",
-    "agg_distinct",
-    "agg_collect",
-    "agg_rollup",
-    "agg_cube",
-    "agg_gsets",
-    "win_rank_topk",
-    "win_running",
-    "win_ntile_cume",
-    "sort_limit",
-    "dedup_first",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    # (c) r3 vintage: the whole functions_suite stratum
-    "fn_string",
-    "fn_date",
-    "fn_math",
-    "fn_array",
-    "fn_json",
-    "fn_cosine",
-    "fn_l2",
-    "fn_regex",
-    "fn_conditional",
-    "fn_xml",
-    # (c) r3 textstats rows (text_stats/token_count/quality_repetition
-    # /scrub_pii re-attested in r4 — no slot needed)
-    "lang_id",
-    "diag_partition_stats",
-    # (c) two r3 scale rows (file order)
-    "sink_bucketed",
-    "rollup_hypertable",
+    "mm_metadata_stats",
+    "mm_arrow_bytes",
+    "embed_mock",
+    "embed_with_status",
+    "embed_provider_switch",
+    # (c) the promised r3-vintage rotation queue
+    "knn_exact",
+    "knn_filtered",
+    "eval_backend_compare",
+    "diag_skew",
+    "sink_json",
+    "sink_partitioned",
+    "sink_orc",
+    "sink_clustered",
+    "join_skew_salted",
+    "fingerprint",
+    "fingerprint_rolling",
+    "text_chunk",
+    "quality_score",
+    "fn_variant",
+    "fn_explode",
+    "fn_bitwise",
+    "fn_map",
+    # (c) scale2's r3 stratum, file order
+    "join_range_binned",
+    "sessionize_batch",
+    "agg_minmax_by",
+    "agg_hll_sketch",
+    "quality_filter_apply",
+    "fn_url",
+    "sink_zorder",
+    "text_pack_tokens",
+    "sink_compact",
+    "join_fuzzy_blocked",
+    "agg_hist",
+    "scan_npy",
+    "sink_upsert_partition",
 ]
 
-# r7 rotation queue (r3 vintage that did not fit this window):
-# diag_skew, sink_json, join_skew_salted, fingerprint_rolling,
-# text_chunk, fingerprint, quality_score, fn_variant, fn_explode,
-# fn_bitwise (displaced by the r6 new-operator waves + the real-WAV
-# audio upgrade), sink_partitioned,
-# sink_orc, sink_clustered,
-# scale2's twelve r3 rows (join_range_binned ...
-# sink_upsert_partition), knn_exact, knn_filtered,
-# eval_backend_compare.
+# r8 rotation queue (did not fit this window): mix_corpus,
+# split_train_eval (the last r3-vintage rows), then the
+# stale-by-file-edit-only strata — relevance.py (text_tfidf_sim,
+# text_bm25_search, search_hybrid_rrf, quality_perplexity,
+# quality_entropy), corpus_eval.py's r6 wave (quality_drift_psi,
+# text_pmi_bigrams, stream_drift_psi), analytics.py (ts_gapfill,
+# anomaly_mad, eval_ab_lift), scale.py (scan_merge_schema,
+# scd2_history, ...), and windows.py's stream family.
 _DEFERRED: list[str] = []
 
 
@@ -134,12 +135,13 @@ def load_all() -> None:
     sweeps (tools/driver_sim.py's first-N window, spot checks, and any
     consumer that samples the registry front-to-back). The head of the
     order is the surface with the least accumulated verification
-    signal. Round-6 rotation (the r5 verdict's top ask): queries
-    changed this round first, then the 16 r1-vintage relational rows,
-    then the r3 strata (functions_suite, textstats, scale) — the
-    explicit 50-entry _PROMOTED list IS the window; after this
-    rotation no oracle-backed query's latest green row predates r3,
-    and the r3 remainder is queued for r7 (see _DEFERRED comment).
+    signal. Round-7 rotation (the r6 verdict's ordered queue): new
+    and changed-semantics queries first, then the six stale rows on
+    edited files, then the promised r3-vintage strata (knn, sinks,
+    fn_*, scale2) — the explicit 50-entry _PROMOTED list IS the
+    window; after this rotation every r3-vintage row except
+    mix_corpus/split_train_eval has a post-r3 green row, and the
+    remainder is queued for r8 (see _DEFERRED comment).
     """
     import skills_vectors_spark.operators.functions_suite  # noqa: F401
     import skills_vectors_spark.operators.textstats  # noqa: F401

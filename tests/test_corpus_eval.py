@@ -308,3 +308,56 @@ def test_stream_late_metrics_matches_progress_feed(spark, sf_dir):
     n_late = ev.filter(F.col("ts") < F.lit(wm)).count()
     out = stream_late_metrics(spark, sf_dir).collect()[0]
     assert (out.n_input, out.n_dropped_late) == (2 * n, n_late)
+
+
+# ------------------------------------------------ text_zipf_slope
+
+def test_zipf_slope_matches_polyfit(spark, sf_dir):
+    import numpy as np
+
+    from skills_vectors_spark.operators.corpus_eval import ZIPF_TOPN, text_zipf_slope
+    from skills_vectors_spark.operators.relevance import _term_freqs
+
+    freq = (
+        _term_freqs(spark, sf_dir)
+        .groupBy("tok")
+        .sum("tf")
+        .withColumnRenamed("sum(tf)", "freq")
+        .collect()
+    )
+    fs = sorted(((r.freq, r.tok) for r in freq), key=lambda t: (-t[0], t[1]))[:ZIPF_TOPN]
+    y = np.log(np.array([f for f, _ in fs], dtype=np.float64))
+    x = np.log(np.arange(1, len(fs) + 1, dtype=np.float64))
+    slope, intercept = np.polyfit(x, y, 1)
+    got = text_zipf_slope(spark, sf_dir).collect()[0]
+    assert got.n_tokens == len(fs)
+    assert abs(got.slope - slope) < 1e-5
+    assert abs(got.intercept - intercept) < 1e-5
+    assert got.slope < 0  # frequencies decay with rank
+
+
+# ------------------------------------------------ ts_ewma
+
+def test_ts_ewma_matches_reference_fold(spark, sf_dir):
+    from skills_vectors_spark import sources
+    from skills_vectors_spark.operators.analytics import EWMA_DECAY, EWMA_K, ts_ewma
+
+    ev = sources.load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    users = {}
+    for r in ev:
+        users.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    got = {(r.user_id, r.event_id): r.ewma for r in ts_ewma(spark, sf_dir).collect()}
+    assert len(got) == len(ev)
+    checked = 0
+    for uid, rows in sorted(users.items())[:5]:
+        rows.sort()
+        vals = [v for _, _, v in rows]
+        for t in range(len(vals)):
+            window = vals[max(0, t - EWMA_K + 1) : t + 1]
+            num = sum(v * EWMA_DECAY ** (len(window) - 1 - i) for i, v in enumerate(window))
+            den = (1 - EWMA_DECAY ** len(window)) / (1 - EWMA_DECAY)
+            assert abs(got[(uid, rows[t][1])] - num / den) < 1e-5
+            checked += 1
+    assert checked > 50

@@ -27,59 +27,66 @@ def test_entry_contract(spark):
 def test_sweep_window_prioritizes_least_attested():
     """Bounded front-to-back sweeps read the first 50 registered
     queries; that window must hold the least-attested-on-current-code
-    surface. Round-6 rotation (the r5 verdict's top ask): queries
-    changed in r6 first, then the 16 r1-vintage relational rows, then
-    the r3 strata (functions_suite, textstats, scale)."""
+    surface. Round-7 rotation (the r6 verdict's ordered queue): new
+    and changed-semantics r7 queries first, then the six stale rows
+    on edited files, then the promised r3-vintage strata."""
     from skills_vectors_spark import registry
 
     registry.load_all()
     window = list(registry.QUERIES)[:50]
     for must in [
-        # changed in r6 — must re-attest on current code
+        # new in r7 / changed semantics — must attest on current code
+        "stream_late_metrics",
+        "ts_ewma",
+        "agg_moments",
+        "agg_gini",
+        "text_zipf_slope",
+        "mm_frame_sample",
         "eval_ndcg_mrr",
-        "quality_drift_psi",
-        "text_pmi_bigrams",
-        "anomaly_mad",
-        "scan_merge_schema",
-        "stream_drift_psi",
-        "sink_merge_rows",
-        "eval_ab_lift",
-        "stream_sink_files",
-        "agg_corr_matrix",
-        "dedup_url",
-        "eval_dedup_compare",
+        "retention_cohorts",
+        "seq_transitions",
         "agg_percentile",
-        "embed_knn_pipeline",
+        "sink_merge_rows",
+        "stream_sink_files",
+        # stale rows on edited files (r6 verdict item 4)
         "mm_image_features",
-        "mm_image_resize",
         "mm_audio_features",
-        "stream_transform_state",
-        "stream_transform_topk",
-        "stream_transform_typecounts",
-        # the r1 vintage being retired
-        "join_theta_range",
-        "join_cross_topk",
-        "agg_hash",
-        "agg_distinct",
-        "agg_collect",
-        "agg_rollup",
-        "agg_cube",
-        "agg_gsets",
-        "win_rank_topk",
-        "win_running",
-        "win_ntile_cume",
-        "sort_limit",
-        "dedup_first",
-        "set_union",
-        "set_intersect",
-        "set_except",
-        # r3 strata
-        "fn_string",
-        "fn_xml",
-        "fn_cosine",
-        "lang_id",
-        "diag_partition_stats",
-        "sink_bucketed",
-        "rollup_hypertable",
+        "mm_metadata_stats",
+        "mm_arrow_bytes",
+        "embed_mock",
+        "embed_with_status",
+        "embed_provider_switch",
+        # the promised r3-vintage queue
+        "knn_exact",
+        "knn_filtered",
+        "eval_backend_compare",
+        "diag_skew",
+        "sink_json",
+        "sink_partitioned",
+        "sink_orc",
+        "sink_clustered",
+        "join_skew_salted",
+        "fingerprint",
+        "fingerprint_rolling",
+        "text_chunk",
+        "quality_score",
+        "fn_variant",
+        "fn_explode",
+        "fn_bitwise",
+        "fn_map",
+        # scale2's r3 stratum
+        "join_range_binned",
+        "sessionize_batch",
+        "agg_minmax_by",
+        "agg_hll_sketch",
+        "quality_filter_apply",
+        "fn_url",
+        "sink_zorder",
+        "text_pack_tokens",
+        "sink_compact",
+        "join_fuzzy_blocked",
+        "agg_hist",
+        "scan_npy",
+        "sink_upsert_partition",
     ]:
         assert must in window, f"{must} fell out of the 50-query sweep window"

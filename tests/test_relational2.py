@@ -433,3 +433,65 @@ def test_agg_corr_matrix_matches_numpy(spark, sf_dir):
             corr, n = got[(flag, x, y)]
             assert n == len(g)
             assert abs(corr - expect) < 2e-6, (flag, x, y)
+
+
+def test_agg_moments_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from skills_vectors_spark import sources
+    from skills_vectors_spark.operators.relational2 import agg_moments
+
+    li = sources.load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    by_g = {}
+    for r in li:
+        by_g.setdefault(r.l_returnflag, []).append(r.l_extendedprice)
+    got = {r.l_returnflag: r for r in agg_moments(spark, sf_dir).collect()}
+    assert set(got) == set(by_g)
+    for g, vals in by_g.items():
+        x = np.array(vals, dtype=np.float64)
+        m, v = x.mean(), x.var()  # population
+        skew = ((x - m) ** 3).mean() / v**1.5
+        kurt = ((x - m) ** 4).mean() / v**2 - 3
+        r = got[g]
+        assert abs(r.mean - m) < 1e-4 and abs(r.variance - v) < 1e-2, g
+        assert abs(r.skewness - skew) < 1e-5 and abs(r.kurtosis - kurt) < 1e-5, g
+        assert r.n == len(vals)
+
+
+def test_agg_gini_definition_and_degenerate_cases(spark, sf_dir):
+    import numpy as np
+
+    from skills_vectors_spark import sources
+    from skills_vectors_spark.operators.relational2 import agg_gini
+
+    rows = {r.o_orderpriority: r for r in agg_gini(spark, sf_dir).collect()}
+    od = sources.load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    by_g = {}
+    for r in od:
+        by_g.setdefault(r.o_orderpriority, []).append(r.o_totalprice)
+    for g, vals in by_g.items():
+        x = np.sort(np.array(vals, dtype=np.float64))
+        n = len(x)
+        gini = (2 * np.sum(np.arange(1, n + 1) * x) - (n + 1) * x.sum()) / (
+            n * x.sum()
+        )
+        assert abs(rows[g].gini - gini) < 1e-5, g
+        assert 0.0 <= rows[g].gini < 1.0
+    # planted: equal values -> 0; extreme concentration -> ~1-1/n
+    from unittest import mock
+
+    from skills_vectors_spark.operators import relational2
+
+    df = spark.createDataFrame(
+        [("eq", float(i % 1 == 0) * 5.0, i) for i in range(100)]
+        + [("conc", 1e9 if i == 0 else 1e-9, 1000 + i) for i in range(100)],
+        "o_orderpriority string, o_totalprice double, o_orderkey long",
+    )
+    with mock.patch.object(relational2.sources, "load", lambda *_a: df):
+        got = {r.o_orderpriority: r.gini for r in agg_gini(spark, sf_dir).collect()}
+    assert got["eq"] == 0.0
+    assert got["conc"] > 0.98
