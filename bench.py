@@ -113,6 +113,8 @@ HEADLINE = [
     "agg_moments",
     "agg_gini",
     "text_zipf_slope",
+    "mix_epochs",
+    "text_ngram_novelty",
 ]
 
 

@@ -50,9 +50,11 @@ def register(name: str, oracle: str | None = None):
 # (c) the promised r3-vintage queue: knn_exact/knn_filtered/
 # eval_backend_compare, diag_skew, the sink family, join_skew_salted,
 # fingerprint(+_rolling), text_chunk, quality_score,
-# fn_variant/explode/bitwise/map, and scale2's whole r3 stratum
-# (join_range_binned ... sink_upsert_partition).
-# NOT slotted (r8 queue, see _DEFERRED comment): mix_corpus,
+# fn_variant/explode/bitwise/map, and scale2's r3 stratum through
+# agg_hist.
+# NOT slotted (r8 queue, see _DEFERRED comment): scan_npy,
+# sink_upsert_partition (displaced by the second r7 wave —
+# mix_epochs/text_ngram_novelty need first rows), mix_corpus,
 # split_train_eval, and the
 # stale-by-file-edit-only neighbors (relevance.py's tfidf family,
 # corpus_eval.py's r6 wave, analytics.py's gapfill/anomaly/ab rows,
@@ -66,6 +68,8 @@ _PROMOTED = [
     "agg_moments",
     "agg_gini",
     "text_zipf_slope",
+    "mix_epochs",
+    "text_ngram_novelty",
     "mm_frame_sample",
     "eval_ndcg_mrr",
     "retention_cohorts",
@@ -113,11 +117,10 @@ _PROMOTED = [
     "sink_compact",
     "join_fuzzy_blocked",
     "agg_hist",
-    "scan_npy",
-    "sink_upsert_partition",
 ]
 
-# r8 rotation queue (did not fit this window): mix_corpus,
+# r8 rotation queue (did not fit this window): scan_npy,
+# sink_upsert_partition, mix_corpus,
 # split_train_eval (the last r3-vintage rows), then the
 # stale-by-file-edit-only strata — relevance.py (text_tfidf_sim,
 # text_bm25_search, search_hybrid_rrf, quality_perplexity,
@@ -161,6 +164,7 @@ def load_all() -> None:
     import skills_vectors_spark.operators.multimodal2  # noqa: F401
     import skills_vectors_spark.operators.analytics  # noqa: F401
     import skills_vectors_spark.operators.corpus_eval  # noqa: F401
+    import skills_vectors_spark.operators.corpusprep  # noqa: F401
 
     # Only the _PROMOTED window (and the _DEFERRED head after it) is
     # order-stable: those names are pinned explicitly, so the

@@ -41,6 +41,8 @@ def test_sweep_window_prioritizes_least_attested():
         "agg_moments",
         "agg_gini",
         "text_zipf_slope",
+        "mix_epochs",
+        "text_ngram_novelty",
         "mm_frame_sample",
         "eval_ndcg_mrr",
         "retention_cohorts",
@@ -86,7 +88,5 @@ def test_sweep_window_prioritizes_least_attested():
         "sink_compact",
         "join_fuzzy_blocked",
         "agg_hist",
-        "scan_npy",
-        "sink_upsert_partition",
     ]:
         assert must in window, f"{must} fell out of the 50-query sweep window"
