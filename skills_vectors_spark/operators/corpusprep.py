@@ -140,16 +140,20 @@ def _gram_expr(col: str) -> F.Column:
                i -> array_to_string(list_slice(l, i, i + {NGRAM_N - 1}), ' ')))
                AS gram
       FROM toks
+    ), gh AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+      FROM grams
     ), ref AS (
-      SELECT DISTINCT gram FROM grams WHERE doc_id % 2 = 0
+      SELECT DISTINCT gh FROM gh WHERE doc_id % 2 = 0
     ), cand AS (
-      SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 2 = 1
+      SELECT DISTINCT doc_id, gh FROM gh WHERE doc_id % 2 = 1
     )
     SELECT c.doc_id,
            CAST(count(*) AS BIGINT) AS n_grams,
-           round(avg(CASE WHEN r.gram IS NULL THEN 1.0 ELSE 0.0 END) * 1e6)
+           round(avg(CASE WHEN r.gh IS NULL THEN 1.0 ELSE 0.0 END) * 1e6)
              / 1e6 AS novelty
-    FROM cand c LEFT JOIN ref r ON c.gram = r.gram
+    FROM cand c LEFT JOIN ref r ON c.gh = r.gh
     GROUP BY c.doc_id
     """,
 )
@@ -162,20 +166,28 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which removes overlap; this measures it).
 
     Scale shape: gram extraction is one whole-stage codegen
-    higher-order expression (no Python); both sides collapse to
-    DISTINCT gram keys BEFORE the single equi-join (the inverted-
-    index discipline — candidates join the reference vocabulary, not
-    the reference corpus); the per-doc metric agg is map-side-
-    combinable. At 100 TB the join is a standard hash-partitioned
-    equi-join on gram keys with both sides pre-shrunk by distinct."""
+    higher-order expression (no Python); grams immediately collapse
+    to 60-bit md5-prefix longs — the oracle recomputes the SAME
+    hash, so any collision is bit-identical in both engines and the
+    distinct/join exchanges carry 8-byte keys instead of ~40-byte
+    gram strings (a wash at sf0.1 where the explode dominates —
+    min-of-2 A/B within host noise — but the exchange-size term is
+    what grows with corpus size); both sides
+    reduce to DISTINCT keys BEFORE the single equi-join (the
+    inverted-index discipline — candidates join the reference
+    vocabulary, not the reference corpus); the per-doc metric agg is
+    map-side-combinable."""
     docs = sources.load(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id", F.explode(_gram_expr("text")).alias("gram")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("gh"),
     )
-    ref = grams.filter(F.col("doc_id") % 2 == 0).select("gram").distinct()
+    ref = grams.filter(F.col("doc_id") % 2 == 0).select("gh").distinct()
     cand = grams.filter(F.col("doc_id") % 2 == 1).distinct()
     joined = cand.join(
-        ref.withColumn("_hit", F.lit(1)), "gram", "left"
+        ref.withColumn("_hit", F.lit(1)), "gh", "left"
     )
     return joined.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_grams"),
