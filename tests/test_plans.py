@@ -148,3 +148,24 @@ def test_agg_percentile_two_pass_structure(spark, sf_dir):
     assert "LocalTableScan" in physical_plan(out) or "LocalRelation" in physical_plan(
         out
     )
+
+
+def test_r7_wave_plan_shapes(spark, sf_dir):
+    """Scale-shape pins for the r7 wave: mix_epochs must stay a pure
+    map-side expansion (ZERO exchanges — the explode multiplies rows
+    executor-side); ts_ewma/agg_moments/agg_gini exactly one exchange;
+    text_ngram_novelty stays JVM-side with its filter pushed to the
+    scan."""
+    from skills_vectors_spark.operators.analytics import ts_ewma
+    from skills_vectors_spark.operators.corpusprep import mix_epochs, text_ngram_novelty
+    from skills_vectors_spark.operators.relational2 import agg_gini, agg_moments
+    from skills_vectors_spark.plans import PlanFacts, physical_plan
+
+    assert PlanFacts.of(mix_epochs(spark, sf_dir)).n_exchanges_live == 0
+    for fn in (ts_ewma, agg_moments, agg_gini):
+        assert PlanFacts.of(fn(spark, sf_dir)).n_exchanges_live == 1, fn.__name__
+    nov = text_ngram_novelty(spark, sf_dir)
+    p = physical_plan(nov)
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    facts = PlanFacts.of(nov)
+    assert facts.pushed_filters
