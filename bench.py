@@ -123,7 +123,10 @@ def _extras() -> dict:
     registered exact forms."""
     from skills_vectors_spark.operators.analytics import anomaly_mad_production
     from skills_vectors_spark.operators.dedup import dedup_ngram_jaccard_production
-    from skills_vectors_spark.operators.relational2 import approx_percentile_production
+    from skills_vectors_spark.operators.relational2 import (
+        agg_gini_distributed,
+        approx_percentile_production,
+    )
     from skills_vectors_spark.operators.scale2 import hll_sketch_production
 
     return {
@@ -131,6 +134,7 @@ def _extras() -> dict:
         "hll_sketch_production": hll_sketch_production,
         "dedup_ngram_jaccard_production": dedup_ngram_jaccard_production,
         "anomaly_mad_production": anomaly_mad_production,
+        "agg_gini_distributed": agg_gini_distributed,
     }
 
 

@@ -1256,8 +1256,14 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one exchange on the group key feeds the ranking
     window, then the Gini sum is a map-side-combinable aggregate over
-    the SAME partitioning (no second exchange — the groupBy rides the
-    window's hash partitioning); |groups| output rows."""
+    the SAME partitioning; |groups| output rows. KNOWN LIMIT: with a
+    5-value partition key each group's sort lands on one task, so at
+    extreme scale this collapses parallelism — agg_gini_distributed
+    (benched alongside, tested equal) is the bucket-offset exact-rank
+    form that spreads the sort over (group, bucket) partitions; at
+    the benched tiers the plain window wins (min-of-2 cold 1.33 s vs
+    2.05 s at 1M orders), which is why it stays the headline, the
+    anomaly_mad/_production precedent."""
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     r = (
         sources.load(spark, sf_dir, "orders")
@@ -1273,6 +1279,59 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - (F.count("*") + 1) * F.sum("o_totalprice")
                 )
                 / (F.count("*") * F.sum("o_totalprice"))
+                * 1e6
+            )
+            / 1e6
+        ).alias("gini"),
+    )
+
+
+def agg_gini_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of agg_gini — DISTRIBUTED exact ranking, no
+    per-group single-task sort. The global within-group rank is
+    assembled the agg_percentile way: (1) one map-side-combinable agg
+    counts rows per (group, log-bucket) — the fixed DDSketch
+    value->bucket mapping, no pre-scan; (2) a window over those tiny
+    cells turns counts into per-bucket cumulative OFFSETS (|groups| x
+    |occupied buckets| rows, broadcast back); (3) rows rank LOCALLY
+    within their (group, bucket) — thousands of window partitions
+    instead of five — and global rank = offset + local rank (exact:
+    equal values share a bucket, so the (value, key) tie-break never
+    crosses a bucket boundary). The fact shuffles once, on the
+    well-spread (group, bucket) key. Identical output to agg_gini
+    (equality-tested); benched in bench.py _extras as the swap-in at
+    scales where the 5-partition window binds."""
+    rows = sources.load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("v"),
+        "o_orderkey",
+        _pctl_bucket_expr().alias("b"),
+    )
+    per_gb = rows.groupBy("o_orderpriority", "b").agg(F.count("*").alias("cnt"))
+    off_w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_gb.select(
+        "o_orderpriority",
+        "b",
+        F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("off"),
+    )
+    local_w = Window.partitionBy("o_orderpriority", "b").orderBy("v", "o_orderkey")
+    ranked = (
+        rows.join(F.broadcast(offsets), ["o_orderpriority", "b"])
+        .withColumn("rk", F.col("off") + F.row_number().over(local_w))
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        (
+            F.round(
+                (
+                    2.0 * F.sum(F.col("rk") * F.col("v"))
+                    - (F.count("*") + 1) * F.sum("v")
+                )
+                / (F.count("*") * F.sum("v"))
                 * 1e6
             )
             / 1e6

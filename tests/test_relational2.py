@@ -495,3 +495,17 @@ def test_agg_gini_definition_and_degenerate_cases(spark, sf_dir):
         got = {r.o_orderpriority: r.gini for r in agg_gini(spark, sf_dir).collect()}
     assert got["eq"] == 0.0
     assert got["conc"] > 0.98
+
+
+def test_agg_gini_distributed_equals_windowed(spark, sf_dir):
+    """The bucket-offset exact-rank form (the 100 TB swap) must
+    reproduce the plain windowed Gini cell-for-cell — same ranks by
+    construction (equal values share a log bucket, so the tie-break
+    never crosses a bucket boundary)."""
+    from skills_vectors_spark.operators.relational2 import (
+        agg_gini,
+        agg_gini_distributed,
+    )
+    a = sorted(map(tuple, agg_gini(spark, sf_dir).collect()))
+    b = sorted(map(tuple, agg_gini_distributed(spark, sf_dir).collect()))
+    assert a == b
