@@ -115,6 +115,7 @@ HEADLINE = [
     "text_zipf_slope",
     "mix_epochs",
     "text_ngram_novelty",
+    "agg_winsorized_mean",
 ]
 
 

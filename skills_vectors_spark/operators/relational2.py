@@ -1337,3 +1337,57 @@ def agg_gini_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("gini"),
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(avg(least(greatest(l_extendedprice, lo), hi)) * 1e4) / 1e4
+             AS wins_mean,
+           round(avg(l_extendedprice) * 1e4) / 1e4 AS raw_mean
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 5/95-winsorized mean next to the raw mean — the
+    robust central-tendency readout a metrics pipeline publishes when
+    heavy tails would let a handful of outliers move the raw average
+    (completing the robust-stats seats next to anomaly_mad's
+    median/MAD and grouped_zscore's moments). Spark's exact
+    interpolated `percentile` and DuckDB's `quantile_cont` share the
+    same definition on DOUBLE, so the clip bounds agree bit-for-bit.
+
+    Scale shape: pass 1 is one bounded per-group exact-percentile
+    aggregate (|groups| rows of ObjectHashAggregate state — the
+    agg_percentile cost class, with the same documented
+    approx_percentile swap at 100 TB); the bounds broadcast back and
+    pass 2 is a pure-codegen clip + map-side-combinable avg. The
+    fact never shuffles: both aggregations sit above bounded
+    per-group state."""
+    li = sources.load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+    )
+    clipped = li.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")).alias(
+            "w"
+        ),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.round(F.avg("w") * 1e4) / 1e4).alias("wins_mean"),
+        (F.round(F.avg("l_extendedprice") * 1e4) / 1e4).alias("raw_mean"),
+    )

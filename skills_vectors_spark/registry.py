@@ -77,10 +77,11 @@ _PROMOTED = [
     "agg_percentile",
     "sink_merge_rows",
     "stream_sink_files",
+    "agg_winsorized_mean",
     # (b) stale rows on edited files (r6 verdict item 4 + the r7
-    # multimodal.py edit)
+    # multimodal.py edit). mm_image_resize is NOT slotted: it lives
+    # in multimodal2.py, unchanged since its r6 green row.
     "mm_image_features",
-    "mm_image_resize",
     "mm_audio_features",
     "mm_metadata_stats",
     "mm_arrow_bytes",

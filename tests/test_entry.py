@@ -50,6 +50,7 @@ def test_sweep_window_prioritizes_least_attested():
         "agg_percentile",
         "sink_merge_rows",
         "stream_sink_files",
+        "agg_winsorized_mean",
         # stale rows on edited files (r6 verdict item 4)
         "mm_image_features",
         "mm_audio_features",

@@ -509,3 +509,28 @@ def test_agg_gini_distributed_equals_windowed(spark, sf_dir):
     a = sorted(map(tuple, agg_gini(spark, sf_dir).collect()))
     b = sorted(map(tuple, agg_gini_distributed(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_agg_winsorized_mean_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from skills_vectors_spark.operators.relational2 import agg_winsorized_mean
+
+    got = {r.l_returnflag: r for r in agg_winsorized_mean(spark, sf_dir).collect()}
+    li = sources.load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    by_g: dict = {}
+    for r in li:
+        by_g.setdefault(r.l_returnflag, []).append(r.l_extendedprice)
+    for g, vals in by_g.items():
+        x = np.array(vals, dtype=np.float64)
+        lo, hi = np.quantile(x, [0.05, 0.95], method="linear")
+        wm = np.clip(x, lo, hi).mean()
+        r = got[g]
+        assert r.n == len(vals)
+        assert abs(r.wins_mean - wm) < 1e-3, g
+        assert abs(r.raw_mean - x.mean()) < 1e-3, g
+        # winsorizing pulls the mean toward the median of a skewed
+        # distribution — it must differ from the raw mean here
+        assert r.wins_mean != r.raw_mean, g
