@@ -195,71 +195,27 @@ def _pctl_bucket_expr() -> F.Column:
     )
 
 
-@register(
-    "agg_percentile",
-    """
-    SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5) * 1e4) / 1e4 AS p50,
-           round(quantile_cont(l_extendedprice, 0.9) * 1e4) / 1e4 AS p90,
-           round(quantile_cont(l_extendedprice, 0.99) * 1e4) / 1e4 AS p99
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group in TWO passes
-    (continuous-quantile definition: lower + frac*(higher-lower) at
-    virtual index q*(n-1) — the same formula as DuckDB's quantile_cont
-    and numpy's 'linear').
-
-    Pass 1: one map-side-combinable agg over (group, log-bucket)
-    computing count/min/max per bucket. The DDSketch-style
-    relative-width bucket index (Masson et al. 2019, public) is a
-    FIXED monotone mapping, so — unlike an equal-width histogram — no
-    min/max pre-scan is needed, which is what removes the r4 design's
-    third job. The driver walks cumulative counts (occupied buckets
-    only, logarithmic in value range, constant in data size) to
-    locate which bucket holds each needed order statistic (<=2 per
-    quantile); any needed bucket with min==max resolves immediately
-    (constant and duplicate-heavy groups never reach pass 2).
-    Pass 2 (only if some bucket is mixed-value): rescan, keep rows of
-    the <=6 needed buckets per group — ~n*(gamma-1) rows each — and
-    sort each inside a JVM collect_list agg; the driver indexes the
-    exact order statistics by offset. No Python workers, no
-    broadcast-join staging: the needed-bucket predicate is a literal
-    codegen filter.
-
-    If the needed buckets together exceed PCTL_MAX_PICK_ROWS (a
-    distribution that packs one log bucket — e.g. millions of
-    near-identical prices), refinement levels engage instead of
-    failing: each level splits the over-full regions into PCTL_NSUB
-    equal-width sub-ranges of their measured [lo, hi] with one extra
-    codegen scan, resolves single-valued sub-ranges for free
-    (duplicate-heavy packing collapses at level 1), and re-checks the
-    bound. Width shrinks 4096x per level, so ~6 levels reach one ulp
-    — the PCTL_MAX_REFINE_LEVELS=8 guard is unreachable for real data.
-
-    Earlier rounds: r3 shipped every group row through one Python
-    worker (6.4x DuckDB); r4's equal-width histogram needed 3 jobs +
-    an applyInPandas pick (measured 3.7 s / 9.7x at the 10x tier once
-    benched in isolation). Two scans is the floor for exact quantiles
-    without per-value hashmap memory (plus one scan per engaged
-    refinement level). Driver state: occupied-bucket counts only.
-    At 100 TB: two codegen scans, two tiny shuffles."""
-    li = (
-        sources.load(spark, sf_dir, "lineitem")
-        .select("l_returnflag", F.col("l_extendedprice").alias("v"))
-        .filter(F.col("v").isNotNull())
-    )
-    qs = (0.5, 0.9, 0.99)
+def exact_group_quantiles(gv, qs):
+    """Exact interpolated per-group quantiles of a (g, v) frame via
+    the two-pass log-bucket machinery (full design rationale in
+    agg_percentile's docstring): one map-side-combinable (g, bucket)
+    histogram over the fixed DDSketch index, a driver walk that
+    resolves single-valued buckets for free, a bounded pick pass over
+    only the needed buckets, and equal-width refinement levels if a
+    bucket packs. Returns {group: (value per q, in qs order)}.
+    Shared by agg_percentile and agg_winsorized_mean (clip bounds) —
+    never an ObjectHashAggregate percentile buffer, so no pass ever
+    shuffles the raw value column."""
+    li = gv
     lib = li.withColumn("b", _pctl_bucket_expr())
 
     hist: dict[str, dict[int, tuple[int, float, float]]] = {}
     for r in (
-        lib.groupBy("l_returnflag", "b")
+        lib.groupBy("g", "b")
         .agg(F.count("*").alias("cnt"), F.min("v").alias("lo"), F.max("v").alias("hi"))
         .collect()
     ):
-        hist.setdefault(r["l_returnflag"], {})[r["b"]] = (
+        hist.setdefault(r["g"], {})[r["b"]] = (
             r["cnt"],
             float(r["lo"]),
             float(r["hi"]),
@@ -305,7 +261,7 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 g,
                 b,
-                (F.col("l_returnflag") == g) & (F.col("b") == b),
+                (F.col("g") == g) & (F.col("b") == b),
                 hist[g][b][0],
                 hist[g][b][1],
                 hist[g][b][2],
@@ -396,15 +352,73 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for k, off in picks:
                     kval[g][k] = float(vals[off])
 
-    out = [
-        (
-            g,
-            *[
-                kval[g][k] + frac * (kval[g][k1] - kval[g][k])
-                for (k, k1, frac) in (need[g][q] for q in qs)
-            ],
+    return {
+        g: tuple(
+            kval[g][k] + frac * (kval[g][k1] - kval[g][k])
+            for (k, k1, frac) in (need[g][q] for q in qs)
         )
         for g in sorted(hist)
+    }
+
+
+@register(
+    "agg_percentile",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5) * 1e4) / 1e4 AS p50,
+           round(quantile_cont(l_extendedprice, 0.9) * 1e4) / 1e4 AS p90,
+           round(quantile_cont(l_extendedprice, 0.99) * 1e4) / 1e4 AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group in TWO passes
+    (continuous-quantile definition: lower + frac*(higher-lower) at
+    virtual index q*(n-1) — the same formula as DuckDB's quantile_cont
+    and numpy's 'linear').
+
+    Pass 1: one map-side-combinable agg over (group, log-bucket)
+    computing count/min/max per bucket. The DDSketch-style
+    relative-width bucket index (Masson et al. 2019, public) is a
+    FIXED monotone mapping, so — unlike an equal-width histogram — no
+    min/max pre-scan is needed, which is what removes the r4 design's
+    third job. The driver walks cumulative counts (occupied buckets
+    only, logarithmic in value range, constant in data size) to
+    locate which bucket holds each needed order statistic (<=2 per
+    quantile); any needed bucket with min==max resolves immediately
+    (constant and duplicate-heavy groups never reach pass 2).
+    Pass 2 (only if some bucket is mixed-value): rescan, keep rows of
+    the <=6 needed buckets per group — ~n*(gamma-1) rows each — and
+    sort each inside a JVM collect_list agg; the driver indexes the
+    exact order statistics by offset. No Python workers, no
+    broadcast-join staging: the needed-bucket predicate is a literal
+    codegen filter.
+
+    If the needed buckets together exceed PCTL_MAX_PICK_ROWS (a
+    distribution that packs one log bucket — e.g. millions of
+    near-identical prices), refinement levels engage instead of
+    failing: each level splits the over-full regions into PCTL_NSUB
+    equal-width sub-ranges of their measured [lo, hi] with one extra
+    codegen scan, resolves single-valued sub-ranges for free
+    (duplicate-heavy packing collapses at level 1), and re-checks the
+    bound. Width shrinks 4096x per level, so ~6 levels reach one ulp
+    — the PCTL_MAX_REFINE_LEVELS=8 guard is unreachable for real data.
+
+    Earlier rounds: r3 shipped every group row through one Python
+    worker (6.4x DuckDB); r4's equal-width histogram needed 3 jobs +
+    an applyInPandas pick (measured 3.7 s / 9.7x at the 10x tier once
+    benched in isolation). Two scans is the floor for exact quantiles
+    without per-value hashmap memory (plus one scan per engaged
+    refinement level). Driver state: occupied-bucket counts only.
+    At 100 TB: two codegen scans, two tiny shuffles."""
+    li = (
+        sources.load(spark, sf_dir, "lineitem")
+        .select(F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    qs = (0.5, 0.9, 0.99)
+    out = [
+        (g, *vals) for g, vals in sorted(exact_group_quantiles(li, qs).items())
     ]
     if not out:  # empty input: VALUES needs >= 1 tuple
         return spark.createDataFrame(
@@ -1365,26 +1379,37 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated `percentile` and DuckDB's `quantile_cont` share the
     same definition on DOUBLE, so the clip bounds agree bit-for-bit.
 
-    Scale shape: pass 1 is one bounded per-group exact-percentile
-    aggregate (|groups| rows of ObjectHashAggregate state — the
-    agg_percentile cost class, with the same documented
-    approx_percentile swap at 100 TB); the bounds broadcast back and
-    pass 2 is a pure-codegen clip + map-side-combinable avg. The
-    fact never shuffles: both aggregations sit above bounded
-    per-group state."""
+    Scale shape: the clip bounds come from `exact_group_quantiles`
+    (the agg_percentile log-bucket machinery) — one map-side-
+    combinable histogram pass + a bounded pick pass — NOT from
+    Spark's `percentile` aggregate, whose ObjectHashAggregate buffer
+    has no map-side reduction and therefore shuffles the entire
+    value column (measured: 1.85 s cold naive vs 1.44 s here at
+    sf0.1 — the residual is three bounded job launches, while the
+    full-column exchange is gone). The bounds come back as per-group
+    LITERALS in a codegen CASE (no join at all); the final avg is
+    map-side-combinable. The fact never shuffles."""
     li = sources.load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    bounds = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+    bounds = exact_group_quantiles(
+        li.select(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_extendedprice").alias("v"),
+        ).filter(F.col("v").isNotNull()),
+        (0.05, 0.95),
     )
-    clipped = li.join(F.broadcast(bounds), "l_returnflag").select(
+    lo_col, hi_col = None, None
+    for g, (lo, hi) in sorted(bounds.items()):
+        pred = F.col("l_returnflag") == g
+        lo_col = F.when(pred, lo) if lo_col is None else lo_col.when(pred, lo)
+        hi_col = F.when(pred, hi) if hi_col is None else hi_col.when(pred, hi)
+    if lo_col is None:  # empty input
+        lo_col = hi_col = F.lit(None).cast("double")
+    clipped = li.select(
         "l_returnflag",
         "l_extendedprice",
-        F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")).alias(
-            "w"
-        ),
+        F.least(F.greatest(F.col("l_extendedprice"), lo_col), hi_col).alias("w"),
     )
     return clipped.groupBy("l_returnflag").agg(
         F.count("*").cast("long").alias("n"),
