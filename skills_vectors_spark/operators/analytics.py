@@ -452,7 +452,7 @@ EWMA_DECAY = 0.8  # per-step decay (1 - alpha)
       SELECT user_id, event_id, value,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT a.user_id, a.event_id,
            round(sum(b.value * power({EWMA_DECAY!r}, a.rn - b.rn))
@@ -486,8 +486,16 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-(EWMA_K - 1), 0)
     )
-    ev = sources.load(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "value"
+    # null semantics pinned (advisor r7): collect_list silently drops
+    # NULLs from the frame, which would shift both the weights and the
+    # (1-d^m)/(1-d) denominator relative to any engine that counts the
+    # null-valued rows — so null-valued events are excluded from the
+    # series on BOTH sides before ranking (the oracle filters in its
+    # row_number CTE)
+    ev = (
+        sources.load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
     )
     vals = ev.withColumn("vals", F.collect_list("value").over(w))
     num = F.expr(

@@ -54,7 +54,7 @@ NGRAM_N = 5  # word n-gram order for the novelty metric
     ), n AS (
       SELECT doc_id, lang,
              CAST(floor(ep) AS BIGINT)
-             + CASE WHEN b < CAST((ep - floor(ep)) * {_EPOCH_BUCKETS} AS BIGINT)
+             + CASE WHEN b < CAST(floor((ep - floor(ep)) * {_EPOCH_BUCKETS}) AS BIGINT)
                     THEN 1 ELSE 0 END AS n_copies
       FROM e
     )
@@ -90,8 +90,13 @@ def mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         % _EPOCH_BUCKETS
     )
+    # floor() explicitly on BOTH sides (advisor r7): Spark .cast("long")
+    # truncates while DuckDB CAST(..AS BIGINT) rounds-to-nearest, so the
+    # fractional-remainder threshold must be floored before the cast or
+    # a target like 1.1 (inexact binary fraction) would silently
+    # diverge on the extra-copy cutoff
     n_copies = F.floor(ep).cast("long") + (
-        bucket < ((ep - F.floor(ep)) * _EPOCH_BUCKETS).cast("long")
+        bucket < F.floor((ep - F.floor(ep)) * _EPOCH_BUCKETS).cast("long")
     ).cast("long")
     return (
         d.select("doc_id", "lang", n_copies.alias("n_copies"))
@@ -110,8 +115,13 @@ def _gram_expr(col: str) -> F.Column:
     """Word NGRAM_N-grams of a whitespace-normalized lowercase text
     column as an array of space-joined strings — a single whole-stage
     codegen higher-order expression (split -> transform over start
-    indices -> array_join slices); no Python worker."""
-    toks = F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
+    indices -> array_join slices); no Python worker.
+
+    The whitespace class is spelled explicitly (advisor r7): Java's \\s
+    includes vertical tab \\x0B while DuckDB's RE2 \\s does not, so both
+    engines normalize on the same literal [ \\t\\n\\r\\f] set and the
+    tokenization is engine-independent even on control-char input."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(col), r"[ \t\n\r\f]+", " ")), " ")
     # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0] (it
     # infers step -1), so short documents must short-circuit to an
     # empty gram list instead (DuckDB's generate_series(1, 0) is
@@ -130,7 +140,7 @@ def _gram_expr(col: str) -> F.Column:
     f"""
     WITH toks AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+             string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g')), ' ')
                AS l
       FROM documents
     ), grams AS (
@@ -166,26 +176,44 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which removes overlap; this measures it).
 
     Scale shape: gram extraction is one whole-stage codegen
-    higher-order expression (no Python); grams immediately collapse
-    to 60-bit md5-prefix longs — the oracle recomputes the SAME
-    hash, so any collision is bit-identical in both engines and the
-    distinct/join exchanges carry 8-byte keys instead of ~40-byte
-    gram strings (a wash at sf0.1 where the explode dominates —
-    min-of-2 A/B within host noise — but the exchange-size term is
-    what grows with corpus size); both sides
-    reduce to DISTINCT keys BEFORE the single equi-join (the
-    inverted-index discipline — candidates join the reference
-    vocabulary, not the reference corpus); the per-doc metric agg is
-    map-side-combinable."""
-    docs = sources.load(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(_gram_expr("text")).alias("gram")
-    ).select(
-        "doc_id",
-        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("gh"),
+    higher-order expression (no Python); grams collapse to 60-bit
+    md5-prefix longs INSIDE the per-doc array (transform), and
+    array_distinct dedups them executor-side BEFORE the explode — so
+    the candidate half needs NO global distinct at all (per-doc
+    uniqueness is the required grain, and dedup-on-hashes keeps the
+    astronomically-rare within-doc hash collision bit-identical to
+    the oracle's DISTINCT doc_id, gh). The oracle recomputes the SAME
+    hash, so cross-doc collisions are also bit-identical in both
+    engines, and the remaining exchanges (reference-vocabulary
+    DISTINCT, the one equi-join) carry 8-byte keys instead of
+    ~40-byte gram strings. Both sides reduce to distinct keys BEFORE
+    the single equi-join (the inverted-index discipline — candidates
+    join the reference vocabulary, not the reference corpus); the
+    per-doc metric agg is map-side-combinable. Measured at sf0.1: the
+    r7 explode-then-distinct-both-sides form cost one extra full
+    exchange + HashAggregate over the candidate half; this form
+    removed it, and load_spread parallelizes the extraction across
+    all cores instead of the single task a one-row-group parquet scan
+    yields (2.3 s -> 0.54 s warm at sf0.1 — see SCALING.md round-8
+    notes; no-op on a multi-split cluster read)."""
+    docs = sources.load_spread(spark, sf_dir, "documents")
+    gram_keys = F.array_distinct(
+        F.transform(
+            _gram_expr("text"),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+        )
     )
-    ref = grams.filter(F.col("doc_id") % 2 == 0).select("gh").distinct()
-    cand = grams.filter(F.col("doc_id") % 2 == 1).distinct()
+    def keys_of(d: DataFrame) -> DataFrame:
+        return d.select("doc_id", F.explode(gram_keys).alias("gh"))
+
+    # split sides BEFORE extraction (explicit, not left to pushdown
+    # through Generate): each branch only ever tokenizes its half, so
+    # total extraction work equals one corpus pass
+    ref = (
+        keys_of(docs.filter(F.col("doc_id") % 2 == 0)).select("gh").distinct()
+    )
+    # per-doc distinct is already guaranteed by array_distinct above
+    cand = keys_of(docs.filter(F.col("doc_id") % 2 == 1))
     joined = cand.join(
         ref.withColumn("_hit", F.lit(1)), "gh", "left"
     )

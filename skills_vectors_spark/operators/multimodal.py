@@ -297,6 +297,19 @@ def _plant_y4m(text: str) -> bytes:
     real decoder recovers are exactly md5 of the text's substrings,
     closed-form for the oracle. Only FULL chunks become frames: a
     synthetic padded tail frame would have no SQL-predictable hash."""
+    if not text.isascii():
+        # the mm_frame_sample oracle frames the payload by
+        # length(text)/substr(text, ...) — CHARACTER arithmetic — while
+        # this planter chunks the utf-8 BYTES; the two only agree on
+        # ASCII, so a non-ASCII corpus document must fail loudly here
+        # instead of silently desynchronizing frame counts/hashes
+        # (advisor r7). _plant_ppm/_plant_wav need no such guard: their
+        # oracles derive everything from md5(text), which both engines
+        # compute over the same utf-8 bytes for ANY text.
+        raise ValueError(
+            "y4m fixture planting requires ASCII document text: the oracle's "
+            "char-indexed substr framing must equal the planter's byte framing"
+        )
     digest = hashlib.md5((text + "video").encode("utf-8")).hexdigest()
     w, h = _Y4M_DIMS[int(digest[0:2], 16) % len(_Y4M_DIMS)]
     raw = text.encode("utf-8")

@@ -63,19 +63,26 @@ def _term_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed disappears entirely — the same fusion that bought the
     MinHash signature pass its 8x. Shuffles only happen downstream,
     on the already-collapsed (doc, tok, tf) rows. Tokenization
-    contract matches the DuckDB oracles: lower -> collapse \\s+
-    (re.ASCII = Java regex semantics) -> trim -> split on ' '."""
+    contract matches the DuckDB oracles exactly: lower -> collapse
+    the explicit [ \\t\\n\\r\\f]+ class (== RE2's \\s; Python re.ASCII
+    \\s and Java \\s additionally match \\x0B, so the class is spelled
+    out — advisor r7's corpusprep finding applied here too) -> trim
+    -> split on ' '."""
 
     def build() -> DataFrame:
-        d = sources.load(spark, sf_dir, "documents").repartition(
-            spark.sparkContext.defaultParallelism
-        )
+        # load_spread, not an unconditional repartition: locally the
+        # one-row-group scan yields a single task and the tokenize pass
+        # would run on one core; on a multi-split cluster read the
+        # partition count already exceeds default parallelism and no
+        # shuffle is added (an unconditional repartition would reshuffle
+        # the full corpus at 100 TB)
+        d = sources.load_spread(spark, sf_dir, "documents")
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import re
             from collections import Counter
 
-            ws = re.compile(r"\s+", re.ASCII)
+            ws = re.compile(r"[ \t\n\r\f]+")
             for pdf in batches:
                 ids: list[int] = []
                 toks: list[str] = []

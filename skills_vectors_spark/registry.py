@@ -34,101 +34,96 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Round-7 window (the r6 verdict's ordered rotation):
-# (a) brand-new r7 queries needing first rows (stream_late_metrics,
-# ts_ewma, agg_moments, agg_gini, text_zipf_slope) plus every query
-# whose semantics changed this round — mm_frame_sample (real Y4M
-# container parse), eval_ndcg_mrr (fused-arm plan),
-# retention_cohorts (age-0 cohort sizing), seq_transitions (A/B'd,
-# floor documented), agg_percentile (zero-width guard),
-# sink_merge_rows (scale-safe insert keys), stream_sink_files
-# (boundary pinned);
-# (b) the six rows the r6 verdict flagged as stale-on-edited-files:
-# the embed trio (embed.py, r6 provider branch) and
-# mm_metadata_stats/mm_arrow_bytes (+ mm_image_*/mm_audio_features
-# riding the same r7-edited multimodal.py);
-# (c) the promised r3-vintage queue: knn_exact/knn_filtered/
-# eval_backend_compare, diag_skew, the sink family, join_skew_salted,
-# fingerprint(+_rolling), text_chunk, quality_score,
-# fn_variant/explode/bitwise/map, and scale2's r3 stratum through
-# agg_hist.
-# NOT slotted (r8 queue, see _DEFERRED comment): scan_npy,
-# sink_upsert_partition (displaced by the second r7 wave —
-# mix_epochs/text_ngram_novelty need first rows), mix_corpus,
-# split_train_eval, and the
-# stale-by-file-edit-only neighbors (relevance.py's tfidf family,
-# corpus_eval.py's r6 wave, analytics.py's gapfill/anomaly/ab rows,
-# windows.py's stream family, scan_merge_schema) — all re-verified
-# against the sf0.01 oracle by tools/sweep_sf.py this round; their
-# code is unchanged and the driver rotation reaches them next.
+# Round-8 window (the r7 verdict's ordered rotation):
+# (a) queries whose semantics or plan changed this round —
+# agg_gini_distributed (first registration, the attested 100 TB
+# twin), ts_ewma (null semantics pinned on both sides), mix_epochs
+# (explicit floor() threshold parity), text_ngram_novelty (in-array
+# hashing + load_spread parallel extraction), the relevance.py family
+# (load_spread + explicit-whitespace-class tokenization),
+# stream_late_metrics (UTC session assert);
+# (b) rows re-staled by this round's file edits: analytics.py
+# (retention_cohorts/seq_transitions + the r8-queue
+# gapfill/anomaly/ab), multimodal.py (the five mm rows, ASCII-guard
+# edit), windows.py (the whole stream family — also the written r8
+# queue — plus stream_sink_files);
+# (c) the rest of the written r8 queue: the last r3/r4-vintage
+# scale2 rows (scan_npy, sink_upsert_partition, mix_corpus,
+# split_train_eval), corpus_eval's r6 wave, scale.py's stale rows,
+# scd2_history, and the scale3/multimodal2 r6-stale backlog head.
 _PROMOTED = [
-    # (a) new in r7 / changed semantics — least-attested, sweep first
-    "stream_late_metrics",
+    # (a) changed semantics / first rows — least-attested first
+    "agg_gini_distributed",
     "ts_ewma",
-    "agg_moments",
-    "agg_gini",
-    "text_zipf_slope",
     "mix_epochs",
     "text_ngram_novelty",
-    "mm_frame_sample",
-    "eval_ndcg_mrr",
+    "text_tfidf_sim",
+    "text_bm25_search",
+    "search_hybrid_rrf",
+    "quality_perplexity",
+    "quality_entropy",
+    "stream_late_metrics",
+    # (b) re-staled by this round's edits
     "retention_cohorts",
     "seq_transitions",
-    "agg_percentile",
-    "sink_merge_rows",
-    "stream_sink_files",
-    "agg_winsorized_mean",
-    # (b) stale rows on edited files (r6 verdict item 4 + the r7
-    # multimodal.py edit). mm_image_resize is NOT slotted: it lives
-    # in multimodal2.py, unchanged since its r6 green row.
+    "ts_gapfill",
+    "anomaly_mad",
+    "eval_ab_lift",
     "mm_image_features",
     "mm_audio_features",
+    "mm_frame_sample",
     "mm_metadata_stats",
     "mm_arrow_bytes",
-    "embed_mock",
-    "embed_with_status",
-    "embed_provider_switch",
-    # (c) the promised r3-vintage rotation queue
-    "knn_exact",
-    "knn_filtered",
-    "eval_backend_compare",
-    "diag_skew",
-    "sink_json",
-    "sink_partitioned",
-    "sink_orc",
-    "sink_clustered",
-    "join_skew_salted",
-    "fingerprint",
-    "fingerprint_rolling",
-    "text_chunk",
-    "quality_score",
-    "fn_variant",
-    "fn_explode",
-    "fn_bitwise",
-    "fn_map",
-    # (c) scale2's r3 stratum, file order
-    "join_range_binned",
-    "sessionize_batch",
-    "agg_minmax_by",
-    "agg_hll_sketch",
-    "quality_filter_apply",
-    "fn_url",
-    "sink_zorder",
-    "text_pack_tokens",
-    "sink_compact",
-    "join_fuzzy_blocked",
-    "agg_hist",
+    "stream_sink_files",
+    # (b) windows.py stream family (r8 queue + re-staled by the edit)
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_stateful",
+    "stream_dedup_late",
+    "stream_enrich",
+    "stream_join_interval",
+    "stream_foreach_batch",
+    "stream_transform_state",
+    "stream_transform_topk",
+    "stream_transform_typecounts",
+    # (c) last r3/r4-vintage scale2 rows
+    "scan_npy",
+    "sink_upsert_partition",
+    "mix_corpus",
+    "split_train_eval",
+    # (c) corpus_eval r6 wave (stale on the r7 text_zipf_slope edit)
+    "quality_drift_psi",
+    "text_pmi_bigrams",
+    "stream_drift_psi",
+    # (c) scale.py stale rows (r7 sink_merge_rows edit)
+    "scan_merge_schema",
+    "rollup_hypertable",
+    "sink_bucketed",
+    # (c) scale3/multimodal2 r6-stale backlog head
+    "scd2_history",
+    "text_normalize",
+    "dedup_normalized",
+    "graph_pagerank",
+    "join_bloom_prefilter",
+    "agg_heavy_hitters",
+    "stream_cms_counters",
+    "scan_binaryfile",
 ]
 
-# r8 rotation queue (did not fit this window): scan_npy,
-# sink_upsert_partition, mix_corpus,
-# split_train_eval (the last r3-vintage rows), then the
-# stale-by-file-edit-only strata — relevance.py (text_tfidf_sim,
-# text_bm25_search, search_hybrid_rrf, quality_perplexity,
-# quality_entropy), corpus_eval.py's r6 wave (quality_drift_psi,
-# text_pmi_bigrams, stream_drift_psi), analytics.py (ts_gapfill,
-# anomaly_mad, eval_ab_lift), scale.py (scan_merge_schema,
-# scd2_history, ...), and windows.py's stream family.
+# r9 rotation queue (did not fit this window): the relational2.py
+# stratum staled by its r7 edits (join_asof, agg_pivot, agg_unpivot,
+# agg_approx_percentile, grouped_zscore, fn_vector_literal,
+# join_full_outer, agg_stats, win_first_last, sample_stratified,
+# win_range_interval, agg_median_bool, sql_api_topk_revenue,
+# sql_api_region_revenue, seq_funnel, agg_filtered, win_islands,
+# agg_mode, fn_try_arith, agg_corr_matrix) and the dedup.py stratum
+# staled by its r6 edits (dedup_exact, dedup_clusters,
+# dedup_embed_cosine, dedup_apply, dedup_containment,
+# dedup_decontaminate, dedup_incremental, dedup_substring,
+# dedup_ngram_jaccard). All were green in the r7 judge sweep /
+# earlier driver rounds on code unchanged since; the rotation
+# reaches them next.
 _DEFERRED: list[str] = []
 
 
@@ -139,13 +134,14 @@ def load_all() -> None:
     sweeps (tools/driver_sim.py's first-N window, spot checks, and any
     consumer that samples the registry front-to-back). The head of the
     order is the surface with the least accumulated verification
-    signal. Round-7 rotation (the r6 verdict's ordered queue): new
-    and changed-semantics queries first, then the six stale rows on
-    edited files, then the promised r3-vintage strata (knn, sinks,
-    fn_*, scale2) — the explicit 50-entry _PROMOTED list IS the
-    window; after this rotation every r3-vintage row except
-    mix_corpus/split_train_eval has a post-r3 green row, and the
-    remainder is queued for r8 (see _DEFERRED comment).
+    signal. Round-8 rotation (the r7 verdict's ordered queue):
+    changed-semantics/first-row queries first, then rows re-staled by
+    this round's edits (analytics/multimodal/windows), then the
+    written r8 queue (last r3/r4-vintage scale2 rows, corpus_eval r6
+    wave, scale.py stale rows, scale3/multimodal2 backlog head) — the
+    explicit 50-entry _PROMOTED list IS the window; the remaining
+    stale strata (relational2, dedup.py) are queued for r9 (see
+    _DEFERRED comment).
     """
     import skills_vectors_spark.operators.functions_suite  # noqa: F401
     import skills_vectors_spark.operators.textstats  # noqa: F401
@@ -166,6 +162,7 @@ def load_all() -> None:
     import skills_vectors_spark.operators.analytics  # noqa: F401
     import skills_vectors_spark.operators.corpus_eval  # noqa: F401
     import skills_vectors_spark.operators.corpusprep  # noqa: F401
+    import skills_vectors_spark.operators.scale_twins  # noqa: F401
 
     # Only the _PROMOTED window (and the _DEFERRED head after it) is
     # order-stable: those names are pinned explicitly, so the

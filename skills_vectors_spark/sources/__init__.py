@@ -167,3 +167,27 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     """Register every corpus table as a temp view for the SQL API."""
     for n in names:
         load(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one corpus table, guaranteeing at least default-parallelism
+    partitions before CPU-heavy per-row work (regex tokenization,
+    n-gram extraction, hashing, binary decode).
+
+    Why: a small corpus tier ships as ONE parquet file with ONE row
+    group, and parquet can't split inside a row group — so every
+    downstream narrow stage runs as a single task and 31 of 32 local
+    cores idle (measured 4x wall on text_ngram_novelty at sf0.1). On a
+    real cluster the same operator reads thousands of splits, the
+    partition count already exceeds the target, and this is a NO-OP —
+    no shuffle is ever added at scale, which is exactly why this lives
+    behind a conditional instead of an unconditional repartition()
+    (an unconditional one would reshuffle the full corpus at 100 TB).
+    Round-robin repartition is only applied where downstream results
+    are partitioning-independent (grouped aggregations / joins whose
+    oracles are order-robust by construction)."""
+    df = load(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df

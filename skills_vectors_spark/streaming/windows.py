@@ -875,6 +875,19 @@ def stream_late_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from skills_vectors_spark.scratch import scratch as _scratch
 
+    # the watermark-mirror cross-check below parses the progress feed's
+    # %Y-%m-%dT%H:%M:%S.%fZ (UTC) into NAIVE datetimes and compares
+    # them against driver-side max(ts) arithmetic, which is correct
+    # only while collected timestamps render in UTC too — assert the
+    # session pin rather than silently drifting under another timezone
+    # (advisor r7)
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"stream_late_metrics requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): the watermark mirror compares naive UTC datetimes"
+        )
+
     stage = _scratch(sf_dir, "stream_late_stage")
     shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage)

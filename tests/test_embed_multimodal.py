@@ -158,6 +158,31 @@ def test_decode_y4m_real_parser():
         decode_y4m(b"YUV4MPEG2 W2 H2 C444\nFRAME")
 
 
+def test_plant_y4m_rejects_non_ascii_text():
+    """The mm_frame_sample oracle frames payloads by CHARACTER offsets
+    (length/substr) while the planter chunks utf-8 BYTES; a non-ASCII
+    document must fail loudly at planting time, not desynchronize the
+    frame count silently (advisor r7). _plant_ppm/_plant_wav stay
+    ascii-agnostic on purpose: their oracles are md5-only, and md5 is
+    computed over the same utf-8 bytes in both engines for any text."""
+    import pytest as pt
+
+    from skills_vectors_spark.operators.multimodal import (
+        _plant_ppm,
+        _plant_wav,
+        _plant_y4m,
+    )
+
+    non_ascii = "café " * 40  # 200 chars, 240 utf-8 bytes
+    with pt.raises(ValueError, match="requires ASCII"):
+        _plant_y4m(non_ascii)
+    # the md5-coupled planters accept any text — byte-identical hashing
+    assert _plant_ppm(non_ascii)[:2] == b"P6"
+    assert _plant_wav(non_ascii)[:4] == b"RIFF"
+    # and ASCII text still plants frames
+    assert _plant_y4m("a" * 64).count(b"FRAME\n") == 1
+
+
 def test_decode_y4m_property_round_trip():
     """Property: any frame list written through a y4m header round
     trips exactly through decode_y4m (builder here is independent of

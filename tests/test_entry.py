@@ -27,67 +27,70 @@ def test_entry_contract(spark):
 def test_sweep_window_prioritizes_least_attested():
     """Bounded front-to-back sweeps read the first 50 registered
     queries; that window must hold the least-attested-on-current-code
-    surface. Round-7 rotation (the r6 verdict's ordered queue): new
-    and changed-semantics r7 queries first, then the six stale rows
-    on edited files, then the promised r3-vintage strata."""
+    surface. Round-8 rotation (the r7 verdict's ordered queue):
+    changed-semantics/first-row queries first, then rows re-staled by
+    this round's edits, then the written r8 queue."""
     from skills_vectors_spark import registry
 
     registry.load_all()
     window = list(registry.QUERIES)[:50]
     for must in [
-        # new in r7 / changed semantics — must attest on current code
-        "stream_late_metrics",
+        # changed semantics / first rows — must attest on current code
+        "agg_gini_distributed",
         "ts_ewma",
-        "agg_moments",
-        "agg_gini",
-        "text_zipf_slope",
         "mix_epochs",
         "text_ngram_novelty",
-        "mm_frame_sample",
-        "eval_ndcg_mrr",
+        "text_tfidf_sim",
+        "text_bm25_search",
+        "search_hybrid_rrf",
+        "quality_perplexity",
+        "quality_entropy",
+        "stream_late_metrics",
+        # re-staled by this round's edits
         "retention_cohorts",
         "seq_transitions",
-        "agg_percentile",
-        "sink_merge_rows",
-        "stream_sink_files",
-        "agg_winsorized_mean",
-        # stale rows on edited files (r6 verdict item 4)
+        "ts_gapfill",
+        "anomaly_mad",
+        "eval_ab_lift",
         "mm_image_features",
         "mm_audio_features",
+        "mm_frame_sample",
         "mm_metadata_stats",
         "mm_arrow_bytes",
-        "embed_mock",
-        "embed_with_status",
-        "embed_provider_switch",
-        # the promised r3-vintage queue
-        "knn_exact",
-        "knn_filtered",
-        "eval_backend_compare",
-        "diag_skew",
-        "sink_json",
-        "sink_partitioned",
-        "sink_orc",
-        "sink_clustered",
-        "join_skew_salted",
-        "fingerprint",
-        "fingerprint_rolling",
-        "text_chunk",
-        "quality_score",
-        "fn_variant",
-        "fn_explode",
-        "fn_bitwise",
-        "fn_map",
-        # scale2's r3 stratum
-        "join_range_binned",
-        "sessionize_batch",
-        "agg_minmax_by",
-        "agg_hll_sketch",
-        "quality_filter_apply",
-        "fn_url",
-        "sink_zorder",
-        "text_pack_tokens",
-        "sink_compact",
-        "join_fuzzy_blocked",
-        "agg_hist",
+        "stream_sink_files",
+        # windows.py stream family
+        "stream_tumbling",
+        "stream_sliding",
+        "stream_session",
+        "stream_stateful",
+        "stream_dedup_late",
+        "stream_enrich",
+        "stream_join_interval",
+        "stream_foreach_batch",
+        "stream_transform_state",
+        "stream_transform_topk",
+        "stream_transform_typecounts",
+        # last r3/r4-vintage scale2 rows
+        "scan_npy",
+        "sink_upsert_partition",
+        "mix_corpus",
+        "split_train_eval",
+        # corpus_eval r6 wave
+        "quality_drift_psi",
+        "text_pmi_bigrams",
+        "stream_drift_psi",
+        # scale.py stale rows
+        "scan_merge_schema",
+        "rollup_hypertable",
+        "sink_bucketed",
+        # scale3/multimodal2 backlog head
+        "scd2_history",
+        "text_normalize",
+        "dedup_normalized",
+        "graph_pagerank",
+        "join_bloom_prefilter",
+        "agg_heavy_hitters",
+        "stream_cms_counters",
+        "scan_binaryfile",
     ]:
         assert must in window, f"{must} fell out of the 50-query sweep window"

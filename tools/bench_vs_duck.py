@@ -95,7 +95,11 @@ DEFAULT_QUERIES = [
     "agg_winsorized_mean",
     # NOT here: stream_sink_files (streaming file sink writing
     # checkpointed output every run — not apples-to-apples vs a
-    # batch SELECT, the stream_cms_counters exclusion class)
+    # batch SELECT, the stream_cms_counters exclusion class).
+    # NOT here: agg_gini_distributed (r8 registration) — it is the
+    # scale-twin of agg_gini (identical output, same oracle), so the
+    # operator seat is already in the basis once; the twin's own
+    # wall-clock row lives in bench.py's extras and SCALING.md.
 ]
 
 TABLES = (
