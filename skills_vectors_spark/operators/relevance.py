@@ -48,14 +48,19 @@ _TF_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("tok", T.StringType()),
         T.StructField("tf", T.LongType()),
+        T.StructField("dl", T.LongType()),
     ]
 )
 
 
 def _term_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, tok, tf) term frequencies from the normalized text —
-    the inverted-index base all scorers share. Persisted per
-    (session, sf_dir): every consumer references it 2-4x in one plan.
+    """(doc_id, tok, tf, dl) term frequencies from the normalized text
+    — the inverted-index base all scorers share, carrying each doc's
+    total length dl alongside (the Counter pass knows it for free, and
+    shipping it as a column deletes the per-doc groupBy + doc_id join
+    BM25 otherwise needs to recover it — one exchange and one join
+    gone from every dl-consuming scorer). Persisted per (session,
+    sf_dir): every consumer references it 2-4x in one plan.
 
     Built as a fused Arrow pass (tokenize + per-doc Counter inside
     mapInPandas) rather than explode+groupBy: a doc's tokens never
@@ -87,6 +92,7 @@ def _term_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ids: list[int] = []
                 toks: list[str] = []
                 tfs: list[int] = []
+                dls: list[int] = []
                 for did, text in zip(pdf["doc_id"], pdf["text"]):
                     if text is None:
                         # D_TOKS (string_split of NULL) unnests to no
@@ -94,14 +100,18 @@ def _term_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         continue
                     # strip(' ') not strip(): Python str.strip() eats
                     # Unicode whitespace that Java/DuckDB trim() keep —
-                    # the \s+ collapse above (re.ASCII) already handled
+                    # the whitespace collapse above already handled
                     # ASCII space, so only leading/trailing ' ' remain.
                     counts = Counter(ws.sub(" ", text.lower()).strip(" ").split(" "))
+                    dl = sum(counts.values())
                     for t, n in counts.items():
                         ids.append(did)
                         toks.append(t)
                         tfs.append(n)
-                yield pd.DataFrame({"doc_id": ids, "tok": toks, "tf": tfs})
+                        dls.append(dl)
+                yield pd.DataFrame(
+                    {"doc_id": ids, "tok": toks, "tf": tfs, "dl": dls}
+                )
 
         return d.select("doc_id", "text").mapInPandas(run, _TF_SCHEMA)
 
@@ -210,12 +220,17 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, score) BM25 scores for the fixed query term set —
     the scorer shared by text_bm25_search (ranked top-N) and
     search_hybrid_rrf (lexical arm). The term filter prunes the
-    inverted index BEFORE any join; document length and avgdl are one
-    grouped agg + one scalar broadcast."""
+    inverted index BEFORE any join; document length rides the index
+    as the dl column (emitted by the same Counter pass that builds
+    tf), so no per-doc groupBy or doc_id join is needed to recover
+    it, and the corpus stats collapse to ONE aggregate over the index
+    (n_docs = distinct docs; avgdl = sum(tf)/n_docs — exact integer
+    arithmetic until the single division, identical to the oracle's
+    avg over per-doc lengths)."""
     tf = _term_freqs(spark, sf_dir)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    stats = tf.agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        (F.sum("tf") / F.count_distinct("doc_id")).alias("avgdl"),
     )
     qtf = tf.filter(F.col("tok").isin(*BM25_TERMS))
     idf = (
@@ -232,7 +247,6 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         qtf.join(F.broadcast(idf), "tok")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats.select("avgdl")))
         .groupBy("doc_id")
         .agg(F.sum(term_score).alias("score"))
@@ -486,18 +500,17 @@ def quality_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency-fraction signals: boilerplate and looping text carries
     low entropy, natural prose carries high, so entropy thresholds are
     a standard training-corpus quality cut. Rides the same persisted
-    `_term_freqs` subtree as the TF-IDF/BM25/perplexity family: a
-    doc's term frequencies never leave the partition that built them,
-    and the per-doc agg after the doc_id join is map-side-combinable.
+    `_term_freqs` subtree as the TF-IDF/BM25/perplexity family, and
+    since the index carries each doc's length dl as a column, the
+    per-token probability tf/dl is a plain per-row expression — no
+    per-doc pre-aggregate and no doc_id self-join at all, just ONE
+    map-side-combinable aggregation over the index (the oracle's nd
+    CTE computes the identical sum(tf)-per-doc integers).
     """
     tf = _term_freqs(spark, sf_dir)
-    nd = tf.groupBy("doc_id").agg(
-        F.sum("tf").alias("n"), F.count("*").alias("uniq")
-    )
-    joined = tf.join(nd, "doc_id")
-    p = F.col("tf") / F.col("n")
-    return joined.groupBy("doc_id").agg(
-        F.max("n").cast("long").alias("n_tok"),
-        F.max("uniq").cast("long").alias("n_uniq"),
+    p = F.col("tf") / F.col("dl")
+    return tf.groupBy("doc_id").agg(
+        F.max("dl").cast("long").alias("n_tok"),
+        F.count("*").cast("long").alias("n_uniq"),
         (F.round(F.sum(-p * F.log2(p)) * 1e6) / 1e6).alias("entropy_bits"),
     )
