@@ -87,9 +87,7 @@ def shingle_df(
     dominant cost."""
 
     def build() -> DataFrame:
-        d = sources.load(spark, sf_dir, "documents").repartition(
-            spark.sparkContext.defaultParallelism
-        )
+        d = sources.load_spread(spark, sf_dir, "documents")
         sh = d.select(
             "doc_id", F.explode(F.array_distinct(word_shingles("text", n))).alias("s")
         )
@@ -239,9 +237,7 @@ def shingle_sigs(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     int64 never overflows."""
     import pandas as pd
 
-    d = sources.load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = sources.load_spread(spark, sf_dir, "documents")
     toks = F.split(normalize_text("text"), " ")
     # hash tokens JVM-side: the transform runs in codegen, and the
     # Arrow batch then carries int64s, not strings. Cross-engine
@@ -387,9 +383,7 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     an overlap unit test vs the exact tier)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = sources.load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = sources.load_spread(spark, sf_dir, "documents")
     docs = d.select("doc_id", F.array_distinct(word_shingles("text", 3)).alias("shingles"))
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
     feat = tf.transform(docs).filter(F.expr("size(shingles) > 0"))
@@ -419,9 +413,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side; chunk blocking makes candidate generation subquadratic."""
     import pandas as pd
 
-    d = sources.load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = sources.load_spread(spark, sf_dir, "documents")
     # token -> 64-bit hash stays JVM-side; the 64 per-bit votes and
     # signature assembly are one numpy unpackbits + column-sum per
     # Arrow batch (same zero-shuffle shape as minhash_signatures —
@@ -777,14 +769,24 @@ COSINE_DUP_THRESHOLD = 0.4
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact all-pairs formulation
     (the oracle tier; ann_lsh in operators/ann.py is the bucketed
-    scale tier). Self-join upper triangle + codegen dot product over
-    PRE-normalized vectors: each row pays its norm once in the scan
-    projection instead of per pair, so the O(n^2) join evaluates one
-    64-element fold per pair instead of three (~3x on the all-pairs
-    regime, identical results to within 1 ulp)."""
+    scale tier and dedup_embed_cosine_blas the GEMM-vectorized exact
+    tier). Self-join upper triangle + a JVM higher-order dot product
+    over PRE-normalized vectors: each row pays its norm once in the
+    scan projection instead of per pair, so the O(n^2) join evaluates
+    one 64-element fold per pair instead of three (~3x on the
+    all-pairs regime, identical results to within 1 ulp). Note the
+    fold is an INTERPRETED expression (ArrayAggregate is
+    CodegenFallback), which is why the BLAS twin exists for bulk
+    workloads — this form's value is being oracle-identical."""
     from skills_vectors_spark.functions.vector import l2_norm
 
-    e = sources.load(spark, sf_dir, "embeddings")
+    # load_spread matters doubly here: the theta-join plans as a
+    # BroadcastNestedLoopJoin, and a one-row-group scan would leave
+    # the STREAMED side a single partition — the entire O(n^2) pair
+    # evaluation on one task (measured: 45+ min at the 10x tier on
+    # one core vs minutes across 32). At cluster scale the scan is
+    # already multi-split and this adds nothing.
+    e = sources.load_spread(spark, sf_dir, "embeddings")
 
     def unit(id_alias: str, vec_alias: str) -> DataFrame:
         return e.select(
@@ -1150,9 +1152,7 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles of fixed-width keys, linear in corpus size, no pairwise
     comparison anywhere (the window join plays the inverted-index
     role: only identical spans ever meet)."""
-    d = sources.load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = sources.load_spread(spark, sf_dir, "documents")
     t = d.select("doc_id", tokens_col("text").alias("toks")).withColumn(
         "n", F.size("toks")
     )

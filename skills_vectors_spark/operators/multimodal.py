@@ -115,9 +115,7 @@ def ppm_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     The generic media_table keeps serving the frame/audio/metadata
     queries; the image decode path reads these genuine image bytes."""
     d = sources.load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
-    spread = d.select("doc_id", "text").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    spread = sources.spread(spark, d.select("doc_id", "text"))
 
     def plant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -327,9 +325,7 @@ def y4m_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_plant_y4m) — the video mirror of ppm_media_table and
     wav_media_table."""
     d = sources.load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
-    spread = d.select("doc_id", "text").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    spread = sources.spread(spark, d.select("doc_id", "text"))
 
     def plant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -504,9 +500,7 @@ def wav_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     are real RIFF/WAVE PCM files planted from the documents table
     (_plant_wav) — the audio mirror of ppm_media_table."""
     d = sources.load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
-    spread = d.select("doc_id", "text").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    spread = sources.spread(spark, d.select("doc_id", "text"))
 
     def plant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

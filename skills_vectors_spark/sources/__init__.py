@@ -186,7 +186,15 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Round-robin repartition is only applied where downstream results
     are partitioning-independent (grouped aggregations / joins whose
     oracles are order-robust by construction)."""
-    df = load(spark, sf_dir, name)
+    return spread(spark, load(spark, sf_dir, name))
+
+
+def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Conditionally repartition an arbitrary frame to default
+    parallelism — the load_spread policy for frames that already had
+    a projection applied. No-op whenever the plan already carries
+    enough partitions (multi-split cluster reads, post-shuffle
+    frames), so no shuffle is added at scale."""
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
