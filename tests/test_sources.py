@@ -51,3 +51,28 @@ def test_events_nanos_fallback_truncates_and_restores_conf(spark, nanos_dir):
     assert rows[1].microsecond == 123456
     assert rows[2].microsecond == 987654
     assert spark.conf.get(CONF, "false") == "false", "conf must be restored"
+
+
+def test_load_spread_parallelizes_single_partition_scan(spark, sf_dir):
+    """A one-row-group parquet file scans as a single partition; the
+    spread policy must raise it to default parallelism so CPU-heavy
+    narrow stages don't run on one core (measured 4x-32x at sf0.1/10x
+    on ngram extraction and the all-pairs cosine NLJ)."""
+    plain = sources.load(spark, sf_dir, "documents")
+    spreaded = sources.load_spread(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    if plain.rdd.getNumPartitions() < target:
+        assert spreaded.rdd.getNumPartitions() == target
+    # row identity preserved
+    assert spreaded.count() == plain.count()
+
+
+def test_spread_is_a_noop_when_already_parallel(spark, sf_dir):
+    """The cluster-safety contract: a frame that already carries
+    enough partitions must come back UNCHANGED — no shuffle is ever
+    added at scale (a repartition node would show in the plan)."""
+    target = spark.sparkContext.defaultParallelism
+    wide = sources.load(spark, sf_dir, "documents").repartition(target + 7)
+    out = sources.spread(spark, wide)
+    assert out.rdd.getNumPartitions() == target + 7
+    assert "RoundRobinPartitioning(" + str(target) not in out._jdf.queryExecution().optimizedPlan().toString()
