@@ -96,9 +96,23 @@ def test_composite_text_queries_persist_shared_subtrees(spark, sf_dir):
 
     # live plans (excluding the one-time cache build) must stay small:
     # round-1 recomputed the weight subtree per reference (47 printed
-    # Exchanges for tfidf)
+    # Exchanges for tfidf); r8's dl-on-the-index change took bm25 from
+    # 11 live exchanges to 9 (dl groupBy + doc_id join deleted)
     assert PlanFacts.of(text_tfidf_sim(spark, sf_dir)).n_exchanges_live <= 10
-    assert PlanFacts.of(text_bm25_search(spark, sf_dir)).n_exchanges_live <= 12
+    assert PlanFacts.of(text_bm25_search(spark, sf_dir)).n_exchanges_live <= 9
+
+
+def test_quality_entropy_is_one_aggregation_no_self_join(spark, sf_dir):
+    from skills_vectors_spark.operators.relevance import quality_entropy
+    from skills_vectors_spark.plans import physical_plan
+
+    # r8: the index carries dl, so per-token probability tf/dl is a
+    # row-local expression — the plan must contain NO join (the old
+    # form self-joined tf with a per-doc nd aggregate) and exactly one
+    # live exchange (the doc_id grouping)
+    plan = physical_plan(quality_entropy(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert PlanFacts.of(quality_entropy(spark, sf_dir)).n_exchanges_live <= 1
 
 
 def test_dedup_url_canonicalization_stays_in_codegen(spark, sf_dir):
