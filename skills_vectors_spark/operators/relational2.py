@@ -410,9 +410,15 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     benched in isolation). Two scans is the floor for exact quantiles
     without per-value hashmap memory (plus one scan per engaged
     refinement level). Driver state: occupied-bucket counts only.
-    At 100 TB: two codegen scans, two tiny shuffles."""
+    At 100 TB: two codegen scans, two tiny shuffles.
+
+    load_spread, not plain load: the histogram pass evaluates a
+    log+floor bucket expression per row, and the local one-row-group
+    scan would run that whole pass as a single task (the round-8
+    agg_moments finding applies to every scan in this family); on a
+    multi-split cluster read the spread is a no-op."""
     li = (
-        sources.load(spark, sf_dir, "lineitem")
+        sources.load_spread(spark, sf_dir, "lineitem")
         .select(F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v"))
         .filter(F.col("v").isNotNull())
     )
@@ -1168,98 +1174,173 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shift for the moment sums: skewness/kurtosis are translation
 # invariant, so centering near the data's magnitude (l_extendedprice
 # ~ 1e3..1e5) before raising to the 4th power keeps the power sums
-# small and the cross-engine cancellation benign
+# small and (in integer cents) exactly representable
 MOMENTS_SHIFT = 40000.0
+MOMENTS_SHIFT_CENTS = 4_000_000  # MOMENTS_SHIFT on the exact cent grid
+# 2^52: split radix for exact wide-integer -> double assembly. q = s
+# div 2^52 and r = s mod 2^52 each fit an int64, CAST(int AS DOUBLE)
+# is correctly rounded in both engines, and multiplying by a POWER OF
+# TWO only shifts the exponent (no mantissa rounding) — so
+# q*2^52.0 + r re-assembles the SAME double bit-for-bit on both
+# sides. Valid while q fits an int64, i.e. |s| < 2^115 ~ 4e34: ~1e9
+# rows per group at lineitem magnitudes; past that the split gains a
+# second level, it does not change shape.
+_MOMENTS_P52 = 4503599627370496
+
+
+def _dec_double_sql(col: str, div: str) -> str:
+    """Exact wide-integer -> double SQL fragment (see _MOMENTS_P52).
+    `div` is the engine's integer-division spelling — 'DIV' for Spark
+    SQL over DECIMAL(38,0), '//' for DuckDB over HUGEINT; everything
+    else is identical text, and the produced double is bit-identical
+    across engines, which is what makes the downstream moment
+    arithmetic engine- and order-independent."""
+    p = _MOMENTS_P52
+    return (
+        f"(CASE WHEN {col} < 0 THEN -1.0 ELSE 1.0 END) * "
+        f"(CAST(CAST(abs({col}) {div} {p} AS BIGINT) AS DOUBLE) * {p}.0 "
+        f"+ CAST(CAST(abs({col}) % {p} AS BIGINT) AS DOUBLE))"
+    )
+
+
+# final-step expressions shared VERBATIM by the Spark selectExpr and
+# the DuckDB oracle: the m1..m4 inputs are bit-identical doubles, so
+# running the same literal arithmetic yields bit-identical outputs
+# (modulo power(), which both engines round within 1 ulp of exact on
+# O(1)-magnitude operands — harmless against the 1e-6 rounding)
+_MOMENTS_FINAL_EXPRS = (
+    "l_returnflag",
+    "n",
+    f"round((m1 / 100.0 + {MOMENTS_SHIFT!r}) * 1e6) / 1e6 AS mean",
+    "round((m2 - m1 * m1) / 1e4 * 1e6) / 1e6 AS variance",
+    "round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)"
+    " / power(m2 - m1 * m1, 1.5) * 1e6) / 1e6 AS skewness",
+    "round(((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2"
+    " - 3 * m1 * m1 * m1 * m1)"
+    " / power(m2 - m1 * m1, 2.0) - 3) * 1e6) / 1e6 AS kurtosis",
+)
 
 
 @register(
     "agg_moments",
     f"""
-    WITH u AS (
-      SELECT l_returnflag, l_extendedprice - {MOMENTS_SHIFT!r} AS u
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               - {MOMENTS_SHIFT_CENTS} AS u
       FROM lineitem
+    ), p AS (
+      SELECT l_returnflag, u, u * u AS u2,
+             CAST(u * u AS HUGEINT) * u AS u3,
+             CAST(u * u AS HUGEINT) * CAST(u * u AS HUGEINT) AS u4
+      FROM c
     ), s AS (
       SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-             avg(u) AS m1, avg(u * u) AS m2,
-             avg(u * u * u) AS m3, avg(u * u * u * u) AS m4
-      FROM u GROUP BY l_returnflag
+             CAST(sum(u) AS BIGINT) AS s1,
+             sum(CAST(u2 AS HUGEINT)) AS s2,
+             sum(u3) AS s3, sum(u4) AS s4
+      FROM p GROUP BY l_returnflag
+    ), m AS (
+      SELECT l_returnflag, n,
+             CAST(s1 AS DOUBLE) / n AS m1,
+             {_dec_double_sql("s2", "//")} / n AS m2,
+             {_dec_double_sql("s3", "//")} / n AS m3,
+             {_dec_double_sql("s4", "//")} / n AS m4
+      FROM s
     )
-    SELECT l_returnflag, n,
-           round((m1 + {MOMENTS_SHIFT!r}) * 1e6) / 1e6 AS mean,
-           round((m2 - m1 * m1) * 1e6) / 1e6 AS variance,
-           round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
-                 / power(m2 - m1 * m1, 1.5) * 1e6) / 1e6 AS skewness,
-           round(((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2
-                   - 3 * m1 * m1 * m1 * m1)
-                  / power(m2 - m1 * m1, 2.0) - 3) * 1e6) / 1e6
-             AS kurtosis
-    FROM s
+    SELECT {", ".join(_MOMENTS_FINAL_EXPRS)}
+    FROM m
     """,
 )
 def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group distribution moments — mean, population variance,
-    skewness, excess kurtosis — from ONE pass of power sums (the
-    engines' built-in skewness/kurtosis disagree on sample-vs-
-    population normalization, so both sides compute the textbook
-    population formulas from identical literal arithmetic). Values
-    are shifted by a literal before the 4th-power sums: the moments
-    above the mean are translation-invariant and the shift keeps the
-    cancellation in m2 - m1^2 etc. benign in IEEE doubles.
+    skewness, excess kurtosis — from ONE pass of EXACT integer power
+    sums. Prices live on the cent grid (verified: the corpus is
+    2-decimal to within double representation error), so each row
+    contributes u and u^2 exactly in int64 and u^3, u^4 exactly in
+    DECIMAL(38,0) (HUGEINT on the oracle side); the grouped sums are
+    exact integers, which makes the aggregation ORDER-INDEPENDENT —
+    any partitioning, any partial-merge order, any engine produces
+    the same sums. That is the property the earlier double-avg
+    formulation lacked: at ~1e9 variance magnitude every reordering
+    of the FP sum moved the 6th decimal, so cross-engine agreement
+    (and determinism on a real multi-executor cluster) held only
+    while both sides happened to add in the same sequential order.
+    The exact sums become doubles through the 2^52 split
+    (_dec_double_sql — bit-identical on both engines), then the
+    textbook population-moment formulas run as the SAME literal SQL
+    text on both sides (_MOMENTS_FINAL_EXPRS; the engines' built-in
+    skewness/kurtosis disagree on sample-vs-population
+    normalization, so the formulas are spelled out).
 
-    Scale shape: one map-side-combinable aggregation (4 avgs + count
-    per group — constant mergeable state), |groups| result rows; no
-    second pass, no shuffle beyond the group exchange."""
-    u = sources.load(spark, sf_dir, "lineitem").select(
-        "l_returnflag", (F.col("l_extendedprice") - MOMENTS_SHIFT).alias("u")
+    Scale shape: one map-side-combinable aggregation (count + 4
+    integer sums per group — constant mergeable state), |groups|
+    result rows; no second pass, no shuffle beyond the group
+    exchange. load_spread (round-8 register finding: 12.5x at the
+    10x tier was row-group starvation, NOT a floor) parallelizes the
+    multiply-heavy partials across local cores and is a no-op on a
+    multi-split cluster read — a spread the exact sums make SAFE:
+    with order-dependent double sums, re-partitioning would perturb
+    the result."""
+    c = sources.load_spread(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            - F.lit(MOMENTS_SHIFT_CENTS)
+        ).alias("u"),
     )
-    s = u.groupBy("l_returnflag").agg(
+    u = F.col("u")
+    u2 = u * u  # |u| <= ~6.5e6 -> u^2 <= ~4.3e13: exact in int64
+    p = c.select(
+        "l_returnflag",
+        u,
+        u2.alias("u2"),
+        (u2.cast("decimal(38,0)") * u).alias("u3"),
+        (u2.cast("decimal(38,0)") * u2.cast("decimal(38,0)")).alias("u4"),
+    )
+    s = p.groupBy("l_returnflag").agg(
         F.count("*").cast("long").alias("n"),
-        F.avg("u").alias("m1"),
-        F.avg(F.col("u") * F.col("u")).alias("m2"),
-        F.avg(F.col("u") * F.col("u") * F.col("u")).alias("m3"),
-        F.avg(F.col("u") * F.col("u") * F.col("u") * F.col("u")).alias("m4"),
+        F.sum("u").cast("long").alias("s1"),
+        F.sum(F.col("u2").cast("decimal(38,0)")).alias("s2"),
+        F.sum("u3").alias("s3"),
+        F.sum("u4").alias("s4"),
     )
-    m1, m2, m3, m4 = F.col("m1"), F.col("m2"), F.col("m3"), F.col("m4")
-    var = m2 - m1 * m1
-    return s.select(
+    m = s.selectExpr(
         "l_returnflag",
         "n",
-        (F.round((m1 + F.lit(MOMENTS_SHIFT)) * 1e6) / 1e6).alias("mean"),
-        (F.round(var * 1e6) / 1e6).alias("variance"),
-        (
-            F.round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5) * 1e6)
-            / 1e6
-        ).alias("skewness"),
-        (
-            F.round(
-                (
-                    (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1)
-                    / F.pow(var, 2.0)
-                    - 3
-                )
-                * 1e6
-            )
-            / 1e6
-        ).alias("kurtosis"),
+        "CAST(s1 AS DOUBLE) / n AS m1",
+        f"{_dec_double_sql('s2', 'DIV')} / n AS m2",
+        f"{_dec_double_sql('s3', 'DIV')} / n AS m3",
+        f"{_dec_double_sql('s4', 'DIV')} / n AS m4",
     )
+    return m.selectExpr(*_MOMENTS_FINAL_EXPRS)
 
 
-@register(
-    "agg_gini",
-    """
+# ONE oracle literal shared by the headline agg_gini and its
+# registered 100 TB twin agg_gini_distributed (operators/
+# scale_twins.py imports it): the twin's correctness contract is
+# "same oracle", so the SQL must not be able to desynchronize
+# (advisor r8). The isNotNull pin mirrors the explicit filter both
+# Spark forms apply — DuckDB's row_number orders NULLS LAST while
+# Spark ranks NULLs FIRST, so an unpinned NULL o_totalprice would
+# shift every rank in the group (advisor r8; current corpora carry
+# none — the pin makes the agreement a contract, not an accident).
+GINI_ORACLE = """
     WITH r AS (
       SELECT o_orderpriority, o_totalprice,
              row_number() OVER (PARTITION BY o_orderpriority
                                 ORDER BY o_totalprice, o_orderkey) AS rk
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     )
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
            round((2.0 * sum(rk * o_totalprice)
                   - (count(*) + 1) * sum(o_totalprice))
                  / (count(*) * sum(o_totalprice)) * 1e6) / 1e6 AS gini
     FROM r GROUP BY o_orderpriority
-    """,
-)
+"""
+
+
+@register("agg_gini", GINI_ORACLE)
 def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group Gini coefficient of the value distribution (the
     inequality measure a corpus planner runs over per-source token
@@ -1282,6 +1363,10 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = (
         sources.load(spark, sf_dir, "orders")
         .select("o_orderpriority", "o_totalprice", "o_orderkey")
+        # explicit NULL pin (advisor r8): Spark ranks NULLs first,
+        # DuckDB's row_number orders them last — exclude them on both
+        # sides (oracle WHERE) so the ranks can never diverge
+        .filter(F.col("o_totalprice").isNotNull())
         .withColumn("rk", F.row_number().over(w))
     )
     return r.groupBy("o_orderpriority").agg(
@@ -1315,11 +1400,15 @@ def agg_gini_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     well-spread (group, bucket) key. Identical output to agg_gini
     (equality-tested); benched in bench.py _extras as the swap-in at
     scales where the 5-partition window binds."""
-    rows = sources.load(spark, sf_dir, "orders").select(
-        "o_orderpriority",
-        F.col("o_totalprice").alias("v"),
-        "o_orderkey",
-        _pctl_bucket_expr().alias("b"),
+    rows = (
+        sources.load(spark, sf_dir, "orders")
+        .select("o_orderpriority", F.col("o_totalprice").alias("v"), "o_orderkey")
+        # same NULL pin as the headline (advisor r8): without it a
+        # NULL totalprice would fall through the bucket expression's
+        # otherwise(0) into bucket 0 and shift every rank vs the
+        # oracle's NULLS-LAST row_number
+        .filter(F.col("v").isNotNull())
+        .withColumn("b", _pctl_bucket_expr())
     )
     per_gb = rows.groupBy("o_orderpriority", "b").agg(F.count("*").alias("cnt"))
     off_w = (
@@ -1388,8 +1477,10 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 — the residual is three bounded job launches, while the
     full-column exchange is gone). The bounds come back as per-group
     LITERALS in a codegen CASE (no join at all); the final avg is
-    map-side-combinable. The fact never shuffles."""
-    li = sources.load(spark, sf_dir, "lineitem").select(
+    map-side-combinable. The fact never key-shuffles (the conditional
+    load_spread round-robin is local-tier-only and a no-op on a
+    multi-split cluster read — see exact_group_quantiles)."""
+    li = sources.load_spread(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
     bounds = exact_group_quantiles(

@@ -130,11 +130,12 @@ def dedup_embed_cosine_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out_s.append(np.round(S[r, c] * 1e6) / 1e6)
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_s})
 
-    emb = sources.load(spark, sf_dir, "embeddings")
-    spread = emb.select("vec_id", "embedding").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    return spread.mapInPandas(run, _PAIR_SCHEMA)
+    # conditional spread, not an unconditional repartition: locally
+    # the one-row-group scan would feed the GEMM a single task; on a
+    # multi-split cluster read this adds no shuffle (the unconditional
+    # form would reshuffle the full corpus at 100 TB)
+    emb = sources.load_spread(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "embedding").mapInPandas(run, _PAIR_SCHEMA)
 
 
 _TOPK_SCHEMA = T.StructType(
@@ -199,11 +200,10 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.concat(frames, ignore_index=True)
 
-    emb = sources.load(spark, sf_dir, "embeddings")
-    spread = emb.select("vec_id", "embedding").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    return spread.mapInPandas(run, _TOPK_SCHEMA)
+    # conditional spread (see dedup_embed_cosine_blas): parallelize
+    # the GEMM locally, no-op on a multi-split cluster read
+    emb = sources.load_spread(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "embedding").mapInPandas(run, _TOPK_SCHEMA)
 
 
 PCA_DIM = 16  # target dimensionality (from 64)
@@ -246,9 +246,9 @@ def project_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition. The registered ``embed_project_pca`` query projects
     this to hashable scalars for the driver compare.
     """
-    emb = sources.load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # conditional spread (see dedup_embed_cosine_blas): parallelize
+    # the projection GEMM locally, no-op on a multi-split cluster read
+    emb = sources.load_spread(spark, sf_dir, "embeddings")
     mu, basis = pca_basis(spark, sf_dir, emb)
 
     def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

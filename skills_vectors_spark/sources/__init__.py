@@ -8,6 +8,9 @@ live as an `array<float>` column keyed by `vec_id` (never positional).
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -169,6 +172,81 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
         load(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
+# Per-(application, table path) memo of the spread decision: the
+# probe runs once per table per session, not once per operator call
+# (advisor r8: the old df.rdd probe compiled a physical plan — and
+# listed the table's files — on every invocation).
+_SPREAD_DECISION: dict[tuple[str, str], bool] = {}
+
+
+def _parse_bytes(s: str, default: int) -> int:
+    """Spark byte-size conf string -> int ('134217728b', '128m',
+    '1g' ...). Falls back to `default` on anything unparseable."""
+    v = s.strip().lower()
+    mult = 1
+    for suf, m in (("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10)):
+        if v.endswith(suf + "b"):
+            v, mult = v[: -(len(suf) + 1)], m
+            break
+        if v.endswith(suf):
+            v, mult = v[: -len(suf)], m
+            break
+    else:
+        if v.endswith("b"):
+            v = v[:-1]
+    try:
+        return int(v) * mult
+    except ValueError:
+        return default
+
+
+def _local_scan_splits(spark: SparkSession, path: str) -> int | None:
+    """Estimated scan-split count for a LOCAL parquet table path —
+    computed from filesystem file sizes with Spark's own
+    FilePartition packing math (maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, bytesPerCore))), WITHOUT compiling a physical
+    plan or listing files through the DataFrame API.
+
+    Returns None when the path is not on the local filesystem (an
+    object-store / DFS URI on a real cluster): there the probe itself
+    is the cost we refuse to pay — listing a 100 TB table a second
+    time just to decide what would be a no-op anyway (a cluster read
+    of any table big enough to matter is multi-split by construction).
+
+    Known estimate limit, stated: parquet cannot split inside a row
+    group, so a pathological writer that packs one giant row group
+    into a >maxPartitionBytes file yields fewer EFFECTIVE partitions
+    than this byte math predicts. The corpus tiers here are
+    one-file-one-row-group SMALL files, where the estimate and the
+    physical plan agree."""
+    if "://" in path and not path.startswith("file://"):
+        return None
+    p = path[len("file://") :] if path.startswith("file://") else path
+    if os.path.isfile(p):
+        sizes = [os.path.getsize(p)]
+    elif os.path.isdir(p):
+        sizes = [
+            e.stat().st_size
+            for e in os.scandir(p)
+            if e.is_file() and not e.name.startswith(("_", "."))
+        ]
+    else:
+        return None
+    total = sum(sizes)
+    if total == 0:
+        return 1
+    max_part = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"), 128 << 20
+    )
+    open_cost = _parse_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304b"), 4 << 20
+    )
+    parallelism = max(1, spark.sparkContext.defaultParallelism)
+    bytes_per_core = (total + open_cost * len(sizes)) // parallelism
+    max_split = max(1, min(max_part, max(open_cost, bytes_per_core)))
+    return max(1, sum(math.ceil(sz / max_split) for sz in sizes if sz))
+
+
 def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one corpus table, guaranteeing at least default-parallelism
     partitions before CPU-heavy per-row work (regex tokenization,
@@ -185,8 +263,24 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (an unconditional one would reshuffle the full corpus at 100 TB).
     Round-robin repartition is only applied where downstream results
     are partitioning-independent (grouped aggregations / joins whose
-    oracles are order-robust by construction)."""
-    return spread(spark, load(spark, sf_dir, name))
+    oracles are order-robust by construction).
+
+    The probe is a driver-local stat of the table's file sizes fed
+    through Spark's split-packing math (see _local_scan_splits),
+    memoized per (application, path): non-local paths are never
+    probed (no plan compile, no second file listing at cluster
+    scale), and repeated load_spread calls reuse the decision."""
+    df = load(spark, sf_dir, name)
+    path = f"{sf_dir}/{name}.parquet"
+    key = (spark.sparkContext.applicationId, path)
+    dec = _SPREAD_DECISION.get(key)
+    if dec is None:
+        target = spark.sparkContext.defaultParallelism
+        est = _local_scan_splits(spark, path)
+        dec = _SPREAD_DECISION[key] = est is not None and est < target
+    if dec:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -194,7 +288,16 @@ def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     parallelism — the load_spread policy for frames that already had
     a projection applied. No-op whenever the plan already carries
     enough partitions (multi-split cluster reads, post-shuffle
-    frames), so no shuffle is added at scale."""
+    frames), so no shuffle is added at scale.
+
+    On a non-local master this returns the frame UNTOUCHED without
+    probing at all: a cluster read big enough to matter is multi-split
+    by construction, and the probe itself (a physical-plan compile
+    that lists the table's files) is the at-scale cost the round-8
+    advisor flagged. Under local[*] the compile is milliseconds and
+    runs against files already in the OS page cache."""
+    if not spark.sparkContext.master.startswith("local"):
+        return df
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
