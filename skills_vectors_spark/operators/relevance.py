@@ -430,17 +430,26 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject below the window: per-partition top-C, then
     a C*nPart-row merge, so no arm ever moves the full corpus through
     a single-partition sort. The residual Window then ranks <=C rows.
-    The fusion is a full outer join of two <=C-row rank lists —
-    trivially small at any corpus size (asserted in tests/test_plans)."""
+    The fusion is a UNION of the two <=C-row rank lists followed by a
+    sum per doc — trivially small at any corpus size (asserted in
+    tests/test_plans). Union+sum, not a full outer join: a doc's
+    fused score is the sum of its (at most two) arm contributions,
+    and IEEE addition of <=2 addends is order-insensitive, so the
+    result is bit-identical to the join-coalesce form while the
+    plan drops the join exchange entirely (one 2C-row hash agg
+    remains). The dense arm reads the corpus through load_spread:
+    the per-row interpreted HOF cosine is exactly the CPU-bound
+    single-task shape the one-row-group local scan starves (round-8
+    finding); at cluster scale the spread is a no-op."""
     from skills_vectors_spark.functions.vector import cosine_sim
 
     lex = bm25_scores(spark, sf_dir)
     w_lex = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    lex_r = lex.select("doc_id", F.row_number().over(w_lex).alias("r_lex")).filter(
-        F.col("r_lex") <= HYBRID_ARM_C
+    lex_r = lex.select("doc_id", F.row_number().over(w_lex).alias("r")).filter(
+        F.col("r") <= HYBRID_ARM_C
     )
 
-    emb = sources.load(spark, sf_dir, "embeddings")
+    emb = sources.load_spread(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC).select(
         F.col("embedding").alias("q_emb")
     )
@@ -451,19 +460,16 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("doc_id"),
             cosine_sim("embedding", "q_emb").alias("cs"),
         )
-        .select("doc_id", F.row_number().over(w_dense).alias("r_dense"))
-        .filter(F.col("r_dense") <= HYBRID_ARM_C)
+        .select("doc_id", F.row_number().over(w_dense).alias("r"))
+        .filter(F.col("r") <= HYBRID_ARM_C)
     )
 
+    arm_f = (1.0 / (F.lit(RRF_K) + F.col("r"))).alias("f")
     fused = (
-        lex_r.join(dense_r, "doc_id", "full")
-        .select(
-            "doc_id",
-            (
-                F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0))
-                + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_dense")), F.lit(0.0))
-            ).alias("f"),
-        )
+        lex_r.select("doc_id", arm_f)
+        .unionByName(dense_r.select("doc_id", arm_f))
+        .groupBy("doc_id")
+        .agg(F.sum("f").alias("f"))
     )
     w_f = Window.orderBy(F.col("f").desc(), F.col("doc_id"))
     return (

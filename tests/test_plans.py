@@ -176,8 +176,13 @@ def test_r7_wave_plan_shapes(spark, sf_dir):
     from skills_vectors_spark.plans import PlanFacts, physical_plan
 
     assert PlanFacts.of(mix_epochs(spark, sf_dir)).n_exchanges_live == 0
-    for fn in (ts_ewma, agg_moments, agg_gini):
+    for fn in (ts_ewma, agg_gini):
         assert PlanFacts.of(fn(spark, sf_dir)).n_exchanges_live == 1, fn.__name__
+    # agg_moments: group exchange + the conditional load_spread
+    # round-robin (engages on the one-file local tier, no-op on a
+    # multi-split cluster read — r9: the exact integer sums make the
+    # spread order-safe)
+    assert PlanFacts.of(agg_moments(spark, sf_dir)).n_exchanges_live == 2
     nov = text_ngram_novelty(spark, sf_dir)
     p = physical_plan(nov)
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
