@@ -34,96 +34,91 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Round-8 window (the r7 verdict's ordered rotation):
-# (a) queries whose semantics or plan changed this round —
-# agg_gini_distributed (first registration, the attested 100 TB
-# twin), ts_ewma (null semantics pinned on both sides), mix_epochs
-# (explicit floor() threshold parity), text_ngram_novelty (in-array
-# hashing + load_spread parallel extraction), the relevance.py family
-# (load_spread + explicit-whitespace-class tokenization),
-# stream_late_metrics (UTC session assert);
-# (b) rows re-staled by this round's file edits: analytics.py
-# (retention_cohorts/seq_transitions + the r8-queue
-# gapfill/anomaly/ab), multimodal.py (the five mm rows, ASCII-guard
-# edit), windows.py (the whole stream family — also the written r8
-# queue — plus stream_sink_files);
-# (c) the rest of the written r8 queue: the last r3/r4-vintage
-# scale2 rows (scan_npy, sink_upsert_partition, mix_corpus,
-# split_train_eval), corpus_eval's r6 wave, scale.py's stale rows,
-# scd2_history, and the scale3/multimodal2 r6-stale backlog head.
+# Round-9 window (the r8 verdict's ordered rotation): the full
+# stale-attestation set fits exactly — 50 rows, zero spare.
+# (a) first registrations: the four production twins ordered in the
+# r8 verdict (#5), registered via scale_twins.py with gate-column or
+# full-equality oracles binding each sketch to exact cross-engine
+# anchors;
+# (b) rows whose semantics or plan changed this round: agg_moments
+# (exact integer-cent power sums -> order/engine-independent, +
+# load_spread un-starves the 10x 6-row-group scan), agg_gini /
+# agg_gini_distributed (shared oracle literal + NULL pinned out both
+# engines), agg_winsorized_mean / agg_percentile (load_spread on the
+# histogram scan), search_hybrid_rrf (union+sum fusion, dense-arm
+# spread);
+# (c) rows re-staled by this round's file edits: the rest of
+# relevance.py (shared _term_freqs subtree) and vector_blas.py
+# (conditional spread conversion);
+# (d) the written r9 queue: relational2.py's 20 rows staled by its
+# r7 edits and dedup.py's 13 rows staled by its r8
+# conditional-spread edits (j8-attested green, driver record now
+# catches up).
 _PROMOTED = [
-    # (a) changed semantics / first rows — least-attested first
+    # (a) first registrations — least-attested first
+    "approx_percentile_production",
+    "hll_sketch_production",
+    "anomaly_mad_production",
+    "dedup_ngram_jaccard_production",
+    # (b) changed semantics / changed plan this round
+    "agg_moments",
+    "agg_gini",
     "agg_gini_distributed",
-    "ts_ewma",
-    "mix_epochs",
-    "text_ngram_novelty",
+    "agg_winsorized_mean",
+    "agg_percentile",
+    "search_hybrid_rrf",
+    # (c) re-staled by this round's edits
     "text_tfidf_sim",
     "text_bm25_search",
-    "search_hybrid_rrf",
     "quality_perplexity",
     "quality_entropy",
-    "stream_late_metrics",
-    # (b) re-staled by this round's edits
-    "retention_cohorts",
-    "seq_transitions",
-    "ts_gapfill",
-    "anomaly_mad",
-    "eval_ab_lift",
-    "mm_image_features",
-    "mm_audio_features",
-    "mm_frame_sample",
-    "mm_metadata_stats",
-    "mm_arrow_bytes",
-    "stream_sink_files",
-    # (b) windows.py stream family (r8 queue + re-staled by the edit)
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_stateful",
-    "stream_dedup_late",
-    "stream_enrich",
-    "stream_join_interval",
-    "stream_foreach_batch",
-    "stream_transform_state",
-    "stream_transform_topk",
-    "stream_transform_typecounts",
-    # (c) last r3/r4-vintage scale2 rows
-    "scan_npy",
-    "sink_upsert_partition",
-    "mix_corpus",
-    "split_train_eval",
-    # (c) corpus_eval r6 wave (stale on the r7 text_zipf_slope edit)
-    "quality_drift_psi",
-    "text_pmi_bigrams",
-    "stream_drift_psi",
-    # (c) scale.py stale rows (r7 sink_merge_rows edit)
-    "scan_merge_schema",
-    "rollup_hypertable",
-    "sink_bucketed",
-    # (c) scale3/multimodal2 r6-stale backlog head
-    "scd2_history",
-    "text_normalize",
-    "dedup_normalized",
-    "graph_pagerank",
-    "join_bloom_prefilter",
-    "agg_heavy_hitters",
-    "stream_cms_counters",
-    "scan_binaryfile",
+    "dedup_embed_cosine_blas",
+    "sim_topk_bruteforce",
+    "embed_project_pca",
+    # (d) relational2.py stratum (r7-staled, the written r9 queue)
+    "join_asof",
+    "agg_pivot",
+    "agg_unpivot",
+    "agg_approx_percentile",
+    "grouped_zscore",
+    "fn_vector_literal",
+    "join_full_outer",
+    "agg_stats",
+    "win_first_last",
+    "sample_stratified",
+    "win_range_interval",
+    "agg_median_bool",
+    "sql_api_topk_revenue",
+    "sql_api_region_revenue",
+    "seq_funnel",
+    "agg_filtered",
+    "win_islands",
+    "agg_mode",
+    "fn_try_arith",
+    "agg_corr_matrix",
+    # (d) dedup.py stratum (r8-staled, the written r9 queue)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "dedup_near",
+    "dedup_simhash",
+    "eval_dedup_compare",
+    "dedup_clusters",
+    "dedup_embed_cosine",
+    "dedup_apply",
+    "dedup_containment",
+    "dedup_decontaminate",
+    "dedup_incremental",
+    "dedup_substring",
 ]
 
-# r9 rotation queue (did not fit this window): the relational2.py
-# stratum staled by its r7 edits (join_asof, agg_pivot, agg_unpivot,
-# agg_approx_percentile, grouped_zscore, fn_vector_literal,
-# join_full_outer, agg_stats, win_first_last, sample_stratified,
-# win_range_interval, agg_median_bool, sql_api_topk_revenue,
-# sql_api_region_revenue, seq_funnel, agg_filtered, win_islands,
-# agg_mode, fn_try_arith, agg_corr_matrix) and the dedup.py stratum
-# staled by its r6 edits (dedup_exact, dedup_clusters,
-# dedup_embed_cosine, dedup_apply, dedup_containment,
-# dedup_decontaminate, dedup_incremental, dedup_substring,
-# dedup_ngram_jaccard). All were green in the r7 judge sweep /
-# earlier driver rounds on code unchanged since; the rotation
-# reaches them next.
+# r10 rotation queue (did not fit this window): the deferred
+# load_spread conversions — relational.py (29 rows) and textstats.py
+# (11 rows) still scan through plain sources.load; converting them is
+# paired with their rotation slots so the edit stales nothing that is
+# not already being re-attested. Both files' rows are green on code
+# unchanged since their last attestation (relational r4-r6,
+# textstats r4-r7).
 _DEFERRED: list[str] = []
 
 
@@ -134,14 +129,14 @@ def load_all() -> None:
     sweeps (tools/driver_sim.py's first-N window, spot checks, and any
     consumer that samples the registry front-to-back). The head of the
     order is the surface with the least accumulated verification
-    signal. Round-8 rotation (the r7 verdict's ordered queue):
-    changed-semantics/first-row queries first, then rows re-staled by
-    this round's edits (analytics/multimodal/windows), then the
-    written r8 queue (last r3/r4-vintage scale2 rows, corpus_eval r6
-    wave, scale.py stale rows, scale3/multimodal2 backlog head) — the
-    explicit 50-entry _PROMOTED list IS the window; the remaining
-    stale strata (relational2, dedup.py) are queued for r9 (see
-    _DEFERRED comment).
+    signal. Round-9 rotation (the r8 verdict's ordered queue): first
+    registrations (the four production twins) first, then rows whose
+    semantics or plan changed this round, then rows re-staled by this
+    round's edits (relevance/vector_blas), then the written r9 queue
+    (relational2's 20 r7-staled rows, dedup.py's 13 r8-staled rows) —
+    the explicit 50-entry _PROMOTED list IS the window; the deferred
+    load_spread conversions (relational.py, textstats.py) are queued
+    for r10 (see _DEFERRED comment).
     """
     import skills_vectors_spark.operators.functions_suite  # noqa: F401
     import skills_vectors_spark.operators.textstats  # noqa: F401

@@ -27,70 +27,69 @@ def test_entry_contract(spark):
 def test_sweep_window_prioritizes_least_attested():
     """Bounded front-to-back sweeps read the first 50 registered
     queries; that window must hold the least-attested-on-current-code
-    surface. Round-8 rotation (the r7 verdict's ordered queue):
-    changed-semantics/first-row queries first, then rows re-staled by
-    this round's edits, then the written r8 queue."""
+    surface. Round-9 rotation (the r8 verdict's ordered queue): the
+    four first-registration production twins, then rows whose plan or
+    semantics changed this round, then rows re-staled by this round's
+    edits, then the written r9 queue (relational2's 20 + dedup's 13)."""
     from skills_vectors_spark import registry
 
     registry.load_all()
     window = list(registry.QUERIES)[:50]
     for must in [
-        # changed semantics / first rows — must attest on current code
+        # first registrations — must attest on current code
+        "approx_percentile_production",
+        "hll_sketch_production",
+        "anomaly_mad_production",
+        "dedup_ngram_jaccard_production",
+        # changed semantics / changed plan this round
+        "agg_moments",
+        "agg_gini",
         "agg_gini_distributed",
-        "ts_ewma",
-        "mix_epochs",
-        "text_ngram_novelty",
+        "agg_winsorized_mean",
+        "agg_percentile",
+        "search_hybrid_rrf",
+        # re-staled by this round's edits
         "text_tfidf_sim",
         "text_bm25_search",
-        "search_hybrid_rrf",
         "quality_perplexity",
         "quality_entropy",
-        "stream_late_metrics",
-        # re-staled by this round's edits
-        "retention_cohorts",
-        "seq_transitions",
-        "ts_gapfill",
-        "anomaly_mad",
-        "eval_ab_lift",
-        "mm_image_features",
-        "mm_audio_features",
-        "mm_frame_sample",
-        "mm_metadata_stats",
-        "mm_arrow_bytes",
-        "stream_sink_files",
-        # windows.py stream family
-        "stream_tumbling",
-        "stream_sliding",
-        "stream_session",
-        "stream_stateful",
-        "stream_dedup_late",
-        "stream_enrich",
-        "stream_join_interval",
-        "stream_foreach_batch",
-        "stream_transform_state",
-        "stream_transform_topk",
-        "stream_transform_typecounts",
-        # last r3/r4-vintage scale2 rows
-        "scan_npy",
-        "sink_upsert_partition",
-        "mix_corpus",
-        "split_train_eval",
-        # corpus_eval r6 wave
-        "quality_drift_psi",
-        "text_pmi_bigrams",
-        "stream_drift_psi",
-        # scale.py stale rows
-        "scan_merge_schema",
-        "rollup_hypertable",
-        "sink_bucketed",
-        # scale3/multimodal2 backlog head
-        "scd2_history",
-        "text_normalize",
-        "dedup_normalized",
-        "graph_pagerank",
-        "join_bloom_prefilter",
-        "agg_heavy_hitters",
-        "stream_cms_counters",
-        "scan_binaryfile",
+        "dedup_embed_cosine_blas",
+        "sim_topk_bruteforce",
+        "embed_project_pca",
+        # relational2.py stratum (r7-staled, the written r9 queue)
+        "join_asof",
+        "agg_pivot",
+        "agg_unpivot",
+        "agg_approx_percentile",
+        "grouped_zscore",
+        "fn_vector_literal",
+        "join_full_outer",
+        "agg_stats",
+        "win_first_last",
+        "sample_stratified",
+        "win_range_interval",
+        "agg_median_bool",
+        "sql_api_topk_revenue",
+        "sql_api_region_revenue",
+        "seq_funnel",
+        "agg_filtered",
+        "win_islands",
+        "agg_mode",
+        "fn_try_arith",
+        "agg_corr_matrix",
+        # dedup.py stratum (r8-staled, the written r9 queue)
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash",
+        "dedup_near",
+        "dedup_simhash",
+        "eval_dedup_compare",
+        "dedup_clusters",
+        "dedup_embed_cosine",
+        "dedup_apply",
+        "dedup_containment",
+        "dedup_decontaminate",
+        "dedup_incremental",
+        "dedup_substring",
     ]:
         assert must in window, f"{must} fell out of the 50-query sweep window"
