@@ -1221,6 +1221,97 @@ _MOMENTS_FINAL_EXPRS = (
 )
 
 
+def _moments_spark_sql() -> str:
+    """The Spark-side moments query as ONE SQL string (a single py4j
+    parse instead of ~50 driver-side Column constructions, which cost
+    ~0.26 s of plan build per invocation — measured round-9).
+
+    Hot-path representation: u^3 and u^4 never materialize per row —
+    each is carried as base-2^23 LIMBS of its exact value, computed
+    with plain int64 DIV/% arithmetic that whole-stage codegen
+    compiles to primitive longs (the earlier DECIMAL(38,0) per-row
+    multiplies ran on JVM Decimal objects and cost ~2.4x the whole
+    query: 1.24 s vs 0.51 s at the 10x tier, against a 0.35 s scan
+    floor). |u| <= ~7.1e6 < 2^23 (cent grid, shifted), so
+    u2 = |u|^2 <= 2^46 splits as ah*2^23 + al with ah <= 2^23,
+    al < 2^23; every per-row limb is a product of two <=2^24-bounded
+    halves (<= 2^47), re-split once so each SUMMED column stays under
+    2^24 — long-safe to ~5e11 rows PER GROUP (a second split level
+    extends it; same growth path the DECIMAL form documented). Signs
+    ride the limbs: the sign multiplies AFTER the abs-value DIV/%
+    split, so integer truncation toward zero never skews a limb. The
+    exact integer power sums are reassembled from the limb sums in
+    DECIMAL(38,0) on the |groups| output rows only, where they equal
+    the oracle's HUGEINT totals digit-for-digit — the 2^52 double
+    assembly and the final expressions stay shared verbatim with the
+    oracle."""
+    B = 1 << 23  # split radix for per-row limbs (2^52 stays the
+    # radix for the final integer->double assembly, _MOMENTS_P52)
+    # |u3| = au*u2 = (au*ah)*2^23 + au*al ; u4 = u2*u2
+    #      = (ah^2)*2^46 + (2*ah*al)*2^23 + al^2
+    comps = (
+        ("s2", "u2", False),
+        ("s3h", "au * ah", True),
+        ("s3l", "au * al", True),
+        ("s4a", "ah * ah", False),
+        ("s4b", "2 * ah * al", False),
+        ("s4c", "al * al", False),
+    )
+    limb_exprs = ", ".join(
+        f"{'sg * ' if signed else ''}(({c}) % {B}) AS {nm}_lo, "
+        f"{'sg * ' if signed else ''}(({c}) DIV {B}) AS {nm}_hi"
+        for nm, c, signed in comps
+    )
+    limb_sums = ", ".join(
+        f"CAST(sum({nm}_{half}) AS BIGINT) AS {nm}_{half}"
+        for nm, _, _ in comps
+        for half in ("lo", "hi")
+    )
+    return f"""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               - {MOMENTS_SHIFT_CENTS} AS u
+      FROM svs_moments_lineitem
+    ), d AS (
+      SELECT l_returnflag, u, abs(u) AS au,
+             CASE WHEN u < 0 THEN -1 ELSE 1 END AS sg,
+             abs(u) * abs(u) AS u2
+      FROM c
+    ), e AS (
+      SELECT l_returnflag, u, au, sg, u2,
+             u2 DIV {B} AS ah, u2 % {B} AS al
+      FROM d
+    ), f AS (
+      SELECT l_returnflag, u, {limb_exprs} FROM e
+    ), s AS (
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(u) AS BIGINT) AS s1, {limb_sums}
+      FROM f GROUP BY l_returnflag
+    ), dec AS (
+      SELECT l_returnflag, n, s1,
+             CAST(s2_hi AS DECIMAL(38,0)) * {B} + s2_lo AS s2,
+             (CAST(s3h_hi AS DECIMAL(38,0)) * {B} + s3h_lo + s3l_hi)
+               * {B} + s3l_lo AS s3,
+             ((CAST(s4a_hi AS DECIMAL(38,0)) * {B} + s4a_lo + s4b_hi)
+               * {B} + s4b_lo + s4c_hi) * {B} + s4c_lo AS s4
+      FROM s
+    ), m AS (
+      SELECT l_returnflag, n,
+             CAST(s1 AS DOUBLE) / n AS m1,
+             {_dec_double_sql("s2", "DIV")} / n AS m2,
+             {_dec_double_sql("s3", "DIV")} / n AS m3,
+             {_dec_double_sql("s4", "DIV")} / n AS m4
+      FROM dec
+    )
+    SELECT {", ".join(_MOMENTS_FINAL_EXPRS)}
+    FROM m
+    """
+
+
+_MOMENTS_SPARK_SQL = _moments_spark_sql()
+
+
 @register(
     "agg_moments",
     f"""
@@ -1273,47 +1364,38 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewness/kurtosis disagree on sample-vs-population
     normalization, so the formulas are spelled out).
 
-    Scale shape: one map-side-combinable aggregation (count + 4
-    integer sums per group — constant mergeable state), |groups|
-    result rows; no second pass, no shuffle beyond the group
-    exchange. load_spread (round-8 register finding: 12.5x at the
-    10x tier was row-group starvation, NOT a floor) parallelizes the
+    Scale shape: one map-side-combinable aggregation (count + 13
+    long sums per group — constant mergeable state), |groups| result
+    rows; no second pass, no shuffle beyond the group exchange.
+    load_spread (round-8 register finding: 12.5x at the 10x tier was
+    row-group starvation, NOT a floor) parallelizes the
     multiply-heavy partials across local cores and is a no-op on a
     multi-split cluster read — a spread the exact sums make SAFE:
     with order-dependent double sums, re-partitioning would perturb
-    the result."""
-    c = sources.load_spread(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        (
-            F.round(F.col("l_extendedprice") * 100).cast("long")
-            - F.lit(MOMENTS_SHIFT_CENTS)
-        ).alias("u"),
+    the result.
+
+    Hot-path representation (round-9): u^3 and u^4 never materialize
+    per row — each is carried as base-2^23 LIMBS of its exact value,
+    computed with plain int64 arithmetic that whole-stage codegen
+    compiles to primitive longs (the earlier DECIMAL(38,0) per-row
+    multiplies ran on JVM Decimal objects and cost ~2.4x the whole
+    query: 1.24 s vs 0.51 s at the 10x tier, against a 0.35 s scan
+    floor). |u| <= ~7.1e6 < 2^23 (cent grid, shifted), so
+    u2 = |u|^2 <= 2^46 splits as a_hi*2^23 + a_lo with both halves
+    < 2^24; every per-row limb is then a product of <=2^24-bounded
+    halves (<= 2^47), re-split once more so each SUMMED column stays
+    under 2^24 * n — long-safe to n ~ 5e11 rows PER GROUP (a second
+    split level extends it, same as the decimal form's documented
+    growth path). Signs ride the limbs (sign applied AFTER the
+    abs-value split, so integer truncation never skews a limb). The
+    exact integer power sums are reassembled from the limb sums in
+    DECIMAL(38,0) on the |groups| output rows only, where they equal
+    the oracle's HUGEINT totals digit-for-digit — the 2^52 double
+    assembly and the shared final expressions are unchanged."""
+    sources.load_spread(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "svs_moments_lineitem"
     )
-    u = F.col("u")
-    u2 = u * u  # |u| <= ~6.5e6 -> u^2 <= ~4.3e13: exact in int64
-    p = c.select(
-        "l_returnflag",
-        u,
-        u2.alias("u2"),
-        (u2.cast("decimal(38,0)") * u).alias("u3"),
-        (u2.cast("decimal(38,0)") * u2.cast("decimal(38,0)")).alias("u4"),
-    )
-    s = p.groupBy("l_returnflag").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("u").cast("long").alias("s1"),
-        F.sum(F.col("u2").cast("decimal(38,0)")).alias("s2"),
-        F.sum("u3").alias("s3"),
-        F.sum("u4").alias("s4"),
-    )
-    m = s.selectExpr(
-        "l_returnflag",
-        "n",
-        "CAST(s1 AS DOUBLE) / n AS m1",
-        f"{_dec_double_sql('s2', 'DIV')} / n AS m2",
-        f"{_dec_double_sql('s3', 'DIV')} / n AS m3",
-        f"{_dec_double_sql('s4', 'DIV')} / n AS m4",
-    )
-    return m.selectExpr(*_MOMENTS_FINAL_EXPRS)
+    return spark.sql(_MOMENTS_SPARK_SQL)
 
 
 # ONE oracle literal shared by the headline agg_gini and its
