@@ -412,13 +412,17 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     refinement level). Driver state: occupied-bucket counts only.
     At 100 TB: two codegen scans, two tiny shuffles.
 
-    load_spread, not plain load: the histogram pass evaluates a
-    log+floor bucket expression per row, and the local one-row-group
-    scan would run that whole pass as a single task (the round-8
-    agg_moments finding applies to every scan in this family); on a
-    multi-split cluster read the spread is a no-op."""
+    Plain load, NOT load_spread (measured round-9, both tiers): the
+    per-row work here is one log+floor bucket expression — cheap
+    enough that the few-partition local scan beats paying a full
+    round-robin row shuffle to fan it out (sf0.1: 0.53 s plain vs
+    1.46 s spread; 10x: 0.61 vs 0.89). The spread belongs on
+    CPU-HEAVY per-row stages (tokenization, shingling, interpreted
+    vector folds), where compute per partition dwarfs one extra
+    exchange; on a real multi-split cluster read the scan is already
+    parallel and neither form shuffles."""
     li = (
-        sources.load_spread(spark, sf_dir, "lineitem")
+        sources.load(spark, sf_dir, "lineitem")
         .select(F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v"))
         .filter(F.col("v").isNotNull())
     )
@@ -1367,12 +1371,15 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one map-side-combinable aggregation (count + 13
     long sums per group — constant mergeable state), |groups| result
     rows; no second pass, no shuffle beyond the group exchange.
-    load_spread (round-8 register finding: 12.5x at the 10x tier was
-    row-group starvation, NOT a floor) parallelizes the
-    multiply-heavy partials across local cores and is a no-op on a
-    multi-split cluster read — a spread the exact sums make SAFE:
-    with order-dependent double sums, re-partitioning would perturb
-    the result.
+    Plain load, NOT load_spread (measured round-9 A/B, both tiers):
+    the r8 register row blamed the 12.5x 10x-tier ratio on row-group
+    starvation, but the dominant term was the per-row DECIMAL
+    arithmetic — with the limb representation the few-partition scan
+    wins at both tiers (sf0.1: 0.36 s plain vs 0.90 s spread; 10x:
+    0.46 vs 0.58) because a round-robin row shuffle costs more than
+    the residual starvation. The exact integer sums keep ANY
+    partitioning order-safe, so a cluster's multi-split read needs no
+    spread either.
 
     Hot-path representation (round-9): u^3 and u^4 never materialize
     per row — each is carried as base-2^23 LIMBS of its exact value,
@@ -1392,8 +1399,11 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) on the |groups| output rows only, where they equal
     the oracle's HUGEINT totals digit-for-digit — the 2^52 double
     assembly and the shared final expressions are unchanged."""
-    sources.load_spread(spark, sf_dir, "lineitem").createOrReplaceTempView(
-        "svs_moments_lineitem"
+    sources.bind_view(
+        spark,
+        "svs_moments_lineitem",
+        sf_dir,
+        lambda: sources.load(spark, sf_dir, "lineitem"),
     )
     return spark.sql(_MOMENTS_SPARK_SQL)
 
@@ -1559,10 +1569,12 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 — the residual is three bounded job launches, while the
     full-column exchange is gone). The bounds come back as per-group
     LITERALS in a codegen CASE (no join at all); the final avg is
-    map-side-combinable. The fact never key-shuffles (the conditional
-    load_spread round-robin is local-tier-only and a no-op on a
-    multi-split cluster read — see exact_group_quantiles)."""
-    li = sources.load_spread(spark, sf_dir, "lineitem").select(
+    map-side-combinable. The fact never shuffles at all: plain load,
+    not load_spread — clamp+avg per row is too cheap to be worth a
+    round-robin row shuffle at local tiers (see
+    exact_group_quantiles's measured A/B), and a cluster read is
+    already multi-split."""
+    li = sources.load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
     bounds = exact_group_quantiles(
