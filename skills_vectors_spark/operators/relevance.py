@@ -228,26 +228,46 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic until the single division, identical to the oracle's
     avg over per-doc lengths)."""
     tf = _term_freqs(spark, sf_dir)
+    # ONE aggregate over the persisted index yields every corpus
+    # statistic BM25 needs — n_docs, total token mass, and each query
+    # term's document frequency as a conditional count (tf holds one
+    # row per (doc, tok), so rows with tok = t ARE t's df). All exact
+    # integers, so the idf/avgdl doubles derived below are
+    # bit-identical to the oracle's independently-grouped versions.
+    # This replaces the former separate stats agg + per-term groupBy
+    # + idf broadcast join: one exchange and one join fewer on every
+    # bm25-scored plan (text_bm25_search + search_hybrid_rrf's arm).
     stats = tf.agg(
         F.count_distinct("doc_id").alias("n_docs"),
-        (F.sum("tf") / F.count_distinct("doc_id")).alias("avgdl"),
+        F.sum("tf").alias("sumtf"),
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
     )
-    qtf = tf.filter(F.col("tok").isin(*BM25_TERMS))
-    idf = (
-        qtf.groupBy("tok")
-        .agg(F.count("*").alias("df"))
-        .crossJoin(F.broadcast(stats.select("n_docs")))
-        .select(
-            "tok",
-            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+    # per-row idf: a CASE over the broadcast stats row — same
+    # log(1 + (N - df + 0.5)/(df + 0.5)) text as the oracle
+    idf_case = None
+    for i, t in enumerate(BM25_TERMS):
+        e = F.log(
+            1
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
         )
-    )
-    term_score = F.col("idf") * F.col("tf") * (BM25_K1 + 1) / (
-        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        idf_case = (
+            F.when(F.col("tok") == t, e)
+            if idf_case is None
+            else idf_case.when(F.col("tok") == t, e)
+        )
+    avgdl = F.col("sumtf") / F.col("n_docs")
+    term_score = idf_case * F.col("tf") * (BM25_K1 + 1) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
     )
     return (
-        qtf.join(F.broadcast(idf), "tok")
-        .crossJoin(F.broadcast(stats.select("avgdl")))
+        tf.filter(F.col("tok").isin(*BM25_TERMS))
+        .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(term_score).alias("score"))
     )
