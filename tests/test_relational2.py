@@ -435,6 +435,76 @@ def test_agg_corr_matrix_matches_numpy(spark, sf_dir):
             assert abs(corr - expect) < 2e-6, (flag, x, y)
 
 
+def test_agg_moments_limb_sums_exact_adversarial(spark):
+    """The limb decomposition must reproduce the EXACT integer power
+    sums for adversarial cent values: negatives (sign rides the
+    limbs), zeros, duplicate extremes, and magnitudes at the
+    documented |u| < 2^23 bound — checked against arbitrary-precision
+    Python ints via the same moment formulas in float."""
+    from fractions import Fraction
+
+    from skills_vectors_spark.operators.relational2 import (
+        _MOMENTS_SPARK_SQL,
+        MOMENTS_SHIFT_CENTS,
+    )
+
+    # prices whose shifted cents u hit: -(2^23 - 1) .. near-max,
+    # exact zero (u == 0), tiny, and repeated boundary values
+    us = [
+        -(2**23) + 1,
+        -(2**23) + 1,
+        -7_100_000,
+        -1,
+        0,
+        1,
+        2,
+        6_999_999,
+        7_100_000,
+        8_388_607,  # 2^23 - 1
+        123_456,
+        -654_321,
+    ]
+    rows = [
+        ("X", (u + MOMENTS_SHIFT_CENTS) / 100.0) for u in us
+    ] + [("Y", (u + MOMENTS_SHIFT_CENTS) / 100.0) for u in us[:3]]
+    df = spark.createDataFrame(rows, ["l_returnflag", "l_extendedprice"])
+    df.createOrReplaceTempView("svs_moments_lineitem")
+    try:
+        got = {r.l_returnflag: r for r in spark.sql(_MOMENTS_SPARK_SQL).collect()}
+    finally:
+        # do not leave the planted frame bound for other tests — and
+        # purge the bind_view memo so a later agg_moments call in this
+        # session re-binds instead of trusting the entry this direct
+        # createOrReplaceTempView bypassed
+        from skills_vectors_spark import sources
+
+        spark.catalog.dropTempView("svs_moments_lineitem")
+        sources._VIEW_BOUND.pop(
+            (spark.sparkContext.applicationId, "svs_moments_lineitem"), None
+        )
+
+    def expect(uvals):
+        n = len(uvals)
+        s1, s2, s3, s4 = (sum(Fraction(u) ** k for u in uvals) for k in (1, 2, 3, 4))
+        m1, m2, m3, m4 = (float(s / n) for s in (s1, s2, s3, s4))
+        mean = m1 / 100.0 + 40000.0
+        var = (m2 - m1 * m1) / 1e4
+        skew = (m3 - 3 * m1 * m2 + 2 * m1**3) / (m2 - m1 * m1) ** 1.5
+        kurt = (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1**4) / (
+            m2 - m1 * m1
+        ) ** 2 - 3
+        return n, mean, var, skew, kurt
+
+    for flag, uvals in (("X", us), ("Y", us[:3])):
+        n, mean, var, skew, kurt = expect(uvals)
+        r = got[flag]
+        assert r.n == n, flag
+        assert abs(r.mean - mean) <= 1e-6 * max(1.0, abs(mean)), flag
+        assert abs(r.variance - var) <= 1e-6 * max(1.0, abs(var)), flag
+        assert abs(r.skewness - skew) <= 1e-5, flag
+        assert abs(r.kurtosis - kurt) <= 1e-5, flag
+
+
 def test_agg_moments_matches_numpy(spark, sf_dir):
     import numpy as np
 
