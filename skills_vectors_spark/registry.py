@@ -112,13 +112,17 @@ _PROMOTED = [
     "dedup_substring",
 ]
 
-# r10 rotation queue (did not fit this window): the deferred
-# load_spread conversions — relational.py (29 rows) and textstats.py
-# (11 rows) still scan through plain sources.load; converting them is
-# paired with their rotation slots so the edit stales nothing that is
-# not already being re-attested. Both files' rows are green on code
-# unchanged since their last attestation (relational r4-r6,
-# textstats r4-r7).
+# r10 rotation queue (did not fit this window): relational.py (29
+# rows) and textstats.py (11 rows), green on code unchanged since
+# their last attestation (relational r4-r6, textstats r4-r7). The
+# original r9 plan ("convert their scans to load_spread") was
+# REVISED by this round's measured spread boundary (SCALING.md
+# round-9): the round-robin spread pays only on CPU-heavy per-row
+# stages and LOSES on cheap-per-row aggregations at both tiers, so
+# the r10 pass is measure-first — textstats' tokenize-class scans
+# are spread candidates, relational.py's plain aggregations almost
+# certainly are not. Pair any edit with the rotation slots so
+# nothing goes stale unattested.
 _DEFERRED: list[str] = []
 
 
