@@ -76,3 +76,74 @@ def test_spread_is_a_noop_when_already_parallel(spark, sf_dir):
     out = sources.spread(spark, wide)
     assert out.rdd.getNumPartitions() == target + 7
     assert "RoundRobinPartitioning(" + str(target) not in out._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture()
+def _clean_view_memo(spark):
+    """Snapshot the view memo and drop the views/keys this test binds,
+    so memo state never leaks into (or from) other tests."""
+    app = spark.sparkContext.applicationId
+    saved = dict(sources._VIEW_BOUND)
+    yield app
+    for key in set(sources._VIEW_BOUND) - set(saved):
+        spark.catalog.dropTempView(key[1])
+    sources._VIEW_BOUND.clear()
+    sources._VIEW_BOUND.update(saved)
+    for (a, name), bound_sf in saved.items():
+        if a == app:
+            # restore any view this test re-pointed at a different tier
+            sources.load(spark, bound_sf, name).createOrReplaceTempView(name)
+
+
+def test_register_views_memo_skips_rebind_same_sf(spark, sf_dir, _clean_view_memo, monkeypatch):
+    """Memo-hit contract: a second register_views at the SAME sf_dir
+    must not touch the catalog again (the ~100 ms/table round-trip is
+    the whole point of the memo — measured 0.6 s of a 0.94 s cold
+    SQL-API row, SCALING.md round-9)."""
+    sources.register_views(spark, sf_dir, names=("region",))
+    calls = []
+    monkeypatch.setattr(
+        sources, "load", lambda *a, **k: calls.append(a) or (_ for _ in ()).throw(AssertionError("rebound"))
+    )
+    sources.register_views(spark, sf_dir, names=("region",))
+    assert calls == [], "memo hit must skip the catalog round-trip"
+
+
+def test_register_views_rebinds_on_sf_dir_change(spark, sf_dir, _clean_view_memo):
+    """Correctness side of the memo: pointing the same view name at a
+    DIFFERENT sf_dir must re-bind, and spark.sql must see the new
+    tier's data (stale-view reads are the failure mode the memo must
+    never introduce)."""
+    other = "/root/testdata/sf0.01"
+    if not os.path.isdir(other) or other == sf_dir:
+        pytest.skip("needs two distinct sf tiers")
+    sources.register_views(spark, sf_dir, names=("orders",))
+    n_small = spark.sql("SELECT count(*) AS c FROM orders").collect()[0].c
+    sources.register_views(spark, other, names=("orders",))
+    n_big = spark.sql("SELECT count(*) AS c FROM orders").collect()[0].c
+    assert n_big != n_small, "re-bind must expose the new tier's rows"
+    assert n_big == sources.load(spark, other, "orders").count()
+
+
+def test_bind_view_memo_same_contract(spark, sf_dir, _clean_view_memo):
+    """bind_view (derived-frame views) shares the memo: frame_fn runs
+    once per (app, name, sf_dir) and again only on sf_dir change."""
+    calls = []
+
+    def frame_fn():
+        calls.append(1)
+        return sources.load(spark, sf_dir, "nation")
+
+    sources.bind_view(spark, "svs_test_bind_memo", sf_dir, frame_fn)
+    sources.bind_view(spark, "svs_test_bind_memo", sf_dir, frame_fn)
+    assert len(calls) == 1, "memo hit must not re-run frame_fn"
+    other = "/root/testdata/sf0.01"
+    if os.path.isdir(other) and other != sf_dir:
+        sources.bind_view(
+            spark, "svs_test_bind_memo", other,
+            lambda: sources.load(spark, other, "nation"),
+        )
+        assert (
+            spark.sql("SELECT count(*) AS c FROM svs_test_bind_memo").collect()[0].c
+            == sources.load(spark, other, "nation").count()
+        )
