@@ -80,19 +80,21 @@ def test_spread_is_a_noop_when_already_parallel(spark, sf_dir):
 
 @pytest.fixture()
 def _clean_view_memo(spark):
-    """Snapshot the view memo and drop the views/keys this test binds,
-    so memo state never leaks into (or from) other tests."""
-    app = spark.sparkContext.applicationId
+    """Drop and evict every view binding this test touched (created OR
+    re-pointed), so the next consumer re-binds lazily from a clean
+    memo. Saved entries may be bind_view DERIVED frames (not corpus
+    tables), so teardown never tries to recreate a view — eviction is
+    the only safe restore."""
     saved = dict(sources._VIEW_BOUND)
-    yield app
-    for key in set(sources._VIEW_BOUND) - set(saved):
+    yield
+    touched = {
+        key
+        for key in set(sources._VIEW_BOUND) | set(saved)
+        if sources._VIEW_BOUND.get(key) != saved.get(key)
+    }
+    for key in touched:
         spark.catalog.dropTempView(key[1])
-    sources._VIEW_BOUND.clear()
-    sources._VIEW_BOUND.update(saved)
-    for (a, name), bound_sf in saved.items():
-        if a == app:
-            # restore any view this test re-pointed at a different tier
-            sources.load(spark, bound_sf, name).createOrReplaceTempView(name)
+        sources._VIEW_BOUND.pop(key, None)
 
 
 def test_register_views_memo_skips_rebind_same_sf(spark, sf_dir, _clean_view_memo, monkeypatch):
