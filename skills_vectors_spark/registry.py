@@ -123,6 +123,18 @@ _PROMOTED = [
 # are spread candidates, relational.py's plain aggregations almost
 # certainly are not. Pair any edit with the rotation slots so
 # nothing goes stale unattested.
+#
+# MEASURED end-of-r9 (monkeypatch A/B, no files edited, 10x tier
+# cold / min-of-1, sf0.1 min-of-2 — SCALING.md round-9 addendum):
+# spread WINS at 10x on lang_id 3.67->0.65 s, quality_score
+# 2.33->0.61, token_count 1.29->0.64, fingerprint_rolling
+# 1.06->0.40, fingerprint 0.53->0.34; text_stats is a wash. At
+# sf0.1 only lang_id/quality_score win (small-data exchange
+# overhead). r10: convert those five textstats loads to
+# load_spread, convert text_chunk/quality_repetition/scrub_pii's
+# unconditional repartition(defaultParallelism) to spread (the
+# last unconditional repartitions in the package), leave
+# relational.py loads plain unless a row measures otherwise.
 _DEFERRED: list[str] = []
 
 
