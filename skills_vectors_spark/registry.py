@@ -135,6 +135,20 @@ _PROMOTED = [
 # unconditional repartition(defaultParallelism) to spread (the
 # last unconditional repartitions in the package), leave
 # relational.py loads plain unless a row measures otherwise.
+#
+# relational.py A/B (same method, 10x min-of-2): plain wins or
+# washes on the agg/join/window/sort class as predicted
+# (agg_distinct 1.13 vs 2.00 s, join_inner_hash 0.65 vs 1.45,
+# win_running 1.03 vs 2.06, sort_limit 0.43 vs 1.62) — EXCEPT
+# join_theta_range: 24.73 -> 1.57 s (15.7x). Same signature as the
+# r8 dedup_embed_cosine find: the range theta-join plans as a
+# BroadcastNestedLoopJoin and the one-row-group streamed side runs
+# the whole NLJ on ONE task. That load_spread conversion is the
+# single biggest measured win available and the TOP r10 item; also
+# measured: fn_json 2.54 -> 1.48, fn_string 0.85 -> 0.48,
+# dedup_first 2.08 -> 1.53, agg_hash 0.83 -> 0.59 (spread wins on
+# the scan-bound class too, but those are sub-second — convert
+# only with their rotation slots).
 _DEFERRED: list[str] = []
 
 
