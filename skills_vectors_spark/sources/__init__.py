@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -166,36 +167,74 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set(conf_key, prev)
 
 
-# Per-(application, view name) memo of the sf_dir a temp view is
-# bound to: createOrReplaceTempView is a ~100 ms catalog round-trip
-# per table, so re-registering the same six views on every SQL-API
-# invocation cost more than the query's own execution at bench tiers
-# (measured round-9: 0.6 s of a 0.94 s cold row). Re-registers only
-# when the requested sf_dir differs from the bound one.
-_VIEW_BOUND: dict[tuple[str, str], str] = {}
+# Per-SparkSession memo of the sf_dir a temp view is bound to:
+# createOrReplaceTempView is a ~100 ms catalog round-trip per table,
+# so re-registering the same six views on every SQL-API invocation
+# cost more than the query's own execution at bench tiers (measured
+# round-9: 0.6 s of a 0.94 s cold row). Re-registers only when the
+# requested sf_dir differs from the bound one.
+#
+# Keyed by the SESSION OBJECT (WeakKeyDictionary), not by
+# applicationId: temp views live in a session's own catalog, so a
+# sibling spark.newSession() under the same application must get its
+# own empty memo, and the memo must die with the session (advisor
+# r9). Catalog-mutating callers that bypass register_views/bind_view
+# (a raw createOrReplaceTempView / dropTempView) must call
+# evict_views so the next consumer re-binds lazily.
+_VIEW_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _view_memo(spark: SparkSession) -> dict[str, str]:
+    memo = _VIEW_MEMO.get(spark)
+    if memo is None:
+        memo = _VIEW_MEMO[spark] = {}
+    return memo
+
+
+def evict_views(spark: SparkSession, *names: str) -> None:
+    """Forget this session's binding memo for `names` (every binding
+    when called with no names) so the next register_views/bind_view
+    re-binds. The public eviction seam for tests and for any caller
+    that mutates the temp-view catalog directly."""
+    memo = _VIEW_MEMO.get(spark)
+    if not memo:
+        return
+    if not names:
+        memo.clear()
+        return
+    for n in names:
+        memo.pop(n, None)
+
+
+def view_bindings(spark: SparkSession) -> dict[str, str]:
+    """Read-only snapshot of this session's view -> sf_dir bindings
+    (observability for tests; mutate only via evict_views)."""
+    return dict(_VIEW_MEMO.get(spark) or {})
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     """Register every corpus table as a temp view for the SQL API
-    (idempotent and memoized per Spark application; a view re-binds
+    (idempotent and memoized per SparkSession; a view re-binds
     only when pointed at a different sf_dir)."""
-    app = spark.sparkContext.applicationId
+    memo = _view_memo(spark)
     for n in names:
-        if _VIEW_BOUND.get((app, n)) != sf_dir:
+        if memo.get(n) != sf_dir:
             load(spark, sf_dir, n).createOrReplaceTempView(n)
-            _VIEW_BOUND[(app, n)] = sf_dir
+            memo[n] = sf_dir
 
 
 def bind_view(spark: SparkSession, name: str, sf_dir: str, frame_fn) -> None:
     """Bind `name` as a temp view over frame_fn()'s DataFrame, with
-    the same per-application memo as register_views — for operators
+    the same per-session memo as register_views — for operators
     that expose a derived frame (e.g. a load_spread scan) to a
     spark.sql statement without paying the catalog round-trip on
     every invocation."""
-    app = spark.sparkContext.applicationId
-    if _VIEW_BOUND.get((app, name)) != sf_dir:
+    memo = _view_memo(spark)
+    if memo.get(name) != sf_dir:
         frame_fn().createOrReplaceTempView(name)
-        _VIEW_BOUND[(app, name)] = sf_dir
+        memo[name] = sf_dir
 
 
 # Per-(application, table path) memo of the spread decision: the
@@ -251,13 +290,21 @@ def _local_scan_splits(spark: SparkSession, path: str) -> int | None:
     if os.path.isfile(p):
         sizes = [os.path.getsize(p)]
     elif os.path.isdir(p):
-        sizes = [
-            e.stat().st_size
-            for e in os.scandir(p)
-            if e.is_file() and not e.name.startswith(("_", "."))
-        ]
+        # recurse: a hive-partitioned table is nested subdirectories
+        # of data files — a top-level-only scandir would sum 0 bytes
+        # and misreport the table as single-split (advisor r9)
+        sizes = []
+        for root, dirs, files in os.walk(p):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            sizes.extend(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith(("_", "."))
+            )
     else:
-        return None
+        # missing/renamed path: let the caller decide — and never
+        # memoize a decision for a table that was not there to probe
+        raise FileNotFoundError(p)
     total = sum(sizes)
     if total == 0:
         return 1
@@ -302,7 +349,14 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     dec = _SPREAD_DECISION.get(key)
     if dec is None:
         target = spark.sparkContext.defaultParallelism
-        est = _local_scan_splits(spark, path)
+        try:
+            est = _local_scan_splits(spark, path)
+        except FileNotFoundError:
+            # the load() above resolved a schema, so the table exists
+            # under some layout this probe doesn't see (e.g. a path
+            # alias); don't spread — and don't memoize 'never spread'
+            # for a path that wasn't probe-able (advisor r9)
+            return df
         dec = _SPREAD_DECISION[key] = est is not None and est < target
     if dec:
         df = df.repartition(spark.sparkContext.defaultParallelism)

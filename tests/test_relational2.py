@@ -479,9 +479,7 @@ def test_agg_moments_limb_sums_exact_adversarial(spark):
         from skills_vectors_spark import sources
 
         spark.catalog.dropTempView("svs_moments_lineitem")
-        sources._VIEW_BOUND.pop(
-            (spark.sparkContext.applicationId, "svs_moments_lineitem"), None
-        )
+        sources.evict_views(spark, "svs_moments_lineitem")
 
     def expect(uvals):
         n = len(uvals)

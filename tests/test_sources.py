@@ -85,16 +85,17 @@ def _clean_view_memo(spark):
     memo. Saved entries may be bind_view DERIVED frames (not corpus
     tables), so teardown never tries to recreate a view — eviction is
     the only safe restore."""
-    saved = dict(sources._VIEW_BOUND)
+    saved = sources.view_bindings(spark)
     yield
+    now = sources.view_bindings(spark)
     touched = {
-        key
-        for key in set(sources._VIEW_BOUND) | set(saved)
-        if sources._VIEW_BOUND.get(key) != saved.get(key)
+        name
+        for name in set(now) | set(saved)
+        if now.get(name) != saved.get(name)
     }
-    for key in touched:
-        spark.catalog.dropTempView(key[1])
-        sources._VIEW_BOUND.pop(key, None)
+    for name in touched:
+        spark.catalog.dropTempView(name)
+    sources.evict_views(spark, *touched)
 
 
 def test_register_views_memo_skips_rebind_same_sf(spark, sf_dir, _clean_view_memo, monkeypatch):
@@ -149,3 +150,64 @@ def test_bind_view_memo_same_contract(spark, sf_dir, _clean_view_memo):
             spark.sql("SELECT count(*) AS c FROM svs_test_bind_memo").collect()[0].c
             == sources.load(spark, other, "nation").count()
         )
+
+
+def test_view_memo_is_per_session(spark, sf_dir, _clean_view_memo):
+    """Temp views live in a SESSION's catalog, not the application's:
+    a sibling spark.newSession() shares the applicationId but has its
+    own (empty) catalog, so the memo must not suppress the rebind
+    there (advisor r10). The sibling's binding must not leak back
+    into the parent session's memo either."""
+    sources.register_views(spark, sf_dir, names=("region",))
+    sibling = spark.newSession()
+    try:
+        assert sources.view_bindings(sibling) == {}, "fresh session, fresh memo"
+        # without a rebind this would raise TABLE_OR_VIEW_NOT_FOUND
+        sources.register_views(sibling, sf_dir, names=("region",))
+        assert sibling.sql("SELECT count(*) AS c FROM region").collect()[0].c > 0
+        assert sources.view_bindings(sibling) == {"region": sf_dir}
+    finally:
+        sibling.catalog.dropTempView("region")
+        sources.evict_views(sibling)
+
+
+def test_evict_views_forces_rebind(spark, sf_dir, _clean_view_memo):
+    """evict_views is the public seam for catalog-mutating callers: a
+    direct dropTempView desyncs the memo, and eviction must make the
+    next register_views re-bind instead of silently skipping."""
+    sources.register_views(spark, sf_dir, names=("nation",))
+    spark.catalog.dropTempView("nation")
+    sources.evict_views(spark, "nation")
+    sources.register_views(spark, sf_dir, names=("nation",))
+    assert spark.sql("SELECT count(*) AS c FROM nation").collect()[0].c > 0
+
+
+def test_scan_splits_recurses_partitioned_layout(spark, sf_dir):
+    """A hive-partitioned table is NESTED subdirectories of data
+    files; the split estimate must sum the leaf files, not the (zero)
+    top-level ones (advisor r10)."""
+    d = tempfile.mkdtemp(prefix="svs_nested_")
+    flat = sources._local_scan_splits(spark, f"{sf_dir}/lineitem.parquet")
+    os.makedirs(f"{d}/lang=en", exist_ok=True)
+    os.makedirs(f"{d}/_delta_log", exist_ok=True)  # must be pruned
+    src = f"{sf_dir}/lineitem.parquet"
+    data = open(src, "rb").read()
+    open(f"{d}/lang=en/part-0.parquet", "wb").write(data)
+    open(f"{d}/_delta_log/0.json", "wb").write(b"x" * (64 << 20))
+    open(f"{d}/_SUCCESS", "wb").close()
+    nested = sources._local_scan_splits(spark, d)
+    assert nested == flat, "nested leaf file must count like the flat file"
+
+
+def test_scan_splits_missing_path_raises_and_never_memoizes(spark, sf_dir):
+    """A missing/renamed path must raise (so load_spread skips the
+    decision) rather than memoize 'never spread' for the application's
+    lifetime (advisor r10)."""
+    with pytest.raises(FileNotFoundError):
+        sources._local_scan_splits(spark, "/nonexistent/svs_gone")
+    before = dict(sources._SPREAD_DECISION)
+    # end-to-end: a table that vanishes between load() and the probe
+    # cannot happen through the public API (load() resolves eagerly),
+    # so pin the contract at the probe layer: no new memo entries for
+    # paths that were never stat-able.
+    assert all(os.path.exists(p.removeprefix("file://")) for (_, p) in before)
