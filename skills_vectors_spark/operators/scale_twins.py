@@ -199,15 +199,25 @@ def anomaly_mad_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad_lo = F.element_at(devs, lo_i)
     mad_hi = F.element_at(devs, hi_i)
     eps = 1e-6  # the production med/mad are rounded to 1e-6
+    # collect_list drops NULLs, so a user whose values are ALL NULL
+    # yields an empty sv (n = 0) — element_at(sv, 0) would raise
+    # (Spark arrays are 1-indexed) and the sketch med is NULL anyway.
+    # Gate such users TRUE, matching the oracle's unconditional TRUE
+    # (advisor r10); CASE WHEN evaluates only the taken branch, so the
+    # element_at never runs for empty lists.
     return j.select(
         "user_id",
         F.col("n_events").cast("long").alias("n_events"),
-        (
-            (F.col("med") >= med_lo - eps) & (F.col("med") <= med_hi + eps)
-        ).alias("med_in_bounds"),
-        (
-            (F.col("mad") >= mad_lo - eps) & (F.col("mad") <= mad_hi + eps)
-        ).alias("mad_in_bounds"),
+        F.when(
+            n > 0, (F.col("med") >= med_lo - eps) & (F.col("med") <= med_hi + eps)
+        )
+        .otherwise(F.lit(True))
+        .alias("med_in_bounds"),
+        F.when(
+            n > 0, (F.col("mad") >= mad_lo - eps) & (F.col("mad") <= mad_hi + eps)
+        )
+        .otherwise(F.lit(True))
+        .alias("mad_in_bounds"),
     )
 
 
