@@ -241,8 +241,14 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     against every corpus vector within a metric band). Spark executes
     as BroadcastNestedLoopJoin with the small side broadcast; at
     100 TB with two big sides you'd bucketize the range key and
-    equi-join on bucket — see operators/ann.py for that pattern."""
-    c = sources.load(spark, sf_dir, "customer")
+    equi-join on bucket — see operators/ann.py for that pattern.
+
+    The streamed side is load_spread: a one-row-group scan leaves the
+    ENTIRE nested-loop compare on one task (measured 24.73 s plain vs
+    1.57 s spread at the 10x tier — the last single-task plan in the
+    package, SCALING.md round-9); on a multi-split cluster read the
+    spread is a no-op."""
+    c = sources.load_spread(spark, sf_dir, "customer")
     s = sources.load(spark, sf_dir, "supplier")
     cond = (F.col("c_acctbal") >= F.col("s_acctbal") - 100) & (
         F.col("c_acctbal") <= F.col("s_acctbal") + 100
@@ -275,13 +281,13 @@ def join_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn_exact: local top-k per partition before the shuffle."""
     s = sources.load(spark, sf_dir, "supplier")
     # the corpus parquet is one small file = ONE scan partition; the
-    # cross join expands it 1000x, so repartition BEFORE the expansion
-    # or the whole blow-up (and its sort) runs single-threaded. AQE
+    # cross join expands it 1000x, so spread BEFORE the expansion or
+    # the whole blow-up (and its sort) runs single-threaded. AQE
     # cannot split a stage that is already running — expansion inputs
-    # must be pre-spread.
-    c = sources.load(spark, sf_dir, "customer").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # must be pre-spread. Conditional (load_spread), not a bare
+    # repartition: a multi-split cluster scan is already parallel and
+    # an unconditional repartition would reshuffle the full input.
+    c = sources.load_spread(spark, sf_dir, "customer")
     scored = c.crossJoin(F.broadcast(s)).withColumn(
         "d", F.abs(F.col("s_acctbal") - F.col("c_acctbal"))
     )
@@ -314,8 +320,10 @@ def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash aggregation with multiple measures — TPC-H Q1 shape
     (ref A18 means, skills_for_jobs.py:178-179). Spark plans partial
     aggregation before the shuffle automatically: only
-    n_groups x n_partitions rows move."""
-    li = sources.load(spark, sf_dir, "lineitem")
+    n_groups x n_partitions rows move. load_spread parallelizes the
+    one-row-group local scan (0.83 -> 0.59 s at 10x); no-op on
+    multi-split cluster reads."""
+    li = sources.load_spread(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
@@ -651,10 +659,12 @@ def dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-by-rank dedup, keep-first-occurrence semantics (ref A16,
     skills_for_jobs.py:371-379: dedup AFTER rank, keep first).
     (l_orderkey, l_linenumber) is NOT unique in the corpus — the
-    secondary l_partkey key makes the kept row deterministic."""
+    secondary l_partkey key makes the kept row deterministic.
+    load_spread parallelizes the pre-shuffle scan+project (2.08 ->
+    1.53 s at 10x); the window's own hash exchange is unavoidable."""
     w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
     return (
-        sources.load(spark, sf_dir, "lineitem")
+        sources.load_spread(spark, sf_dir, "lineitem")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("l_orderkey", "l_linenumber", "l_partkey")

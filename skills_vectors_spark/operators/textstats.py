@@ -78,7 +78,7 @@ def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace and a BPE-ish regex
     (word-pieces + single digits + punctuation — the common GPT-2-style
     pre-tokenizer heuristic). Pure regexp_count, no tokenizer lib."""
-    d = sources.load(spark, sf_dir, "documents")
+    d = sources.load_spread(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         token_count("text").alias("n_tokens_ws"),
@@ -121,7 +121,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language identification: CJK character presence for
     zh, stopword-hit argmax for en/es/de/fr (n-gram-heuristic family;
     north-star text analysis). Deterministic priority tie-break."""
-    d = sources.load(spark, sf_dir, "documents")
+    d = sources.load_spread(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
         "lang",
@@ -176,7 +176,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring from length / punctuation / digit /
     stopword ratios — the standard pretraining-data quality heuristic
     family (north-star text analysis)."""
-    d = sources.load(spark, sf_dir, "documents")
+    d = sources.load_spread(spark, sf_dir, "documents")
     n_tok = F.greatest(F.size(tokens("text")), F.lit(1)).cast("double")
     length = F.greatest(F.length("text"), F.lit(1)).cast("double")
     feats = d.select(
@@ -213,7 +213,7 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the canonical exact-dedup key), plus an 8-hex prefix bucket for
     shard-local grouping. Content-defined, order-independent —
     partitioning by fp_bucket co-locates duplicates at any scale."""
-    d = sources.load(spark, sf_dir, "documents")
+    d = sources.load_spread(spark, sf_dir, "documents")
     fp = F.md5(F.encode(normalize_text("text"), "UTF-8"))
     return d.select("doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp_bucket"))
 
@@ -251,7 +251,7 @@ def _rolling_hash(c: Column) -> Column:
 def fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial hash fingerprint over the token stream —
     order-sensitive (catches reorderings md5-of-sorted misses)."""
-    d = sources.load(spark, sf_dir, "documents")
+    d = sources.load_spread(spark, sf_dir, "documents")
     return d.select("doc_id", _rolling_hash(tokens("text")).alias("rolling_fp"))
 
 
@@ -285,9 +285,7 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sequence + posexplode + slice), no Python; the explode is the
     only row expansion and the input is pre-spread. Chunk ids are
     deterministic (ordinal of the window start)."""
-    d = sources.load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = sources.load_spread(spark, sf_dir, "documents")
     toks = F.split(normalize_text("text"), " ")
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(CHUNK_STRIDE))
     chunked = d.select("doc_id", toks.alias("toks"), F.posexplode(starts).alias("chunk_id", "start"))
@@ -437,9 +435,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     strip -> split on ' '); null text drops, as unnest(NULL) does."""
     import pandas as pd
 
-    d = sources.load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = sources.load_spread(spark, sf_dir, "documents")
 
     def run(batches):
         import math
@@ -519,14 +515,11 @@ def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrubbed text itself is hashed so the oracle compares bytes
     without hauling full text through the harness.
 
-    The local repartition exists because the test corpus is one small
-    parquet file -> one input partition -> serial regex; at scale the
-    scan has natural parallelism and the repartition is a no-op to
-    remove (regex cost is per-byte, so partition-parallel is the
-    whole game)."""
-    d = sources.load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    load_spread exists because the test corpus is one small parquet
+    file -> one input partition -> serial regex; at scale the scan has
+    natural parallelism and the spread is a no-op (regex cost is
+    per-byte, so partition-parallel is the whole game)."""
+    d = sources.load_spread(spark, sf_dir, "documents")
     raw = F.concat(
         F.col("text"),
         F.lit(" contact user"),

@@ -34,121 +34,100 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Round-9 window (the r8 verdict's ordered rotation): the full
-# stale-attestation set fits exactly — 50 rows, zero spare.
-# (a) first registrations: the four production twins ordered in the
-# r8 verdict (#5), registered via scale_twins.py with gate-column or
-# full-equality oracles binding each sketch to exact cross-engine
-# anchors;
-# (b) rows whose semantics or plan changed this round: agg_moments
-# (exact integer-cent power sums -> order/engine-independent, +
-# load_spread un-starves the 10x 6-row-group scan), agg_gini /
-# agg_gini_distributed (shared oracle literal + NULL pinned out both
-# engines), agg_winsorized_mean / agg_percentile (load_spread on the
-# histogram scan), search_hybrid_rrf (union+sum fusion, dense-arm
-# spread);
-# (c) rows re-staled by this round's file edits: the rest of
-# relevance.py (shared _term_freqs subtree) and vector_blas.py
-# (conditional spread conversion);
-# (d) the written r9 queue: relational2.py's 20 rows staled by its
-# r7 edits and dedup.py's 13 rows staled by its r8
-# conditional-spread edits (j8-attested green, driver record now
-# catches up).
+# Round-10 window (the r9 verdict's ordered rotation): execute the
+# pre-measured conversion queue and re-attest everything it stales.
+# (a) relational.py's 29 rows — staled by this round's load_spread
+# conversions (join_theta_range's streamed side, the single-task
+# BroadcastNestedLoopJoin fix: 24.73 -> 1.37 s measured at 10x;
+# agg_hash / dedup_first scan spreads; join_cross_topk's
+# unconditional pre-expansion repartition -> conditional load_spread,
+# plan-identical on a one-split local scan, no full-corpus reshuffle
+# on a multi-split cluster read);
+# (b) textstats.py's 11 rows — staled by the five tokenize-class
+# load_spread conversions (lang_id 3.67->0.68 s, quality_score
+# 2.33->0.57, token_count 1.29->0.72, fingerprint_rolling 1.06->0.43,
+# fingerprint 0.53->0.44 at 10x, post-conversion isolated runs) and
+# by converting the package's last three unconditional
+# repartition(defaultParallelism) calls (text_chunk /
+# quality_repetition / scrub_pii) to the same conditional form;
+# (c) scale_twins.py's 5 rows — staled by the advisor-r10 all-NULL
+# guard in anomaly_mad_production's attestation arm;
+# (d) 5 re-attestation slots for the oldest green rows in UNCHANGED
+# files (r5 attestations, knn.py/ann.py): no green row ages past ~5
+# rounds (r9 verdict order #4).
 _PROMOTED = [
-    # (a) first registrations — least-attested first
+    # (a) relational.py stratum — conversion sites first
+    "join_theta_range",
+    "join_cross_topk",
+    "agg_hash",
+    "dedup_first",
+    "scan_parquet",
+    "scan_csv",
+    "sink_parquet",
+    "sink_overwrite",
+    "project_rename",
+    "filter_pred",
+    "join_inner_hash",
+    "join_broadcast",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "agg_distinct",
+    "agg_approx_distinct",
+    "agg_collect",
+    "agg_rollup",
+    "agg_cube",
+    "agg_gsets",
+    "win_rank_topk",
+    "win_running",
+    "win_lag_lead",
+    "win_ntile_cume",
+    "sort_limit",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    # (b) textstats.py stratum — conversion sites first
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "fingerprint_rolling",
+    "fingerprint",
+    "text_chunk",
+    "quality_repetition",
+    "scrub_pii",
+    "text_stats",
+    "diag_skew",
+    "diag_partition_stats",
+    # (c) scale_twins.py stratum (advisor-r10 NULL guard)
+    "anomaly_mad_production",
+    "agg_gini_distributed",
     "approx_percentile_production",
     "hll_sketch_production",
-    "anomaly_mad_production",
     "dedup_ngram_jaccard_production",
-    # (b) changed semantics / changed plan this round
-    "agg_moments",
-    "agg_gini",
-    "agg_gini_distributed",
-    "agg_winsorized_mean",
-    "agg_percentile",
-    "search_hybrid_rrf",
-    # (c) re-staled by this round's edits
-    "text_tfidf_sim",
-    "text_bm25_search",
-    "quality_perplexity",
-    "quality_entropy",
-    "dedup_embed_cosine_blas",
-    "sim_topk_bruteforce",
-    "embed_project_pca",
-    # (d) relational2.py stratum (r7-staled, the written r9 queue)
-    "join_asof",
-    "agg_pivot",
-    "agg_unpivot",
-    "agg_approx_percentile",
-    "grouped_zscore",
-    "fn_vector_literal",
-    "join_full_outer",
-    "agg_stats",
-    "win_first_last",
-    "sample_stratified",
-    "win_range_interval",
-    "agg_median_bool",
-    "sql_api_topk_revenue",
-    "sql_api_region_revenue",
-    "seq_funnel",
-    "agg_filtered",
-    "win_islands",
-    "agg_mode",
-    "fn_try_arith",
-    "agg_corr_matrix",
-    # (d) dedup.py stratum (r8-staled, the written r9 queue)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash",
-    "dedup_near",
-    "dedup_simhash",
-    "eval_dedup_compare",
-    "dedup_clusters",
-    "dedup_embed_cosine",
-    "dedup_apply",
-    "dedup_containment",
-    "dedup_decontaminate",
-    "dedup_incremental",
-    "dedup_substring",
+    # (d) oldest-attestation re-attest (r5 greens, files unchanged)
+    "knn_exact_l2",
+    "eval_avgsim",
+    "eval_recall",
+    "eval_recall_lsh",
+    "report_pivot",
 ]
 
-# r10 rotation queue (did not fit this window): relational.py (29
-# rows) and textstats.py (11 rows), green on code unchanged since
-# their last attestation (relational r4-r6, textstats r4-r7). The
-# original r9 plan ("convert their scans to load_spread") was
-# REVISED by this round's measured spread boundary (SCALING.md
-# round-9): the round-robin spread pays only on CPU-heavy per-row
-# stages and LOSES on cheap-per-row aggregations at both tiers, so
-# the r10 pass is measure-first — textstats' tokenize-class scans
-# are spread candidates, relational.py's plain aggregations almost
-# certainly are not. Pair any edit with the rotation slots so
-# nothing goes stale unattested.
-#
-# MEASURED end-of-r9 (monkeypatch A/B, no files edited, 10x tier
-# cold / min-of-1, sf0.1 min-of-2 — SCALING.md round-9 addendum):
-# spread WINS at 10x on lang_id 3.67->0.65 s, quality_score
-# 2.33->0.61, token_count 1.29->0.64, fingerprint_rolling
-# 1.06->0.40, fingerprint 0.53->0.34; text_stats is a wash. At
-# sf0.1 only lang_id/quality_score win (small-data exchange
-# overhead). r10: convert those five textstats loads to
-# load_spread, convert text_chunk/quality_repetition/scrub_pii's
-# unconditional repartition(defaultParallelism) to spread (the
-# last unconditional repartitions in the package), leave
-# relational.py loads plain unless a row measures otherwise.
-#
-# relational.py A/B (same method, 10x min-of-2): plain wins or
-# washes on the agg/join/window/sort class as predicted
-# (agg_distinct 1.13 vs 2.00 s, join_inner_hash 0.65 vs 1.45,
-# win_running 1.03 vs 2.06, sort_limit 0.43 vs 1.62) — EXCEPT
-# join_theta_range: 24.73 -> 1.57 s (15.7x). Same signature as the
-# r8 dedup_embed_cosine find: the range theta-join plans as a
-# BroadcastNestedLoopJoin and the one-row-group streamed side runs
-# the whole NLJ on ONE task. That load_spread conversion is the
-# single biggest measured win available and the TOP r10 item; also
-# measured: fn_json 2.54 -> 1.48, fn_string 0.85 -> 0.48,
-# dedup_first 2.08 -> 1.53, agg_hash 0.83 -> 0.59 (spread wins on
-# the scan-bound class too, but those are sub-second — convert
-# only with their rotation slots).
+# r11 rotation queue (did not fit this window): functions_suite.py
+# (14 rows) carries the two remaining MEASURED spread wins — fn_json
+# 2.54 -> 1.48 s and fn_string 0.85 -> 0.48 s at 10x (end-of-r9
+# zero-edit A/B) — plus one unconditional
+# repartition(defaultParallelism) at functions_suite.py:316; the file
+# could not be edited in r10 because its 14 rows would have pushed
+# the staled set to 54 > 50 window slots. Also queued, measure-first
+# under the round-9 spread boundary (spread pays only on CPU-heavy
+# per-row stages): the unconditional repartitions in ann.py
+# :359/606/739/899, knn.py :57/264, embed.py :142/253/337 — each
+# stales its whole file (9/6/4 rows), so pair each file's conversion
+# with its rotation slots. join_cross_topk's 10x cost is measured at
+# 63 s post-conversion (identical plan to the pre-conversion
+# unconditional repartition — the 1.5e9-row expansion itself, not a
+# partitioning defect); a sorted-neighbor candidate rewrite is the
+# only way down and changes no registered semantics if attempted.
 _DEFERRED: list[str] = []
 
 

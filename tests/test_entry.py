@@ -27,69 +27,67 @@ def test_entry_contract(spark):
 def test_sweep_window_prioritizes_least_attested():
     """Bounded front-to-back sweeps read the first 50 registered
     queries; that window must hold the least-attested-on-current-code
-    surface. Round-9 rotation (the r8 verdict's ordered queue): the
-    four first-registration production twins, then rows whose plan or
-    semantics changed this round, then rows re-staled by this round's
-    edits, then the written r9 queue (relational2's 20 + dedup's 13)."""
+    surface. Round-10 rotation (the r9 verdict's ordered queue): the
+    conversion-queue strata — relational.py's 29 rows (theta-range /
+    cross-topk / agg_hash / dedup_first load_spread conversions),
+    textstats.py's 11 rows (tokenize-class spreads + the last
+    unconditional repartitions), scale_twins.py's 5 rows (advisor-r10
+    NULL guard) — plus 5 oldest-attestation re-attest slots (r5
+    greens in unchanged knn/ann files)."""
     from skills_vectors_spark import registry
 
     registry.load_all()
     window = list(registry.QUERIES)[:50]
     for must in [
-        # first registrations — must attest on current code
+        "join_theta_range",
+        "join_cross_topk",
+        "agg_hash",
+        "dedup_first",
+        "scan_parquet",
+        "scan_csv",
+        "sink_parquet",
+        "sink_overwrite",
+        "project_rename",
+        "filter_pred",
+        "join_inner_hash",
+        "join_broadcast",
+        "join_left_outer",
+        "join_semi",
+        "join_anti",
+        "agg_distinct",
+        "agg_approx_distinct",
+        "agg_collect",
+        "agg_rollup",
+        "agg_cube",
+        "agg_gsets",
+        "win_rank_topk",
+        "win_running",
+        "win_lag_lead",
+        "win_ntile_cume",
+        "sort_limit",
+        "set_union",
+        "set_intersect",
+        "set_except",
+        "lang_id",
+        "quality_score",
+        "token_count",
+        "fingerprint_rolling",
+        "fingerprint",
+        "text_chunk",
+        "quality_repetition",
+        "scrub_pii",
+        "text_stats",
+        "diag_skew",
+        "diag_partition_stats",
+        "anomaly_mad_production",
+        "agg_gini_distributed",
         "approx_percentile_production",
         "hll_sketch_production",
-        "anomaly_mad_production",
         "dedup_ngram_jaccard_production",
-        # changed semantics / changed plan this round
-        "agg_moments",
-        "agg_gini",
-        "agg_gini_distributed",
-        "agg_winsorized_mean",
-        "agg_percentile",
-        "search_hybrid_rrf",
-        # re-staled by this round's edits
-        "text_tfidf_sim",
-        "text_bm25_search",
-        "quality_perplexity",
-        "quality_entropy",
-        "dedup_embed_cosine_blas",
-        "sim_topk_bruteforce",
-        "embed_project_pca",
-        # relational2.py stratum (r7-staled, the written r9 queue)
-        "join_asof",
-        "agg_pivot",
-        "agg_unpivot",
-        "agg_approx_percentile",
-        "grouped_zscore",
-        "fn_vector_literal",
-        "join_full_outer",
-        "agg_stats",
-        "win_first_last",
-        "sample_stratified",
-        "win_range_interval",
-        "agg_median_bool",
-        "sql_api_topk_revenue",
-        "sql_api_region_revenue",
-        "seq_funnel",
-        "agg_filtered",
-        "win_islands",
-        "agg_mode",
-        "fn_try_arith",
-        "agg_corr_matrix",
-        # dedup.py stratum (r8-staled, the written r9 queue)
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_minhash",
-        "dedup_near",
-        "dedup_simhash",
-        "eval_dedup_compare",
-        "dedup_clusters",
-        "dedup_embed_cosine",
-        "dedup_apply",
-        "dedup_containment",
-        "dedup_decontaminate",
-        "dedup_incremental",
-        "dedup_substring",
+        "knn_exact_l2",
+        "eval_avgsim",
+        "eval_recall",
+        "eval_recall_lsh",
+        "report_pivot",
     ]:
         assert must in window, f"{must} fell out of the 50-query sweep window"
