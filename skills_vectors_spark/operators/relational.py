@@ -320,10 +320,14 @@ def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash aggregation with multiple measures — TPC-H Q1 shape
     (ref A18 means, skills_for_jobs.py:178-179). Spark plans partial
     aggregation before the shuffle automatically: only
-    n_groups x n_partitions rows move. load_spread parallelizes the
-    one-row-group local scan (0.83 -> 0.59 s at 10x); no-op on
-    multi-split cluster reads."""
-    li = sources.load_spread(spark, sf_dir, "lineitem")
+    n_groups x n_partitions rows move. Plain load, NOT load_spread:
+    converted in r10 on the 10x A/B (0.83 -> 0.56 s) and REVERTED on
+    the sf0.1 bench measurement (0.47 -> 1.02 s cold, consistent over
+    three protocol runs) — the round-robin exchange moves every row
+    to save an 8-expression projection, the exact cheap-per-row
+    aggregation class the round-9 spread boundary says to leave
+    plain."""
+    li = sources.load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
