@@ -276,25 +276,133 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross join + per-left top-k — the brute-force KNN shape on a
-    scalar metric (ref A12/A13). Same WindowGroupLimit scale path as
-    knn_exact: local top-k per partition before the shuffle."""
+    """Per-left top-k nearest on a scalar metric (ref A12/A13) —
+    result identical to the brute-force CROSS JOIN + window the oracle
+    runs, computed by sorted-neighbor CANDIDATE GENERATION instead of
+    the |S| x |C| expansion (measured: the brute-force plan cost 63 s
+    at the 10x tier on its own 1.5e9-row blow-up; this plan touches
+    O(|C| + |S|) rows).
+
+    Why the candidate set is exact (provable superset of any top-3 by
+    (|s_bal - c_bal|, c_custkey)):
+      1. within one distinct balance value every customer ties on
+         distance, so only the value's 3 smallest custkeys can ever
+         rank — keep exactly those per value;
+      2. a 4th-nearest distinct value on one side is strictly farther
+         than 3 whole values on that side, each holding >= 1 customer
+         that beats it on distance (ties impossible across strictly
+         different distances) — so the 3 nearest distinct values
+         below s_bal plus the 3 nearest above cover every winner.
+    An exact re-rank over the <= 18 candidates per supplier (same
+    (d, custkey) expressions as the brute force) then reproduces the
+    oracle rows bit-for-bit.
+
+    Scale shape: one hash exchange builds the per-value custkey
+    lists; ONE range exchange co-sorts values and suppliers, and the
+    neighbor scan is a per-partition numpy searchsorted. Partition
+    edges are handled by over-submitting each partition's first/last
+    3 value rows to the (few) edge suppliers through a broadcast —
+    bounded at 6 rows per range partition, so no path depends on
+    |S| x |C| and the final window sorts <= ~24 rows per supplier."""
+    import pandas as pd
+
+    K = 3
     s = sources.load(spark, sf_dir, "supplier")
-    # the corpus parquet is one small file = ONE scan partition; the
-    # cross join expands it 1000x, so spread BEFORE the expansion or
-    # the whole blow-up (and its sort) runs single-threaded. AQE
-    # cannot split a stage that is already running — expansion inputs
-    # must be pre-spread. Conditional (load_spread), not a bare
-    # repartition: a multi-split cluster scan is already parallel and
-    # an unconditional repartition would reshuffle the full input.
     c = sources.load_spread(spark, sf_dir, "customer")
-    scored = c.crossJoin(F.broadcast(s)).withColumn(
-        "d", F.abs(F.col("s_acctbal") - F.col("c_acctbal"))
+
+    # (1) per distinct balance: the K smallest custkeys, ascending
+    wv = Window.partitionBy("c_acctbal").orderBy("c_custkey")
+    vals = (
+        c.select("c_acctbal", "c_custkey")
+        .filter(F.col("c_acctbal").isNotNull())
+        .withColumn("_r", F.row_number().over(wv))
+        .filter(F.col("_r") <= K)
+        .groupBy("c_acctbal")
+        .agg(F.sort_array(F.collect_list("c_custkey")).alias("cks"))
+    )
+
+    # (2) co-sort values and suppliers on balance in one range shuffle
+    cks_t = "array<bigint>"
+    v_tag = vals.select(
+        F.col("c_acctbal").alias("bal"),
+        F.lit(None).cast("bigint").alias("s_suppkey"),
+        F.lit(None).cast("double").alias("s_bal"),
+        F.col("cks").cast(cks_t).alias("cks"),
+    )
+    s_tag = s.select(
+        F.col("s_acctbal").alias("bal"),
+        F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+        F.col("s_acctbal").alias("s_bal"),
+        F.lit(None).cast(cks_t).alias("cks"),
+    )
+    merged = v_tag.unionByName(s_tag).repartitionByRange(
+        spark.sparkContext.defaultParallelism, "bal"
+    )
+
+    out_schema = (
+        "kind int, s_suppkey bigint, s_bal double, bal double, cks array<bigint>"
+    )
+
+    def scan(batches):
+        import numpy as np
+
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        is_val = pdf["cks"].notna()
+        v = pdf[is_val].sort_values("bal", kind="mergesort").reset_index(drop=True)
+        sup = pdf[~is_val]
+        vb = v["bal"].to_numpy()
+        rows = {"kind": [], "s_suppkey": [], "s_bal": [], "bal": [], "cks": []}
+
+        def emit(kind, sk, sb, bal, cks):
+            rows["kind"].append(kind)
+            rows["s_suppkey"].append(sk)
+            rows["s_bal"].append(sb)
+            rows["bal"].append(bal)
+            rows["cks"].append(cks)
+
+        # partition-boundary value rows (first/last K): every edge
+        # supplier's missing neighbors are provably among some
+        # partition's first/last K (a partition with <= 2K values
+        # contributes ALL of them)
+        n = len(v)
+        for i in list(range(min(K, n))) + list(range(max(0, n - K), n)):
+            emit(2, None, None, float(vb[i]), list(v["cks"].iloc[i]))
+        idx = np.searchsorted(vb, sup["s_bal"].to_numpy(), side="right")
+        for (sk, sb), i in zip(zip(sup["s_suppkey"], sup["s_bal"]), idx):
+            lo, hi = max(0, i - K), min(n, i + K)
+            for j in range(lo, hi):
+                emit(0, int(sk), float(sb), float(vb[j]), list(v["cks"].iloc[j]))
+            if i - K < 0 or i + K > n:  # fewer than K neighbors a side
+                emit(1, int(sk), float(sb), None, None)
+        yield pd.DataFrame(rows)
+
+    scanned = merged.mapInPandas(scan, out_schema)
+    scanned = scanned.persist()
+    cand = scanned.filter(F.col("kind") == 0).select("s_suppkey", "s_bal", "bal", "cks")
+    edge_sup = scanned.filter(F.col("kind") == 1).select("s_suppkey", "s_bal")
+    # global boundary rows: <= 2K per range partition, broadcast-safe
+    boundary = (
+        scanned.filter(F.col("kind") == 2).select("bal", "cks").dropDuplicates(["bal"])
+    )
+    cand = cand.unionByName(
+        edge_sup.crossJoin(F.broadcast(boundary)).select("s_suppkey", "s_bal", "bal", "cks")
+    ).dropDuplicates(["s_suppkey", "bal"])
+
+    # (3) exact re-rank over candidates — same (d, custkey) ordering
+    # expressions as the brute force, so results are bit-identical
+    exploded = cand.select(
+        "s_suppkey",
+        "s_bal",
+        F.explode("cks").alias("c_custkey"),
+        F.abs(F.col("s_bal") - F.col("bal")).alias("d"),
     )
     w = Window.partitionBy("s_suppkey").orderBy(F.col("d").asc(), F.col("c_custkey").asc())
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 3)
+        exploded.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= K)
         .select("s_suppkey", "rnk", "c_custkey", F.round("d", 2).alias("bal_dist"))
     )
 

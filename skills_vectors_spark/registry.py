@@ -123,11 +123,12 @@ _PROMOTED = [
 # per-row stages): the unconditional repartitions in ann.py
 # :359/606/739/899, knn.py :57/264, embed.py :142/253/337 — each
 # stales its whole file (9/6/4 rows), so pair each file's conversion
-# with its rotation slots. join_cross_topk's 10x cost is measured at
-# 63 s post-conversion (identical plan to the pre-conversion
-# unconditional repartition — the 1.5e9-row expansion itself, not a
-# partitioning defect); a sorted-neighbor candidate rewrite is the
-# only way down and changes no registered semantics if attempted.
+# with its rotation slots. (join_cross_topk's sorted-neighbor rewrite
+# — measured 63 s of 1.5e9-row brute-force expansion at 10x — was
+# pulled forward INTO r10 since relational.py was already staled and
+# windowed: 63.0 -> 1.08 s at 10x, 1.12 -> 0.89 s at sf0.1, oracle
+# unchanged and green at all three tiers + adversarial planted-tie
+# property tests in tests/test_cross_topk.py.)
 _DEFERRED: list[str] = []
 
 

@@ -1,0 +1,102 @@
+"""join_cross_topk sorted-neighbor plan: adversarial parity against
+an in-test brute force (the exact semantics the DuckDB oracle runs).
+
+The r10 rewrite replaces the |S| x |C| cross-join expansion with
+candidate generation (per distinct balance the 3 smallest custkeys;
+per supplier the 3 nearest distinct balances each side; exact
+re-rank). These tests plant the data shapes where that derivation
+could break: mass balance ties, exactly-equidistant value pairs,
+suppliers sitting on partition edges, and suppliers at the domain
+extremes with fewer than 3 values per side.
+"""
+
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _plant(customers, suppliers):
+    """customers: [(custkey, acctbal)], suppliers: [(suppkey, acctbal)]
+    -> sf_dir with minimal customer/supplier parquet (engine schema)."""
+    d = tempfile.mkdtemp(prefix="svs_xtopk_")
+    ck, cb = zip(*customers)
+    c = pa.table(
+        {
+            "c_custkey": pa.array(ck, pa.int64()),
+            "c_name": pa.array([f"c{k}" for k in ck]),
+            "c_nationkey": pa.array([0] * len(ck), pa.int32()),
+            "c_acctbal": pa.array(cb, pa.float64()),
+            "c_mktsegment": pa.array(["BUILDING"] * len(ck)),
+        }
+    )
+    sk, sb = zip(*suppliers)
+    s = pa.table(
+        {
+            "s_suppkey": pa.array(sk, pa.int64()),
+            "s_name": pa.array([f"s{k}" for k in sk]),
+            "s_nationkey": pa.array([0] * len(sk), pa.int32()),
+            "s_acctbal": pa.array(sb, pa.float64()),
+        }
+    )
+    pq.write_table(c, os.path.join(d, "customer.parquet"))
+    pq.write_table(s, os.path.join(d, "supplier.parquet"))
+    return d
+
+
+def _brute(customers, suppliers, k=3):
+    out = {}
+    for sk, sb in suppliers:
+        ranked = sorted(((abs(sb - cb), ck) for ck, cb in customers))[:k]
+        out[sk] = [
+            (r + 1, ck, round(d, 2)) for r, (d, ck) in enumerate(ranked)
+        ]
+    return out
+
+
+def _run(spark, d):
+    from skills_vectors_spark.operators.relational import join_cross_topk
+
+    got = {}
+    for r in join_cross_topk(spark, d).collect():
+        got.setdefault(r.s_suppkey, []).append((r.rnk, r.c_custkey, r.bal_dist))
+    return {k: sorted(v) for k, v in got.items()}
+
+
+def test_cross_topk_mass_ties_and_equidistant_pairs(spark):
+    """50 customers share one balance (tie-break must pick the 3
+    smallest custkeys), and suppliers sit exactly between two values
+    (s-d and s+d both present -> cross-value custkey interleave)."""
+    customers = [(100 + i, 50.0) for i in range(50)]  # mass tie at 50
+    customers += [(10, 40.0), (11, 60.0), (12, 45.0), (13, 55.0), (14, 30.0)]
+    suppliers = [(1, 50.0), (2, 50.5), (3, 42.5), (4, 0.0), (5, 100.0)]
+    d = _plant(customers, suppliers)
+    assert _run(spark, d) == {
+        k: sorted(v) for k, v in _brute(customers, suppliers).items()
+    }
+
+
+def test_cross_topk_sparse_values_and_domain_edges(spark):
+    """Fewer distinct values than K on a side: domain-edge suppliers
+    and a 2-value corpus exercise the deficit/boundary path (every
+    range partition holds < 2K values, so ALL suppliers resolve
+    through the broadcast boundary rows)."""
+    customers = [(1, 10.0), (2, 10.0), (3, 10.0), (4, 10.0), (5, 90.0)]
+    suppliers = [(1, 5.0), (2, 10.0), (3, 50.0), (4, 95.0), (5, 89.9)]
+    d = _plant(customers, suppliers)
+    assert _run(spark, d) == {
+        k: sorted(v) for k, v in _brute(customers, suppliers).items()
+    }
+
+
+def test_cross_topk_many_partition_edges(spark):
+    """Dense distinct values with suppliers planted AT every few
+    values — many suppliers land within K of a range-partition edge,
+    exercising partial-candidates + boundary over-submission dedup."""
+    customers = [(i, float(i)) for i in range(1, 401)]
+    suppliers = [(j, float(j * 3) + 0.5) for j in range(1, 130)]
+    d = _plant(customers, suppliers)
+    assert _run(spark, d) == {
+        k: sorted(v) for k, v in _brute(customers, suppliers).items()
+    }

@@ -25,7 +25,9 @@ BNLJ_ALLOWED = {
     "report_pivot",  # consumes knn_exact
     "embed_knn_pipeline",  # embeds then knn_exact
     "ann_ivf",  # 20 queries x 16 centroids probe ranking
-    "join_cross_topk",  # declared brute-force cross+topk primitive
+    "join_cross_topk",  # bounded boundary broadcast (<=2K rows/range
+    # partition) into the few edge suppliers — r10 sorted-neighbor
+    # candidate plan; the |S| x |C| brute-force expansion is gone
     "join_theta_range",  # declared band-join primitive (scale twin: join_range_binned)
     "dedup_embed_cosine",  # declared exact all-pairs tier (scale twins: blas/lsh)
     "sim_topk_bruteforce",  # declared brute-force baseline (GEMM-side)
