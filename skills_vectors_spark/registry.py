@@ -114,16 +114,23 @@ _PROMOTED = [
 
 # r11 rotation queue (did not fit this window): functions_suite.py
 # (14 rows) carries the two remaining MEASURED spread wins — fn_json
-# 2.54 -> 1.48 s and fn_string 0.85 -> 0.48 s at 10x (end-of-r9
-# zero-edit A/B) — plus one unconditional
+# and fn_string, RE-MEASURED end-of-r10 (zero-edit proxy A/B,
+# min-of-2 cold) at BOTH tiers after the agg_hash lesson: fn_json
+# 0.43 -> 0.32 s at sf0.1 / 1.96 -> 1.49 s at 10x, fn_string
+# 0.28 -> 0.24 / 0.73 -> 0.41 — spread wins both tiers (per-row JSON
+# parse / string funcs are the CPU-heavy class, unlike agg_hash's
+# cheap projection, converted and REVERTED in r10 on a +0.55 s
+# sf0.1 bench regression) — plus one unconditional
 # repartition(defaultParallelism) at functions_suite.py:316; the file
 # could not be edited in r10 because its 14 rows would have pushed
-# the staled set to 54 > 50 window slots. Also queued, measure-first
-# under the round-9 spread boundary (spread pays only on CPU-heavy
-# per-row stages): the unconditional repartitions in ann.py
-# :359/606/739/899, knn.py :57/264, embed.py :142/253/337 — each
-# stales its whole file (9/6/4 rows), so pair each file's conversion
-# with its rotation slots. (join_cross_topk's sorted-neighbor rewrite
+# the staled set to 54 > 50 window slots. Also queued: the
+# unconditional repartitions in ann.py :359/606/739/899, knn.py
+# :57/264, embed.py :142/253/337 — these need NO local measurement:
+# unconditional -> conditional spread is plan-IDENTICAL at local
+# one-split tiers (the probe still repartitions) and a pure
+# 100 TB-correctness edit (no full-corpus reshuffle on multi-split
+# cluster reads); each stales its whole file (9/6/4 rows), so pair
+# each file's conversion with its rotation slots. (join_cross_topk's sorted-neighbor rewrite
 # — measured 63 s of 1.5e9-row brute-force expansion at 10x — was
 # pulled forward INTO r10 since relational.py was already staled and
 # windowed: 63.0 -> 1.08 s at 10x, 1.12 -> 0.89 s at sf0.1, oracle
