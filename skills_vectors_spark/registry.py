@@ -124,7 +124,7 @@ _PROMOTED = [
 # repartition(defaultParallelism) at functions_suite.py:316; the file
 # could not be edited in r10 because its 14 rows would have pushed
 # the staled set to 54 > 50 window slots. Also queued: the
-# unconditional repartitions in ann.py :359/606/739/899, knn.py
+# unconditional repartitions in ann.py :101/359/606/739/899, knn.py
 # :57/264, embed.py :142/253/337 — these need NO local measurement:
 # unconditional -> conditional spread is plan-IDENTICAL at local
 # one-split tiers (the probe still repartitions) and a pure
