@@ -98,10 +98,10 @@ def hyperplane_buckets(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
                 }
             )
 
-    spread = df.select(F.col(id_col).alias("vec_id"), "embedding").repartition(
-        df.sparkSession.sparkContext.defaultParallelism
+    proj = sources.spread(
+        df.sparkSession, df.select(F.col(id_col).alias("vec_id"), "embedding")
     )
-    return spread.mapInPandas(run, _SIG_SCHEMA)
+    return proj.mapInPandas(run, _SIG_SCHEMA)
 
 
 @register("ann_lsh")  # rows-only
@@ -356,9 +356,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     N_PROBE nearest centroids -> exact re-rank within probed cells.
     Corpus scan per query drops to nprobe/ncells of the data; at
     100 TB the cell assignment is the partitioning key."""
-    emb = sources.load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    emb = sources.load_spread(spark, sf_dir, "embeddings")
     cents = ivf_centroids(spark, sf_dir, emb)
     centers = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)],
@@ -603,9 +601,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     gathers; top candidates get an exact cosine re-rank (the same
     overshoot-then-verify shape as the reference's gold query,
     skills_for_jobs.py:363,371-379)."""
-    emb = sources.load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    emb = sources.load_spread(spark, sf_dir, "embeddings")
     books = pq_codebooks(spark, sf_dir, emb)  # (M, K, d_sub)
     d_sub = books.shape[2]
     q_rows = (
@@ -736,9 +732,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     The candidate join carries only (q_id, cell, c_id, code) — at
     100 TB no embedding ever crosses the wire until the final
     re-rank join fetches the few shortlisted vectors."""
-    emb = sources.load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    emb = sources.load_spread(spark, sf_dir, "embeddings")
     cents = ivf_centroids(spark, sf_dir, emb)
     books = pq_residual_codebooks(spark, sf_dir, emb)
     C = np.array(cents, dtype=np.float64)
@@ -896,9 +890,7 @@ def sink_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests."""
     from skills_vectors_spark.scratch import scratch as _scratch
 
-    emb = sources.load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    emb = sources.load_spread(spark, sf_dir, "embeddings")
     cents = ivf_centroids(spark, sf_dir, emb)
     path = _scratch(sf_dir, "ivf_index")
     assign_cells(emb, cents).write.mode("overwrite").partitionBy("cell").parquet(path)

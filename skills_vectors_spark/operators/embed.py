@@ -138,10 +138,9 @@ def embed_documents(
     dim = PROVIDERS[provider]
 
     # spread the (often single-partition) input so embedding batches
-    # run on every core / executor, not one
-    spread = df.select(id_col, text_col).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    )
+    # run on every core / executor, not one — conditionally, so a
+    # multi-split cluster read is never reshuffled
+    spread = sources.spread(df.sparkSession, df.select(id_col, text_col))
     if provider == SQLHASH_PROVIDER:
         # engine-expression provider: whole-stage codegen, no Python
         # worker stage at all — and a plan that reuses for free when a
@@ -250,8 +249,9 @@ def embed_knn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    c = emb.select(F.col("doc_id").alias("c_id"), F.col("embedding").alias("c_emb")).repartition(
-        spark.sparkContext.defaultParallelism
+    c = sources.spread(
+        spark,
+        emb.select(F.col("doc_id").alias("c_id"), F.col("embedding").alias("c_emb")),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -333,9 +333,8 @@ def embed_with_status(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "status": statuses, "error": errors}
             )
 
-    d = sources.load(spark, sf_dir, "documents").select("doc_id", "text")
-    spread = d.repartition(spark.sparkContext.defaultParallelism)
-    return spread.mapInPandas(run, _EMBED_STATUS_SCHEMA)
+    d = sources.load_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(run, _EMBED_STATUS_SCHEMA)
 
 
 @register(

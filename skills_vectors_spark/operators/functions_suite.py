@@ -36,8 +36,13 @@ from skills_vectors_spark.registry import register
 def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String family: replace/lower/substring/length/concat_ws — the
     reference's newline-scrub before embedding (A5) plus id synthesis
-    (load_skill_vectors_pg.py:29)."""
-    d = sources.load(spark, sf_dir, "documents")
+    (load_skill_vectors_pg.py:29).
+
+    load_spread: the per-row regexp/substring work is CPU-bound, so a
+    one-split local scan would serialize it on one core (measured
+    0.73 -> 0.41 s at 10x, 0.28 -> 0.24 s at sf0.1); at cluster scale
+    the conditional is a no-op — no full-corpus reshuffle."""
+    d = sources.load_spread(spark, sf_dir, "documents")
     scrubbed = F.regexp_replace("text", "\n", " ")
     return d.select(
         "doc_id",
@@ -158,8 +163,14 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the events.props payload (A22's serialized
-    metadata, qdrant payload load_skill_vectors_qdrant.py:53-56)."""
-    ev = sources.load(spark, sf_dir, "events")
+    metadata, qdrant payload load_skill_vectors_qdrant.py:53-56).
+
+    load_spread: get_json_object parses the payload per row — the
+    CPU-heavy class where spreading a one-split local scan wins
+    (measured 1.96 -> 1.49 s at 10x, 0.43 -> 0.32 s at sf0.1);
+    conditional, so zero added shuffle on a multi-split cluster
+    read."""
+    ev = sources.load_spread(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return ev.select(
         "event_id", "event_type", k.alias("prop_k"), (k % 10).alias("k_mod")
@@ -312,10 +323,10 @@ def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the expansion primitive under the shingle/band/bucket operators,
     declared standalone. Expansions multiply rows, so real pipelines
     repartition BEFORE exploding (see dedup.shingle_df); here the
-    corpus is pre-spread by the source scan."""
-    e = sources.load(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    corpus is pre-spread by the source scan (conditionally: a
+    multi-split cluster read is already spread, so no reshuffle is
+    added at 100 TB)."""
+    e = sources.load_spread(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id", F.posexplode("embedding").alias("pos", "raw")
     ).select(

@@ -50,11 +50,13 @@ def ranked_knn(
     corpus_cols = [F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")]
     if with_label:
         corpus_cols.append(F.col("label"))
-    # repartition the corpus before the expansion join: the parquet is
-    # one small file (one scan partition) and the join multiplies rows
-    # by n_queries — pre-spreading keeps the interpreted HOF distance
-    # fold parallel across all cores/executors
-    corpus = emb.select(*corpus_cols).repartition(spark.sparkContext.defaultParallelism)
+    # spread the corpus before the expansion join: the local parquet
+    # is one small file (one scan partition) and the join multiplies
+    # rows by n_queries — pre-spreading keeps the interpreted HOF
+    # distance fold parallel across all cores. Conditional: a
+    # multi-split cluster read already exceeds the target, so no
+    # full-corpus reshuffle is added at 100 TB.
+    corpus = sources.spread(spark, emb.select(*corpus_cols))
 
     joined = corpus.crossJoin(F.broadcast(q)).where(F.col("q_id") != F.col("c_id"))
     if metric == "cosine":
@@ -258,10 +260,11 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    corpus = (
-        emb.filter(F.col("label") == FILTER_LABEL)
-        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "label")
-        .repartition(spark.sparkContext.defaultParallelism)
+    corpus = sources.spread(
+        spark,
+        emb.filter(F.col("label") == FILTER_LABEL).select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "label"
+        ),
     )
     joined = corpus.crossJoin(F.broadcast(q)).where(F.col("q_id") != F.col("c_id"))
     scored = joined.withColumn("score", cosine_sim("q_emb", "c_emb"))

@@ -34,108 +34,106 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Round-10 window (the r9 verdict's ordered rotation): execute the
-# pre-measured conversion queue and re-attest everything it stales.
-# (a) relational.py's 29 rows — staled by this round's load_spread
-# conversions (join_theta_range's streamed side, the single-task
-# BroadcastNestedLoopJoin fix: 24.73 -> 1.37 s measured at 10x;
-# agg_hash / dedup_first scan spreads; join_cross_topk's
-# unconditional pre-expansion repartition -> conditional load_spread,
-# plan-identical on a one-split local scan, no full-corpus reshuffle
-# on a multi-split cluster read);
-# (b) textstats.py's 11 rows — staled by the five tokenize-class
-# load_spread conversions (lang_id 3.67->0.68 s, quality_score
-# 2.33->0.57, token_count 1.29->0.72, fingerprint_rolling 1.06->0.43,
-# fingerprint 0.53->0.44 at 10x, post-conversion isolated runs) and
-# by converting the package's last three unconditional
-# repartition(defaultParallelism) calls (text_chunk /
-# quality_repetition / scrub_pii) to the same conditional form;
-# (c) scale_twins.py's 5 rows — staled by the advisor-r10 all-NULL
-# guard in anomaly_mad_production's attestation arm;
-# (d) 5 re-attestation slots for the oldest green rows in UNCHANGED
-# files (r5 attestations, knn.py/ann.py): no green row ages past ~5
-# rounds (r9 verdict order #4).
+# Round-11 window (the r10 verdict's ordered rotation): retire every
+# remaining unconditional repartition(defaultParallelism) in the
+# package and re-attest everything the conversions stale.
+# (a) functions_suite.py's 14 rows — staled by landing the two
+# MEASURED load_spread conversions deferred from r10 (fn_json
+# 1.96 -> 1.49 s at 10x / 0.43 -> 0.32 s at sf0.1, fn_string
+# 0.73 -> 0.41 / 0.28 -> 0.24; zero-edit proxy A/B, min-of-2 cold,
+# re-measured end-of-r10 after the agg_hash revert lesson) plus
+# fn_explode's unconditional repartition -> load_spread;
+# (b) ann.py's 9 rows — staled by converting the five unconditional
+# sites (:101 _signatures, :359 ann_ivf, :606 ann_pq, :739
+# ann_ivf_pq, :899 sink_ann_index) to conditional spread/load_spread.
+# Plan-IDENTICAL at local one-split tiers (the probe still
+# repartitions); at a multi-split cluster read each was an avoidable
+# full-corpus reshuffle at 100 TB — no measurement needed;
+# (c) knn.py's 6 rows — same conversion at :57 (the _knn core) and
+# :264 (knn_filtered);
+# (d) embed.py's 4 rows — same conversion at :142 (embed_documents),
+# :253 (embed_knn_pipeline), :337 (embed_with_status);
+# (e) 17 re-attestation slots for the oldest green rows in UNCHANGED
+# files: mix_temperature (r4, the registry's single oldest row),
+# dedup_url + mm_image_resize (r6), then 14 of the 19 remaining r7
+# rows (all of scale.py's six, corpus_eval's two, six of scale2.py's
+# eleven). After this window the oldest attestation is r7 and only
+# five r7 rows remain (see the r12 queue below).
 _PROMOTED = [
-    # (a) relational.py stratum — conversion sites first
-    "join_theta_range",
-    "join_cross_topk",
-    "agg_hash",
-    "dedup_first",
-    "scan_parquet",
-    "scan_csv",
-    "sink_parquet",
-    "sink_overwrite",
-    "project_rename",
-    "filter_pred",
-    "join_inner_hash",
-    "join_broadcast",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "agg_distinct",
-    "agg_approx_distinct",
-    "agg_collect",
-    "agg_rollup",
-    "agg_cube",
-    "agg_gsets",
-    "win_rank_topk",
-    "win_running",
-    "win_lag_lead",
-    "win_ntile_cume",
-    "sort_limit",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    # (b) textstats.py stratum — conversion sites first
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "fingerprint_rolling",
-    "fingerprint",
-    "text_chunk",
-    "quality_repetition",
-    "scrub_pii",
-    "text_stats",
-    "diag_skew",
-    "diag_partition_stats",
-    # (c) scale_twins.py stratum (advisor-r10 NULL guard)
-    "anomaly_mad_production",
-    "agg_gini_distributed",
-    "approx_percentile_production",
-    "hll_sketch_production",
-    "dedup_ngram_jaccard_production",
-    # (d) oldest-attestation re-attest (r5 greens, files unchanged)
-    "knn_exact_l2",
-    "eval_avgsim",
-    "eval_recall",
+    # (a) functions_suite.py stratum -- conversion sites first
+    "fn_string",
+    "fn_json",
+    "fn_explode",
+    "fn_date",
+    "fn_math",
+    "fn_array",
+    "fn_cosine",
+    "fn_l2",
+    "fn_map",
+    "fn_regex",
+    "fn_bitwise",
+    "fn_conditional",
+    "fn_variant",
+    "fn_xml",
+    # (b) ann.py stratum -- conversion sites first (5 rows-only by
+    # design: seeded/trained index state; recall-gated in tests)
+    "ann_lsh",
+    "ann_ivf",
+    "ann_pq",
+    "ann_ivf_pq",
+    "sink_ann_index",
+    "ann_brp_l2",
+    "stream_ann_assign",
     "eval_recall_lsh",
+    "eval_backend_compare",
+    # (c) knn.py stratum
+    "knn_exact",
+    "knn_exact_l2",
+    "knn_filtered",
+    "eval_recall",
+    "eval_avgsim",
     "report_pivot",
+    # (d) embed.py stratum
+    "embed_mock",
+    "embed_with_status",
+    "embed_knn_pipeline",
+    "embed_provider_switch",
+    # (e) oldest-attestation re-attest (files unchanged this round)
+    "mix_temperature",
+    "dedup_url",
+    "mm_image_resize",
+    "join_skew_salted",
+    "sink_clustered",
+    "sink_json",
+    "sink_merge_rows",
+    "sink_orc",
+    "sink_partitioned",
+    "eval_ndcg_mrr",
+    "text_zipf_slope",
+    "agg_hist",
+    "agg_hll_sketch",
+    "agg_minmax_by",
+    "fn_url",
+    "join_fuzzy_blocked",
+    "join_range_binned",
 ]
 
-# r11 rotation queue (did not fit this window): functions_suite.py
-# (14 rows) carries the two remaining MEASURED spread wins — fn_json
-# and fn_string, RE-MEASURED end-of-r10 (zero-edit proxy A/B,
-# min-of-2 cold) at BOTH tiers after the agg_hash lesson: fn_json
-# 0.43 -> 0.32 s at sf0.1 / 1.96 -> 1.49 s at 10x, fn_string
-# 0.28 -> 0.24 / 0.73 -> 0.41 — spread wins both tiers (per-row JSON
-# parse / string funcs are the CPU-heavy class, unlike agg_hash's
-# cheap projection, converted and REVERTED in r10 on a +0.55 s
-# sf0.1 bench regression) — plus one unconditional
-# repartition(defaultParallelism) at functions_suite.py:316; the file
-# could not be edited in r10 because its 14 rows would have pushed
-# the staled set to 54 > 50 window slots. Also queued: the
-# unconditional repartitions in ann.py :101/359/606/739/899, knn.py
-# :57/264, embed.py :142/253/337 — these need NO local measurement:
-# unconditional -> conditional spread is plan-IDENTICAL at local
-# one-split tiers (the probe still repartitions) and a pure
-# 100 TB-correctness edit (no full-corpus reshuffle on multi-split
-# cluster reads); each stales its whole file (9/6/4 rows), so pair
-# each file's conversion with its rotation slots. (join_cross_topk's sorted-neighbor rewrite
-# — measured 63 s of 1.5e9-row brute-force expansion at 10x — was
-# pulled forward INTO r10 since relational.py was already staled and
-# windowed: 63.0 -> 1.08 s at 10x, 1.12 -> 0.89 s at sf0.1, oracle
-# unchanged and green at all three tiers + adversarial planted-tie
-# property tests in tests/test_cross_topk.py.)
+# r12 rotation queue: relational.py was deliberately NOT edited in
+# r11 — its 29 rows were all attested in r10 and editing the file
+# would have staled them against the 33 conversion rows (62 > 50
+# window slots). The batched r12 relational.py edits, all low-risk
+# and advisor-r10-ordered: (1) join_cross_topk scan()'s s_suppkey
+# precision fix (the unioned frame puts NULL in the bigint column,
+# Arrow renders it float64, int(sk) loses precision above 2^53 —
+# carry suppkey in a per-tag non-null column); (2) the
+# scanned.persist() disposition from the r11 isolated A/B (see
+# SCALING.md 'join_cross_topk persist A/B'); (3) docstring notes:
+# the no-NULL-balance precondition of the sorted-neighbor rewrite
+# and the heavy-hitter c_acctbal skew limit of the per-value top-K
+# window. Window slots for r12: relational.py's 29 rows + the five
+# r7 rows deferred from the r11 window (quality_filter_apply,
+# sessionize_batch, sink_compact, sink_zorder, text_pack_tokens,
+# all scale2.py) = 34, leaving ~16 slots for the then-oldest cohort.
 _DEFERRED: list[str] = []
 
 
@@ -146,14 +144,14 @@ def load_all() -> None:
     sweeps (tools/driver_sim.py's first-N window, spot checks, and any
     consumer that samples the registry front-to-back). The head of the
     order is the surface with the least accumulated verification
-    signal. Round-9 rotation (the r8 verdict's ordered queue): first
-    registrations (the four production twins) first, then rows whose
-    semantics or plan changed this round, then rows re-staled by this
-    round's edits (relevance/vector_blas), then the written r9 queue
-    (relational2's 20 r7-staled rows, dedup.py's 13 r8-staled rows) —
-    the explicit 50-entry _PROMOTED list IS the window; the deferred
-    load_spread conversions (relational.py, textstats.py) are queued
-    for r10 (see _DEFERRED comment).
+    signal. Round-11 rotation (the r10 verdict's ordered queue): the
+    four files whose unconditional repartitions were converted this
+    round (functions_suite / ann / knn / embed — conversion sites
+    first within each stratum), then the oldest-attestation
+    re-attest slots — the explicit 50-entry _PROMOTED list IS the
+    window; the batched relational.py edits (advisor-r10 items +
+    the persist disposition) are queued for r12 (see the r12 queue
+    comment above).
     """
     import skills_vectors_spark.operators.functions_suite  # noqa: F401
     import skills_vectors_spark.operators.textstats  # noqa: F401
