@@ -27,67 +27,66 @@ def test_entry_contract(spark):
 def test_sweep_window_prioritizes_least_attested():
     """Bounded front-to-back sweeps read the first 50 registered
     queries; that window must hold the least-attested-on-current-code
-    surface. Round-10 rotation (the r9 verdict's ordered queue): the
-    conversion-queue strata — relational.py's 29 rows (theta-range /
-    cross-topk / agg_hash / dedup_first load_spread conversions),
-    textstats.py's 11 rows (tokenize-class spreads + the last
-    unconditional repartitions), scale_twins.py's 5 rows (advisor-r10
-    NULL guard) — plus 5 oldest-attestation re-attest slots (r5
-    greens in unchanged knn/ann files)."""
+    surface. Round-11 rotation (the r10 verdict's ordered queue): the
+    four files whose unconditional repartitions were converted this
+    round — functions_suite.py's 14 rows (fn_json / fn_string
+    load_spread wins + fn_explode), ann.py's 9, knn.py's 6,
+    embed.py's 4 — plus 17 oldest-attestation re-attest slots
+    (mix_temperature r4, the r6 pair, 14 of the 19 r7 rows)."""
     from skills_vectors_spark import registry
 
     registry.load_all()
     window = list(registry.QUERIES)[:50]
     for must in [
-        "join_theta_range",
-        "join_cross_topk",
-        "agg_hash",
-        "dedup_first",
-        "scan_parquet",
-        "scan_csv",
-        "sink_parquet",
-        "sink_overwrite",
-        "project_rename",
-        "filter_pred",
-        "join_inner_hash",
-        "join_broadcast",
-        "join_left_outer",
-        "join_semi",
-        "join_anti",
-        "agg_distinct",
-        "agg_approx_distinct",
-        "agg_collect",
-        "agg_rollup",
-        "agg_cube",
-        "agg_gsets",
-        "win_rank_topk",
-        "win_running",
-        "win_lag_lead",
-        "win_ntile_cume",
-        "sort_limit",
-        "set_union",
-        "set_intersect",
-        "set_except",
-        "lang_id",
-        "quality_score",
-        "token_count",
-        "fingerprint_rolling",
-        "fingerprint",
-        "text_chunk",
-        "quality_repetition",
-        "scrub_pii",
-        "text_stats",
-        "diag_skew",
-        "diag_partition_stats",
-        "anomaly_mad_production",
-        "agg_gini_distributed",
-        "approx_percentile_production",
-        "hll_sketch_production",
-        "dedup_ngram_jaccard_production",
-        "knn_exact_l2",
-        "eval_avgsim",
-        "eval_recall",
+        "fn_string",
+        "fn_json",
+        "fn_explode",
+        "fn_date",
+        "fn_math",
+        "fn_array",
+        "fn_cosine",
+        "fn_l2",
+        "fn_map",
+        "fn_regex",
+        "fn_bitwise",
+        "fn_conditional",
+        "fn_variant",
+        "fn_xml",
+        "ann_lsh",
+        "ann_ivf",
+        "ann_pq",
+        "ann_ivf_pq",
+        "sink_ann_index",
+        "ann_brp_l2",
+        "stream_ann_assign",
         "eval_recall_lsh",
+        "eval_backend_compare",
+        "knn_exact",
+        "knn_exact_l2",
+        "knn_filtered",
+        "eval_recall",
+        "eval_avgsim",
         "report_pivot",
+        "embed_mock",
+        "embed_with_status",
+        "embed_knn_pipeline",
+        "embed_provider_switch",
+        "mix_temperature",
+        "dedup_url",
+        "mm_image_resize",
+        "join_skew_salted",
+        "sink_clustered",
+        "sink_json",
+        "sink_merge_rows",
+        "sink_orc",
+        "sink_partitioned",
+        "eval_ndcg_mrr",
+        "text_zipf_slope",
+        "agg_hist",
+        "agg_hll_sketch",
+        "agg_minmax_by",
+        "fn_url",
+        "join_fuzzy_blocked",
+        "join_range_binned",
     ]:
         assert must in window, f"{must} fell out of the 50-query sweep window"
