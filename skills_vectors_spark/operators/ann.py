@@ -559,7 +559,17 @@ def eval_backend_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_M = 8  # subvectors per vector
 PQ_K = 16  # centroids per subspace -> 4 bits; code = 8 bytes/vector
-PQ_OVERSHOOT = 8  # ADC candidates per final result before exact re-rank
+# ADC candidates per final result before exact re-rank. r11 A/B at
+# sf0.1: 8 -> 32 lifts pq recall 0.455 -> 0.850 and ivf_pq
+# 0.535 -> 0.755 at FLAT cost (9.0 -> 9.0 s, 11.5 -> 11.9 s — the
+# shortlist re-rank join is negligible next to the ADC scan), taking
+# every backend past its declared floor at that tier. The 10x
+# word-salad tier stays below the 0.6 floor even at 32 (0.52/0.50):
+# 4-bit-x-8-subspace codes cannot separate near-random vectors — the
+# documented accuracy boundary, still xfail-gated there. At 100 TB
+# the shortlist is per-query-constant (K*32 rows), so overshoot does
+# not change any stage's asymptotic shape.
+PQ_OVERSHOOT = 32
 
 _PQ_CODEBOOKS: dict[str, np.ndarray] = {}
 

@@ -125,15 +125,25 @@ _PROMOTED = [
 # and advisor-r10-ordered: (1) join_cross_topk scan()'s s_suppkey
 # precision fix (the unioned frame puts NULL in the bigint column,
 # Arrow renders it float64, int(sk) loses precision above 2^53 —
-# carry suppkey in a per-tag non-null column); (2) the
-# scanned.persist() disposition from the r11 isolated A/B (see
-# SCALING.md 'join_cross_topk persist A/B'); (3) docstring notes:
-# the no-NULL-balance precondition of the sorted-neighbor rewrite
-# and the heavy-hitter c_acctbal skew limit of the per-value top-K
-# window. Window slots for r12: relational.py's 29 rows + the five
-# r7 rows deferred from the r11 window (quality_filter_apply,
-# sessionize_batch, sink_compact, sink_zorder, text_pack_tokens,
-# all scale2.py) = 34, leaving ~16 slots for the then-oldest cohort.
+# carry suppkey in a per-tag non-null column); (2) KEEP
+# scanned.persist() — r11 suite-shaped A/B (warm session, fresh
+# subprocess per run, 3 runs/arm): persist median 7.57 s cold /
+# 2.65 warm vs no-persist 9.04 / 3.80 at sf0.1 — the plan references
+# the scanned subtree three times, and recomputing it twice costs
+# more than the one cache write; add the session-lifetime-cache
+# justification comment the advisor asked for (CacheManager dedups
+# identical plans, so the entry is bounded at one per sf_dir);
+# (3) docstring notes: the no-NULL-balance precondition of the
+# sorted-neighbor rewrite and the heavy-hitter c_acctbal skew limit
+# of the per-value top-K window. ALSO r12: windows.py's measured
+# TWS vectorization (r11 experiment, bit-identical output hashes:
+# vectorizing stream_transform_state's per-row Python loop saves
+# ~5 s at 1M events, replacing exists()+get() with one get() ~0.5 s
+# more; apply the same shape to topk/typecounts). Window slots for
+# r12: relational.py 29 + windows.py 13 + the five r7 rows deferred
+# from the r11 window (quality_filter_apply, sessionize_batch,
+# sink_compact, sink_zorder, text_pack_tokens, all scale2.py) = 47,
+# leaving 3 slots for the then-oldest cohort.
 _DEFERRED: list[str] = []
 
 

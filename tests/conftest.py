@@ -49,3 +49,16 @@ degraded_gate_xfail = pytest.mark.xfail(
     "(SCALING.md): quantized-ANN recall / simhash precision",
     strict=_tier in _KNOWN_DEGRADED,
 )
+
+# r11: PQ_OVERSHOOT 8 -> 32 graduated the quantized-recall gates at
+# sf0.1 (pq 0.455 -> 0.850, ivf_pq 0.535 -> 0.755, every backend past
+# its floor, flat cost) — sf0.1 is no longer a degraded tier for the
+# PQ family. The 10x word-salad tier still sits below the 0.6 floor
+# (0.52/0.50 at overshoot 32): near-random vectors are the documented
+# quantization boundary, so svs_sf1 keeps the strict xfail.
+quantized_recall_xfail = pytest.mark.xfail(
+    condition=_tier not in ("sf0.001", "sf0.01", "sf0.1"),
+    reason="quantized-ANN recall below floor on the 10x near-random "
+    "corpus (SCALING.md r11 A/B: overshoot 32 gives 0.52/0.50 there)",
+    strict=_tier == "svs_sf1",
+)

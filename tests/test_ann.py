@@ -1,4 +1,4 @@
-from conftest import degraded_gate_xfail
+from conftest import quantized_recall_xfail
 from skills_vectors_spark.operators import ann
 from skills_vectors_spark.operators.knn import K, N_QUERIES, ranked_knn
 
@@ -48,7 +48,7 @@ def test_eval_recall_lsh_shape(spark, sf_dir):
     assert abs(summary[0].mean_recall - mean_recall) < 1e-6
 
 
-@degraded_gate_xfail
+@quantized_recall_xfail
 def test_eval_backend_compare_report(spark, sf_dir):
     from skills_vectors_spark.operators.ann import (
         backend_compare_report,
@@ -71,7 +71,7 @@ def test_eval_backend_compare_report(spark, sf_dir):
         assert g.recall_ok == (rows[name].avg_recall >= ann.BACKEND_FLOORS[name]), name
 
 
-@degraded_gate_xfail
+@quantized_recall_xfail
 def test_ann_pq_recall(spark, sf_dir):
     from skills_vectors_spark.operators.ann import ann_pq
     from skills_vectors_spark.operators.knn import ranked_knn
@@ -85,7 +85,7 @@ def test_ann_pq_recall(spark, sf_dir):
     assert recall >= 0.6, f"PQ+ADC recall vs exact too low: {recall}"
 
 
-@degraded_gate_xfail
+@quantized_recall_xfail
 def test_ann_ivf_pq_recall(spark, sf_dir):
     from skills_vectors_spark.operators.ann import ann_ivf_pq
     from skills_vectors_spark.operators.knn import knn_exact
