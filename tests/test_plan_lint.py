@@ -54,3 +54,32 @@ def test_no_unjustified_nested_loop(spark, sf_dir, name):
     if name in BNLJ_ALLOWED:
         return  # justified; nothing to assert (plan may improve freely)
     assert not bad, f"{name} plans a nested-loop/cartesian join:\n{plan}"
+
+
+def test_no_unconditional_full_repartition_in_package():
+    """The r11 retirement, pinned: round-robin `repartition(
+    defaultParallelism)` is a full-corpus reshuffle on a multi-split
+    cluster read, so every spread MUST go through the conditional
+    probes in sources.spread/load_spread (no-ops at scale). Keyed
+    repartitions (repartitionByRange / repartition(n, col)) are
+    algorithmic partitioning and stay allowed."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "skills_vectors_spark"
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        if py.name == "__init__.py" and py.parent.name == "sources":
+            continue  # the probe implementation itself
+        src = py.read_text()
+        # flag .repartition( whose FIRST argument is defaultParallelism
+        # (round-robin full reshuffle); keyed forms pass a column/int
+        for m in re.finditer(r"\.repartition\(\s*([^)]*)", src):
+            arg = m.group(1)
+            if "defaultParallelism" in arg.split(",")[0]:
+                line = src[: m.start()].count("\n") + 1
+                offenders.append(f"{py.relative_to(pkg)}:{line}")
+    assert not offenders, (
+        "unconditional round-robin repartition(defaultParallelism) "
+        f"reintroduced at: {offenders} — use sources.spread/load_spread"
+    )
