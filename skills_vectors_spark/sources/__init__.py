@@ -8,7 +8,6 @@ live as an `array<float>` column keyed by `vec_id` (never positional).
 
 from __future__ import annotations
 
-import math
 import os
 import weakref
 
@@ -317,7 +316,32 @@ def _local_scan_splits(spark: SparkSession, path: str) -> int | None:
     parallelism = max(1, spark.sparkContext.defaultParallelism)
     bytes_per_core = (total + open_cost * len(sizes)) // parallelism
     max_split = max(1, min(max_part, max(open_cost, bytes_per_core)))
-    return max(1, sum(math.ceil(sz / max_split) for sz in sizes if sz))
+    # Replicate FilePartition.getFilePartitions exactly: files are cut
+    # into <= maxSplitBytes chunks, chunks sorted largest-first, then
+    # greedily packed — a partition closes when the next chunk would
+    # push its BYTE size past maxSplitBytes, and every added chunk
+    # also charges openCostInBytes against the budget. The previous
+    # per-file ceil() skipped the packing step and over-counted
+    # many-small-file layouts (12 tiny files -> estimate 12 vs
+    # physical 6), which would make load_spread SKIP a needed local
+    # spread on a fragmented table (r11 property test pins agreement).
+    chunks: list[int] = []
+    for sz in sizes:
+        while sz > max_split:
+            chunks.append(max_split)
+            sz -= max_split
+        if sz:
+            chunks.append(sz)
+    chunks.sort(reverse=True)
+    n_parts, current = 0, 0
+    for c in chunks:
+        if current + c > max_split and current > 0:
+            n_parts += 1
+            current = 0
+        current += c + open_cost
+    if current > 0:
+        n_parts += 1
+    return max(1, n_parts)
 
 
 def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
