@@ -123,9 +123,13 @@ _PROMOTED = [
 # would have staled them against the 33 conversion rows (62 > 50
 # window slots). The batched r12 relational.py edits, all low-risk
 # and advisor-r10-ordered: (1) join_cross_topk scan()'s s_suppkey
-# precision fix (the unioned frame puts NULL in the bigint column,
-# Arrow renders it float64, int(sk) loses precision above 2^53 —
-# carry suppkey in a per-tag non-null column); (2) KEEP
+# precision fix — CONFIRMED by r11 repro: 50 interleaved-balance
+# suppliers keyed 2^53+odd collapsed to 26 even result keys (mixed
+# Arrow batches render the NULL-unioned bigint column float64 and
+# int(sk) drops the odd bit); pinned by the strict xfail
+# tests/test_cross_topk.py::test_cross_topk_suppkeys_above_2_53_survive,
+# which flips when the fix lands. Fix: carry suppkey in a per-tag
+# non-null column; (2) KEEP
 # scanned.persist() — r11 suite-shaped A/B (warm session, fresh
 # subprocess per run, 3 runs/arm): persist median 7.57 s cold /
 # 2.65 warm vs no-persist 9.04 / 3.80 at sf0.1 — the plan references

@@ -46,7 +46,8 @@ DEGRADED_SF = _tier not in ("sf0.001", "sf0.01")
 degraded_gate_xfail = pytest.mark.xfail(
     condition=DEGRADED_SF,
     reason="documented adversarial-corpus degradation at this SF "
-    "(SCALING.md): quantized-ANN recall / simhash precision",
+    "(SCALING.md): simhash precision on dense-shingle corpora "
+    "(r11 threshold sweep: no hamming cutoff passes all tiers)",
     strict=_tier in _KNOWN_DEGRADED,
 )
 

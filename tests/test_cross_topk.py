@@ -13,6 +13,8 @@ extremes with fewer than 3 values per side.
 import os
 import tempfile
 
+import pytest
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -100,3 +102,25 @@ def test_cross_topk_many_partition_edges(spark):
     assert _run(spark, d) == {
         k: sorted(v) for k, v in _brute(customers, suppliers).items()
     }
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="CONFIRMED r11 (advisor-r10 finding, queued r12): scan()'s "
+    "unioned s_suppkey column renders float64 in mixed Arrow batches "
+    "(bigint + NULL value rows), so keys above 2^53 round — in the "
+    "r11 repro 50 odd suppkeys collapsed to 26 even result keys. Fix "
+    "lands with relational.py's r12 window (carry suppkey per-tag in "
+    "a non-null column); this strict xfail flips then.",
+)
+def test_cross_topk_suppkeys_above_2_53_survive(spark):
+    """Interleaved balances force range partitions that mix NULL-key
+    value rows with supplier rows — the layout where Arrow->pandas
+    promotes the key column to float64 and int(sk) loses the odd
+    bit of keys > 2^53."""
+    base = 1 << 53
+    customers = [(i, i * 0.5) for i in range(1, 201)]
+    suppliers = [(base + 2 * j + 1, j * 2.0 + 0.25) for j in range(50)]
+    d = _plant(customers, suppliers)
+    got = _run(spark, d)
+    assert sorted(got) == sorted(sk for sk, _ in suppliers)
