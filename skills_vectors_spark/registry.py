@@ -34,120 +34,90 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Round-11 window (the r10 verdict's ordered rotation): retire every
-# remaining unconditional repartition(defaultParallelism) in the
-# package and re-attest everything the conversions stale.
-# (a) functions_suite.py's 14 rows — staled by landing the two
-# MEASURED load_spread conversions deferred from r10 (fn_json
-# 1.96 -> 1.49 s at 10x / 0.43 -> 0.32 s at sf0.1, fn_string
-# 0.73 -> 0.41 / 0.28 -> 0.24; zero-edit proxy A/B, min-of-2 cold,
-# re-measured end-of-r10 after the agg_hash revert lesson) plus
-# fn_explode's unconditional repartition -> load_spread;
-# (b) ann.py's 9 rows — staled by converting the five unconditional
-# sites (:101 _signatures, :359 ann_ivf, :606 ann_pq, :739
-# ann_ivf_pq, :899 sink_ann_index) to conditional spread/load_spread.
-# Plan-IDENTICAL at local one-split tiers (the probe still
-# repartitions); at a multi-split cluster read each was an avoidable
-# full-corpus reshuffle at 100 TB — no measurement needed;
-# (c) knn.py's 6 rows — same conversion at :57 (the _knn core) and
-# :264 (knn_filtered);
-# (d) embed.py's 4 rows — same conversion at :142 (embed_documents),
-# :253 (embed_knn_pipeline), :337 (embed_with_status);
-# (e) 17 re-attestation slots for the oldest green rows in UNCHANGED
-# files: mix_temperature (r4, the registry's single oldest row),
-# dedup_url + mm_image_resize (r6), then 14 of the 19 remaining r7
-# rows (all of scale.py's six, corpus_eval's two, six of scale2.py's
-# eleven). After this window the oldest attestation is r7 and only
-# five r7 rows remain (see the r12 queue below).
+# Round-12 window (the r11 verdict's ordered rotation):
+# (a) relational.py's 29 rows — staled by the batched r12 edits:
+# the join_cross_topk s_suppkey>2^53 precision fix (per-tag -1
+# sentinel + nullable-Int64 output column; the strict xfail pin
+# flipped to a passing guard), the NULL-balance union arms closing
+# the advisor-r10 oracle divergence (probe-guarded, plan unchanged
+# on a NULL-free corpus), and the persist-justification / skew
+# comments;
+# (b) windows.py's 13 rows — staled by the TWS variant-C
+# vectorization (numpy handleInputRows + single get(); typecounts
+# additionally reads the map ONCE via iterator() — paired A/B
+# 12.0 -> 10.6 s median at 1M events, new shape won all 3 pairs);
+# (c) the five r7 rows deferred from the r11 window (all
+# scale2.py, file unchanged);
+# (d) 3 re-attestation slots for the then-oldest cohort (r8 rows in
+# files unchanged this round, alphabetical).
+# After this window the oldest attestation is r8.
 _PROMOTED = [
-    # (a) functions_suite.py stratum -- conversion sites first
-    "fn_string",
-    "fn_json",
-    "fn_explode",
-    "fn_date",
-    "fn_math",
-    "fn_array",
-    "fn_cosine",
-    "fn_l2",
-    "fn_map",
-    "fn_regex",
-    "fn_bitwise",
-    "fn_conditional",
-    "fn_variant",
-    "fn_xml",
-    # (b) ann.py stratum -- conversion sites first (5 rows-only by
-    # design: seeded/trained index state; recall-gated in tests)
-    "ann_lsh",
-    "ann_ivf",
-    "ann_pq",
-    "ann_ivf_pq",
-    "sink_ann_index",
-    "ann_brp_l2",
-    "stream_ann_assign",
-    "eval_recall_lsh",
-    "eval_backend_compare",
-    # (c) knn.py stratum
-    "knn_exact",
-    "knn_exact_l2",
-    "knn_filtered",
-    "eval_recall",
-    "eval_avgsim",
-    "report_pivot",
-    # (d) embed.py stratum
-    "embed_mock",
-    "embed_with_status",
-    "embed_knn_pipeline",
-    "embed_provider_switch",
-    # (e) oldest-attestation re-attest (files unchanged this round)
-    "mix_temperature",
-    "dedup_url",
-    "mm_image_resize",
-    "join_skew_salted",
-    "sink_clustered",
-    "sink_json",
-    "sink_merge_rows",
-    "sink_orc",
-    "sink_partitioned",
-    "eval_ndcg_mrr",
-    "text_zipf_slope",
-    "agg_hist",
-    "agg_hll_sketch",
-    "agg_minmax_by",
-    "fn_url",
-    "join_fuzzy_blocked",
-    "join_range_binned",
+    # (a) relational.py stratum -- the edited operator first
+    "join_cross_topk",
+    "scan_parquet",
+    "scan_csv",
+    "sink_parquet",
+    "sink_overwrite",
+    "project_rename",
+    "filter_pred",
+    "join_inner_hash",
+    "join_broadcast",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_theta_range",
+    "agg_hash",
+    "agg_distinct",
+    "agg_approx_distinct",
+    "agg_collect",
+    "agg_rollup",
+    "agg_cube",
+    "agg_gsets",
+    "win_rank_topk",
+    "win_running",
+    "win_lag_lead",
+    "win_ntile_cume",
+    "sort_limit",
+    "dedup_first",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    # (b) windows.py stratum -- the vectorized trio first
+    "stream_transform_state",
+    "stream_transform_topk",
+    "stream_transform_typecounts",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_stateful",
+    "stream_dedup_late",
+    "stream_enrich",
+    "stream_join_interval",
+    "stream_foreach_batch",
+    "stream_sink_files",
+    "stream_late_metrics",
+    # (c) the r7 rows deferred from the r11 window (scale2.py)
+    "quality_filter_apply",
+    "sessionize_batch",
+    "sink_compact",
+    "sink_zorder",
+    "text_pack_tokens",
+    # (d) oldest-cohort re-attest (r8, files unchanged this round)
+    "agg_heavy_hitters",
+    "anomaly_mad",
+    "dedup_normalized",
 ]
-
-# r12 rotation queue: relational.py was deliberately NOT edited in
-# r11 — its 29 rows were all attested in r10 and editing the file
-# would have staled them against the 33 conversion rows (62 > 50
-# window slots). The batched r12 relational.py edits, all low-risk
-# and advisor-r10-ordered: (1) join_cross_topk scan()'s s_suppkey
-# precision fix — CONFIRMED by r11 repro: 50 interleaved-balance
-# suppliers keyed 2^53+odd collapsed to 26 even result keys (mixed
-# Arrow batches render the NULL-unioned bigint column float64 and
-# int(sk) drops the odd bit); pinned by the strict xfail
-# tests/test_cross_topk.py::test_cross_topk_suppkeys_above_2_53_survive,
-# which flips when the fix lands. Fix: carry suppkey in a per-tag
-# non-null column; (2) KEEP
-# scanned.persist() — r11 suite-shaped A/B (warm session, fresh
-# subprocess per run, 3 runs/arm): persist median 7.57 s cold /
-# 2.65 warm vs no-persist 9.04 / 3.80 at sf0.1 — the plan references
-# the scanned subtree three times, and recomputing it twice costs
-# more than the one cache write; add the session-lifetime-cache
-# justification comment the advisor asked for (CacheManager dedups
-# identical plans, so the entry is bounded at one per sf_dir);
-# (3) docstring notes: the no-NULL-balance precondition of the
-# sorted-neighbor rewrite and the heavy-hitter c_acctbal skew limit
-# of the per-value top-K window. ALSO r12: windows.py's measured
-# TWS vectorization (r11 experiment, bit-identical output hashes:
-# vectorizing stream_transform_state's per-row Python loop saves
-# ~5 s at 1M events, replacing exists()+get() with one get() ~0.5 s
-# more; apply the same shape to topk/typecounts). Window slots for
-# r12: relational.py 29 + windows.py 13 + the five r7 rows deferred
-# from the r11 window (quality_filter_apply, sessionize_batch,
-# sink_compact, sink_zorder, text_pack_tokens, all scale2.py) = 47,
-# leaving 3 slots for the then-oldest cohort.
+# r13 rotation queue: after this window the oldest attestations are
+# the r8 cohort minus the three re-attested above — mm_* (5 rows),
+# the remaining streaming twins (stream_cms_counters,
+# stream_drift_psi), graph_pagerank, join_bloom_prefilter,
+# mix_corpus/mix_epochs/split_train_eval, retention_cohorts,
+# rollup_hypertable, scan_binaryfile/scan_merge_schema/scan_npy,
+# scd2_history, seq_transitions, sink_bucketed,
+# sink_upsert_partition, eval_ab_lift, text_ngram_novelty,
+# text_normalize, text_pmi_bigrams, ts_ewma, ts_gapfill,
+# quality_drift_psi — ~26 rows, fitting one window with slots to
+# spare for whatever r12's verdict stales.
 _DEFERRED: list[str] = []
 
 

@@ -240,7 +240,7 @@ def bind_view(spark: SparkSession, name: str, sf_dir: str, frame_fn) -> None:
 # probe runs once per table per session, not once per operator call
 # (advisor r8: the old df.rdd probe compiled a physical plan — and
 # listed the table's files — on every invocation).
-_SPREAD_DECISION: dict[tuple[str, str], bool] = {}
+_SPREAD_DECISION: dict[tuple, bool] = {}  # (appId, path) or (appId, "sem", hash)
 
 
 def _parse_bytes(s: str, default: int) -> int:
@@ -398,11 +398,26 @@ def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     probing at all: a cluster read big enough to matter is multi-split
     by construction, and the probe itself (a physical-plan compile
     that lists the table's files) is the at-scale cost the round-8
-    advisor flagged. Under local[*] the compile is milliseconds and
-    runs against files already in the OS page cache."""
+    advisor flagged. The accepted trade (advisor r11): a genuinely
+    single-split cluster input — a tiny dim table or driver-created
+    frame — keeps its one task; the fail direction is bounded
+    missed-parallelism on small inputs, never an added shuffle.
+
+    Under local[*] the compile is milliseconds against page-cached
+    files, and memoized per (application, semanticHash) so loop-hot
+    call sites (ranked_knn, embed paths) compile the probe plan once
+    per distinct plan rather than per invocation (advisor r11). A
+    32-bit semanticHash collision could at worst replay the other
+    plan's decision: a skipped spread (missed local parallelism) or
+    an extra local repartition — never a cluster-side shuffle, since
+    non-local masters return above."""
     if not spark.sparkContext.master.startswith("local"):
         return df
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    key = (spark.sparkContext.applicationId, "sem", df.semanticHash())
+    dec = _SPREAD_DECISION.get(key)
+    if dec is None:
+        dec = _SPREAD_DECISION[key] = df.rdd.getNumPartitions() < target
+    if dec:
         df = df.repartition(target)
     return df

@@ -462,15 +462,31 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            n, mx, arg = (
-                self._state.get() if self._state.exists() else (0, float("-inf"), None)
-            )
+            # one get() — ValueState.get() returns None on missing, so
+            # the exists() round trip to the state server is redundant
+            # (r11 floor experiment: ~0.5 s of the 1M-event floor)
+            st = self._state.get()
+            n, mx, arg = st if st is not None else (0, float("-inf"), None)
+            # numpy per batch, not per row (r11 variant C, output
+            # hashes bit-identical; 17.4 -> 12.3 s at the cold 1M-event
+            # tier — the r12 warm-tier A/B read within noise, the win
+            # is first-run/cold where the Python loop isn't amortized
+            # by worker reuse). Batch max + min event_id among its
+            # ties merges with the running (mx, arg) under the same
+            # (value desc, event_id asc) rule the row loop applied.
+            import numpy as np
+
             for pdf in rows:
                 n += len(pdf)
-                for v, eid in zip(pdf["value"], pdf["event_id"]):
-                    v, eid = float(v), int(eid)
-                    if v > mx or (v == mx and (arg is None or eid < arg)):
-                        mx, arg = v, eid
+                if not len(pdf):
+                    continue
+                vals = pdf["value"].to_numpy(dtype=np.float64)
+                eids = pdf["event_id"].to_numpy(dtype=np.int64)
+                bmx = float(vals.max())
+                if bmx >= mx:
+                    barg = int(eids[vals == bmx].min())
+                    if bmx > mx or arg is None or barg < arg:
+                        mx, arg = bmx, barg
             self._state.update((n, mx, arg))
             yield pd.DataFrame(
                 {
@@ -549,16 +565,29 @@ def stream_transform_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             self._n = handle.getValueState("nseen", "n BIGINT")
 
         def handleInputRows(self, key, rows, timerValues):
-            cur = (
-                [(float(v), int(e)) for (v, e) in self._top.get()]
-                if self._top.exists()
-                else []
-            )
-            n = self._n.get()[0] if self._n.exists() else 0
+            # ListState.get() yields an empty iterator when the list
+            # is absent and ValueState.get() returns None — both
+            # exists() round trips dropped (r11 floor experiment).
+            cur = [(float(v), int(e)) for (v, e) in self._top.get()]
+            nst = self._n.get()
+            n = nst[0] if nst is not None else 0
+            # numpy per batch: reduce each Arrow batch to ITS top-3 by
+            # (value desc, event_id asc) before merging — a batch's
+            # top-3 is a superset of its contribution to the global
+            # top-3, so the merge is exact (r11 variant C,
+            # bit-identical hashes; cold-tier win, warm within noise
+            # in the r12 paired A/B — kept for the strictly smaller
+            # Python work and dropped round trips).
+            import numpy as np
+
             for pdf in rows:
                 n += len(pdf)
-                for v, eid in zip(pdf["value"], pdf["event_id"]):
-                    cur.append((float(v), int(eid)))
+                if not len(pdf):
+                    continue
+                vals = pdf["value"].to_numpy(dtype=np.float64)
+                eids = pdf["event_id"].to_numpy(dtype=np.int64)
+                top = np.lexsort((eids, -vals))[:3]
+                cur.extend((float(vals[i]), int(eids[i])) for i in top)
             cur.sort(key=lambda t: (-t[0], t[1]))
             cur = cur[:3]
             self._top.put(cur)
@@ -648,21 +677,35 @@ def stream_transform_typecounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             self._n = handle.getValueState("nseen", "n BIGINT")
 
         def handleInputRows(self, key, rows, timerValues):
-            n = self._n.get()[0] if self._n.exists() else 0
+            # single get()s: ValueState.get() returns None on missing
+            # and MapState.getValue() returns None for an absent key,
+            # so the exists()/containsKey() round trips are redundant
+            # (r11 floor experiment: each is a state-server call).
+            nst = self._n.get()
+            n = nst[0] if nst is not None else 0
             batch: dict[str, int] = {}
+            # vectorized per-batch histogram instead of the per-row
+            # Python loop (r11 variant C, bit-identical output)
             for pdf in rows:
                 n += len(pdf)
-                for et in pdf["event_type"]:
-                    batch[str(et)] = batch.get(str(et), 0) + 1
+                if not len(pdf):
+                    continue
+                for et, cnt in pdf["event_type"].value_counts().items():
+                    batch[str(et)] = batch.get(str(et), 0) + int(cnt)
+            # ONE paginated iterator read replaces a getValue round
+            # trip per type (the map is per-user and bounded by type
+            # cardinality, so the full read is small); only the types
+            # seen in THIS batch are written back, and the emission
+            # reuses the merged dict instead of a second iterator pass.
+            # r12 paired A/B at 1M events, fresh process per run,
+            # 3 alternating pairs: committed shape median 12.0 s vs
+            # this shape 10.6 s — the new shape won every pair.
+            merged = {k[0]: v[0] for k, v in self._counts.iterator()}
             for et, c in batch.items():
-                prev = (
-                    self._counts.getValue((et,))
-                    if self._counts.containsKey((et,))
-                    else None
-                )
-                self._counts.updateValue((et,), ((prev[0] if prev else 0) + c,))
+                merged[et] = merged.get(et, 0) + c
+                self._counts.updateValue((et,), (merged[et],))
             self._n.update((n,))
-            items = [(k[0], v[0]) for k, v in self._counts.iterator()]
+            items = sorted(merged.items())
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]] * len(items),

@@ -13,8 +13,6 @@ extremes with fewer than 3 values per side.
 import os
 import tempfile
 
-import pytest
-
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -104,23 +102,53 @@ def test_cross_topk_many_partition_edges(spark):
     }
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="CONFIRMED r11 (advisor-r10 finding, queued r12): scan()'s "
-    "unioned s_suppkey column renders float64 in mixed Arrow batches "
-    "(bigint + NULL value rows), so keys above 2^53 round — in the "
-    "r11 repro 50 odd suppkeys collapsed to 26 even result keys. Fix "
-    "lands with relational.py's r12 window (carry suppkey per-tag in "
-    "a non-null column); this strict xfail flips then.",
-)
 def test_cross_topk_suppkeys_above_2_53_survive(spark):
-    """Interleaved balances force range partitions that mix NULL-key
-    value rows with supplier rows — the layout where Arrow->pandas
-    promotes the key column to float64 and int(sk) loses the odd
-    bit of keys > 2^53."""
+    """Interleaved balances force range partitions that mix value
+    rows with supplier rows — the layout where a NULL-unioned key
+    column would render float64 in Arrow->pandas and int(sk) would
+    lose the odd bit of keys > 2^53 (the confirmed r11 bug: 50 odd
+    suppkeys collapsed to 26 even result keys). Fixed r12 by carrying
+    a -1 sentinel instead of NULL on the value arm; this test was the
+    strict xfail pin and now guards the fix."""
     base = 1 << 53
     customers = [(i, i * 0.5) for i in range(1, 201)]
     suppliers = [(base + 2 * j + 1, j * 2.0 + 0.25) for j in range(50)]
     d = _plant(customers, suppliers)
     got = _run(spark, d)
     assert sorted(got) == sorted(sk for sk, _ in suppliers)
+    # full value-level parity, not just key survival
+    assert got == {k: sorted(v) for k, v in _brute(customers, suppliers).items()}
+
+
+def _brute_nulls(customers, suppliers, k=3):
+    """Brute force with ANSI/DuckDB NULL semantics: NULL balance on
+    either side -> NULL distance, ranked after every real distance
+    (ASC NULLS LAST), tie-broken by custkey."""
+    out = {}
+    for sk, sb in suppliers:
+        ranked = sorted(
+            (
+                (0, abs(sb - cb), ck) if sb is not None and cb is not None else (1, 0.0, ck)
+                for ck, cb in customers
+            )
+        )[:k]
+        out[sk] = [
+            (r + 1, ck, round(d, 2) if is_null == 0 else None)
+            for r, (is_null, d, ck) in enumerate(ranked)
+        ]
+    return out
+
+
+def test_cross_topk_null_balances_rank_last(spark):
+    """NULL c_acctbal customers must appear with NULL distance ranked
+    after every real distance (the oracle's CROSS JOIN keeps them,
+    NULLS LAST), and a NULL s_acctbal supplier ties ALL customers at
+    NULL distance so its top-3 is the 3 smallest custkeys overall —
+    the advisor-r10 divergence, closed r12 by the probe-guarded
+    union arms."""
+    customers = [(1, 10.0), (2, None), (3, None), (4, None), (5, None), (6, 90.0)]
+    suppliers = [(1, 10.0), (2, None), (3, 50.0)]
+    d = _plant(customers, suppliers)
+    assert _run(spark, d) == {
+        k: sorted(v) for k, v in _brute_nulls(customers, suppliers).items()
+    }

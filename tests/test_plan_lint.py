@@ -72,11 +72,26 @@ def test_no_unconditional_full_repartition_in_package():
         if py.name == "__init__.py" and py.parent.name == "sources":
             continue  # the probe implementation itself
         src = py.read_text()
-        # flag .repartition( whose FIRST argument is defaultParallelism
-        # (round-robin full reshuffle); keyed forms pass a column/int
-        for m in re.finditer(r"\.repartition\(\s*([^)]*)", src):
-            arg = m.group(1)
-            if "defaultParallelism" in arg.split(",")[0]:
+        # Flag only SINGLE-argument .repartition(...defaultParallelism...)
+        # calls — the round-robin full reshuffle. The keyed form
+        # repartition(defaultParallelism, col) is hash partitioning
+        # and stays allowed (advisor r11: the old [^)]* capture both
+        # truncated at a nested call's ')' and rejected the keyed
+        # form). Paren-balanced extraction of the full argument list:
+        for m in re.finditer(r"\.repartition\(", src):
+            depth, i = 1, m.end()
+            top_commas = 0
+            while i < len(src) and depth:
+                ch = src[i]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 1:
+                    top_commas += 1
+                i += 1
+            args = src[m.end() : i - 1]
+            if top_commas == 0 and "defaultParallelism" in args:
                 line = src[: m.start()].count("\n") + 1
                 offenders.append(f"{py.relative_to(pkg)}:{line}")
     assert not offenders, (

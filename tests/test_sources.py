@@ -210,7 +210,11 @@ def test_scan_splits_missing_path_raises_and_never_memoizes(spark, sf_dir):
     # cannot happen through the public API (load() resolves eagerly),
     # so pin the contract at the probe layer: no new memo entries for
     # paths that were never stat-able.
-    assert all(os.path.exists(p.removeprefix("file://")) for (_, p) in before)
+    # (len==2 keys are the (appId, path) probe entries; spread() also
+    # memoizes (appId, "sem", semanticHash) keys that carry no path)
+    assert all(
+        os.path.exists(k[1].removeprefix("file://")) for k in before if len(k) == 2
+    )
 
 
 def test_scan_splits_estimate_matches_physical_partitions(spark):
