@@ -27,66 +27,28 @@ def test_entry_contract(spark):
 def test_sweep_window_prioritizes_least_attested():
     """Bounded front-to-back sweeps read the first 50 registered
     queries; that window must hold the least-attested-on-current-code
-    surface. Round-11 rotation (the r10 verdict's ordered queue): the
-    four files whose unconditional repartitions were converted this
-    round — functions_suite.py's 14 rows (fn_json / fn_string
-    load_spread wins + fn_explode), ann.py's 9, knn.py's 6,
-    embed.py's 4 — plus 17 oldest-attestation re-attest slots
-    (mix_temperature r4, the r6 pair, 14 of the 19 r7 rows)."""
+    surface. Round-12 rotation (the r11 verdict's ordered queue): the
+    two files edited this round — relational.py's 29 rows (the
+    join_cross_topk precision fix + NULL arms) and windows.py's 13
+    (the TWS vectorization) — plus the five r7 scale2.py rows
+    deferred from the r11 window and 3 oldest-cohort (r8) slots."""
     from skills_vectors_spark import registry
 
     registry.load_all()
     window = list(registry.QUERIES)[:50]
-    for must in [
-        "fn_string",
-        "fn_json",
-        "fn_explode",
-        "fn_date",
-        "fn_math",
-        "fn_array",
-        "fn_cosine",
-        "fn_l2",
-        "fn_map",
-        "fn_regex",
-        "fn_bitwise",
-        "fn_conditional",
-        "fn_variant",
-        "fn_xml",
-        "ann_lsh",
-        "ann_ivf",
-        "ann_pq",
-        "ann_ivf_pq",
-        "sink_ann_index",
-        "ann_brp_l2",
-        "stream_ann_assign",
-        "eval_recall_lsh",
-        "eval_backend_compare",
-        "knn_exact",
-        "knn_exact_l2",
-        "knn_filtered",
-        "eval_recall",
-        "eval_avgsim",
-        "report_pivot",
-        "embed_mock",
-        "embed_with_status",
-        "embed_knn_pipeline",
-        "embed_provider_switch",
-        "mix_temperature",
-        "dedup_url",
-        "mm_image_resize",
-        "join_skew_salted",
-        "sink_clustered",
-        "sink_json",
-        "sink_merge_rows",
-        "sink_orc",
-        "sink_partitioned",
-        "eval_ndcg_mrr",
-        "text_zipf_slope",
-        "agg_hist",
-        "agg_hll_sketch",
-        "agg_minmax_by",
-        "fn_url",
-        "join_fuzzy_blocked",
-        "join_range_binned",
-    ]:
+    assert set(registry._PROMOTED) == set(window)
+    for must in (
+        # relational.py stratum (the edited operator leads)
+        ["join_cross_topk", "scan_parquet", "join_theta_range", "agg_hash",
+         "win_rank_topk", "sort_limit", "dedup_first", "set_except"]
+        # windows.py stratum
+        + ["stream_transform_state", "stream_transform_topk",
+           "stream_transform_typecounts", "stream_tumbling",
+           "stream_foreach_batch", "stream_late_metrics"]
+        # deferred r7 scale2.py rows
+        + ["quality_filter_apply", "sessionize_batch", "sink_compact",
+           "sink_zorder", "text_pack_tokens"]
+        # oldest-cohort re-attest slots
+        + ["agg_heavy_hitters", "anomaly_mad", "dedup_normalized"]
+    ):
         assert must in window, f"{must} fell out of the 50-query sweep window"
