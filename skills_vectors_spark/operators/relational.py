@@ -260,6 +260,11 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# join_cross_topk's NULL-balance probe results, one entry per
+# (applicationId, sf_dir) — bounded like sources._SPREAD_DECISION
+_NULL_BAL_PROBE: dict[tuple[str, str], tuple[bool, bool]] = {}
+
+
 @register(
     "join_cross_topk",
     """
@@ -324,9 +329,18 @@ def join_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # NULL-balance existence probes (see docstring): bounded 1-row
     # actions whose isNull filters push to parquet null-count stats,
-    # so a NULL-free corpus answers from row-group metadata.
-    has_null_cust = bool(c.filter(F.col("c_acctbal").isNull()).select("c_custkey").take(1))
-    has_null_sup = bool(s.filter(F.col("s_acctbal").isNull()).select("s_suppkey").take(1))
+    # so a NULL-free corpus answers from row-group metadata. Memoized
+    # per (application, sf_dir) like sources._SPREAD_DECISION — the
+    # corpus under one sf_dir is immutable for a session, so repeat
+    # invocations (warm bench runs, loops) skip both probe jobs.
+    probe_key = (spark.sparkContext.applicationId, sf_dir)
+    probed = _NULL_BAL_PROBE.get(probe_key)
+    if probed is None:
+        probed = _NULL_BAL_PROBE[probe_key] = (
+            bool(c.filter(F.col("c_acctbal").isNull()).select("c_custkey").take(1)),
+            bool(s.filter(F.col("s_acctbal").isNull()).select("s_suppkey").take(1)),
+        )
+    has_null_cust, has_null_sup = probed
     if has_null_sup:
         s = s.filter(F.col("s_acctbal").isNotNull())
 
