@@ -152,3 +152,31 @@ def test_cross_topk_null_balances_rank_last(spark):
     assert _run(spark, d) == {
         k: sorted(v) for k, v in _brute_nulls(customers, suppliers).items()
     }
+
+
+def test_cross_topk_all_null_customer_balances(spark):
+    """Degenerate corpus: EVERY customer balance is NULL. The
+    sorted-neighbor path sees an empty value set (every supplier
+    resolves through the empty-boundary edge path) and the entire
+    result must come from the NULL union arms: each non-null supplier
+    gets the 3 smallest custkeys at NULL distance; the NULL supplier
+    gets the same via the all-customers arm."""
+    customers = [(9, None), (4, None), (7, None), (1, None), (2, None)]
+    suppliers = [(1, 5.0), (2, None), (3, 50.0)]
+    d = _plant(customers, suppliers)
+    assert _run(spark, d) == {
+        k: sorted(v) for k, v in _brute_nulls(customers, suppliers).items()
+    }
+
+
+def test_cross_topk_fewer_customers_than_k(spark):
+    """A corpus smaller than K on the customer side: each supplier's
+    result has fewer than K rows, mixed NULL/non-NULL balances — the
+    deficit path and the NULL arm must compose without duplicating or
+    inventing rows."""
+    customers = [(1, 10.0), (2, None)]
+    suppliers = [(1, 9.0), (2, None)]
+    d = _plant(customers, suppliers)
+    assert _run(spark, d) == {
+        k: sorted(v) for k, v in _brute_nulls(customers, suppliers).items()
+    }
