@@ -180,3 +180,33 @@ def test_cross_topk_fewer_customers_than_k(spark):
     assert _run(spark, d) == {
         k: sorted(v) for k, v in _brute_nulls(customers, suppliers).items()
     }
+
+
+def test_cross_topk_randomized_corpora_match_brute_force(spark):
+    """Randomized adversarial sweep: corpora drawn with heavy balance
+    duplication (small discrete domain -> mass ties), a NULL fraction
+    on both sides, and suppliers planted on, between, and outside the
+    customer domain. Fixed seeds keep it deterministic; any mismatch
+    is a real candidate-derivation or NULL-arm bug, not flake."""
+    import random
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        domain = [round(rng.uniform(0, 100), 1) for _ in range(12)]
+        customers = [
+            (ck, rng.choice(domain) if rng.random() > 0.15 else None)
+            for ck in rng.sample(range(1, 10_000), 120)
+        ]
+        suppliers = [
+            (sk, bal)
+            for sk, bal in zip(
+                rng.sample(range(1, 10_000), 25),
+                [rng.choice(domain) for _ in range(10)]          # on-value
+                + [round(rng.uniform(-50, 150), 2) for _ in range(12)]  # off/outside
+                + [None, None, None],                            # NULL side
+            )
+        ]
+        d = _plant(customers, suppliers)
+        got = _run(spark, d)
+        want = {k: sorted(v) for k, v in _brute_nulls(customers, suppliers).items()}
+        assert got == want, f"seed {seed} diverged"
