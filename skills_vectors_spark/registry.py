@@ -128,14 +128,13 @@ def load_all() -> None:
     sweeps (tools/driver_sim.py's first-N window, spot checks, and any
     consumer that samples the registry front-to-back). The head of the
     order is the surface with the least accumulated verification
-    signal. Round-11 rotation (the r10 verdict's ordered queue): the
-    four files whose unconditional repartitions were converted this
-    round (functions_suite / ann / knn / embed — conversion sites
-    first within each stratum), then the oldest-attestation
-    re-attest slots — the explicit 50-entry _PROMOTED list IS the
-    window; the batched relational.py edits (advisor-r10 items +
-    the persist disposition) are queued for r12 (see the r12 queue
-    comment above).
+    signal. Round-12 rotation (the r11 verdict's ordered queue): the
+    two files edited this round — relational.py (cross-topk precision
+    fix + NULL arms) and windows.py (TWS vectorization), edited
+    operators first within each stratum — then the deferred r7
+    scale2.py rows and the oldest-cohort re-attest slots. The
+    explicit 50-entry _PROMOTED list IS the window; what follows it
+    is queued in the r13 rotation comment above.
     """
     import skills_vectors_spark.operators.functions_suite  # noqa: F401
     import skills_vectors_spark.operators.textstats  # noqa: F401

@@ -482,17 +482,28 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 vals = pdf["value"].to_numpy(dtype=np.float64)
                 eids = pdf["event_id"].to_numpy(dtype=np.int64)
-                bmx = float(vals.max())
+                # nanmax, not max: a single NaN row must not poison
+                # the batch (plain max() returns NaN, `bmx >= mx` goes
+                # False, and every REAL value in the batch would be
+                # skipped). NaN rows themselves are ignored, exactly
+                # as the old per-row `v > mx` comparison ignored them.
+                if np.isnan(vals).all():
+                    continue
+                bmx = float(np.nanmax(vals))
                 if bmx >= mx:
                     barg = int(eids[vals == bmx].min())
                     if bmx > mx or arg is None or barg < arg:
                         mx, arg = bmx, barg
             self._state.update((n, mx, arg))
+            # arg is None iff no real (non-NaN) value has ever arrived
+            # for this key; round(-inf) would raise OverflowError, so
+            # such a profile emits NULLs (pre-existing latent crash,
+            # exposed and pinned by the r12 NaN edge test)
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_events": [n],
-                    "max_value": [round(mx * 100) / 100],
+                    "max_value": [round(mx * 100) / 100 if arg is not None else None],
                     "argmax_event": [arg],
                 }
             )
@@ -674,7 +685,11 @@ def stream_transform_typecounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             self._counts = handle.getMapState(
                 "type_counts", "event_type STRING", "n BIGINT"
             )
-            self._n = handle.getValueState("nseen", "n BIGINT")
+            # n + the NULL-type count live together in the ValueState:
+            # a NULL event_type forms its own group in the oracle's
+            # GROUP BY, but a NULL map key is not serializable to the
+            # state server, so its counter rides here instead.
+            self._n = handle.getValueState("nseen", "n BIGINT, n_null BIGINT")
 
         def handleInputRows(self, key, rows, timerValues):
             # single get()s: ValueState.get() returns None on missing
@@ -682,14 +697,17 @@ def stream_transform_typecounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             # so the exists()/containsKey() round trips are redundant
             # (r11 floor experiment: each is a state-server call).
             nst = self._n.get()
-            n = nst[0] if nst is not None else 0
+            n, n_null = nst if nst is not None else (0, 0)
             batch: dict[str, int] = {}
             # vectorized per-batch histogram instead of the per-row
-            # Python loop (r11 variant C, bit-identical output)
+            # Python loop (r11 variant C). value_counts() drops NaN
+            # by default, which would silently LOSE null-type rows
+            # the oracle keeps as a NULL group — count them apart.
             for pdf in rows:
                 n += len(pdf)
                 if not len(pdf):
                     continue
+                n_null += int(pdf["event_type"].isna().sum())
                 for et, cnt in pdf["event_type"].value_counts().items():
                     batch[str(et)] = batch.get(str(et), 0) + int(cnt)
             # ONE paginated iterator read replaces a getValue round
@@ -704,8 +722,10 @@ def stream_transform_typecounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             for et, c in batch.items():
                 merged[et] = merged.get(et, 0) + c
                 self._counts.updateValue((et,), (merged[et],))
-            self._n.update((n,))
+            self._n.update((n, n_null))
             items = sorted(merged.items())
+            if n_null:
+                items.append((None, n_null))  # the oracle's NULL group
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]] * len(items),

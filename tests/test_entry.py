@@ -33,18 +33,33 @@ def test_sweep_window_prioritizes_least_attested():
     (the TWS vectorization) — plus the five r7 scale2.py rows
     deferred from the r11 window and 3 oldest-cohort (r8) slots."""
     from skills_vectors_spark import registry
+    from skills_vectors_spark.streaming.windows import (
+        transform_with_state_available,
+    )
 
     registry.load_all()
     window = list(registry.QUERIES)[:50]
-    assert set(registry._PROMOTED) == set(window)
+    # the stream_transform trio registers only where the TWS runtime
+    # is available; elsewhere the window legitimately back-fills from
+    # the queue, so only assert set-equality modulo those three
+    tws = transform_with_state_available()
+    promoted = set(registry._PROMOTED)
+    if not tws:
+        promoted -= {
+            "stream_transform_state",
+            "stream_transform_topk",
+            "stream_transform_typecounts",
+        }
+        window = list(registry.QUERIES)[: len(promoted)]
+    assert promoted == set(window)
     for must in (
         # relational.py stratum (the edited operator leads)
         ["join_cross_topk", "scan_parquet", "join_theta_range", "agg_hash",
          "win_rank_topk", "sort_limit", "dedup_first", "set_except"]
         # windows.py stratum
-        + ["stream_transform_state", "stream_transform_topk",
-           "stream_transform_typecounts", "stream_tumbling",
-           "stream_foreach_batch", "stream_late_metrics"]
+        + (["stream_transform_state", "stream_transform_topk",
+            "stream_transform_typecounts"] if tws else [])
+        + ["stream_tumbling", "stream_foreach_batch", "stream_late_metrics"]
         # deferred r7 scale2.py rows
         + ["quality_filter_apply", "sessionize_batch", "sink_compact",
            "sink_zorder", "text_pack_tokens"]

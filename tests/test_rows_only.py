@@ -309,3 +309,76 @@ def test_scrub_pii_redacts_planted_identifiers(spark, sf_dir):
     assert "[EMAIL]" in scrubbed and "[PHONE]" in scrubbed
     expect = hashlib.md5(scrubbed.encode()).hexdigest()
     assert rows[0].scrub_md5 == expect
+
+
+def test_stream_transform_nan_and_null_type_semantics(spark):
+    """Pins the r12 vectorization's edge semantics: a NaN value must
+    not poison its batch's max (NaN rows are ignored, as the original
+    per-row `v > mx` comparison ignored them), and a NULL event_type
+    must surface as the oracle's NULL group in the typecounts
+    histogram rather than being dropped by value_counts()."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from skills_vectors_spark.streaming.windows import (
+        stream_transform_state,
+        stream_transform_typecounts,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        import pytest
+
+        pytest.skip("transformWithStateInPandas runtime unavailable")
+
+    d = tempfile.mkdtemp(prefix="svs_tws_edge_")
+    base = 1_700_000_000_000_000  # us
+    rows = [
+        # user 1: NaN interleaved with real values; real max 7.0 @ eid 3
+        (1, 1, "click", 5.0),
+        (2, 1, "click", float("nan")),
+        (3, 1, None, 7.0),
+        (4, 1, "view", float("nan")),
+        # user 2: all-NaN values, two null types
+        (5, 2, None, float("nan")),
+        (6, 2, None, float("nan")),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [base + i * 1_000_000 for i in range(len(rows))],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+
+    prof = {
+        r.user_id: (r.n_events, r.max_value, r.argmax_event)
+        for r in stream_transform_state(spark, d).collect()
+    }
+    assert prof[1] == (4, 7.0, 3)  # NaNs ignored, not batch-poisoning
+    # all-NaN user: no real value ever arrived -> NULL profile (and
+    # no round(-inf) crash, the pre-existing latent failure)
+    assert prof[2] == (2, None, None)
+
+    hist = {
+        (r.user_id, r.event_type): r.n
+        for r in stream_transform_typecounts(spark, d).collect()
+    }
+    assert hist == {
+        (1, "click"): 2,
+        (1, "view"): 1,
+        (1, None): 1,  # the oracle's NULL group, preserved
+        (2, None): 2,
+    }
