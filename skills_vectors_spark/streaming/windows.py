@@ -467,6 +467,11 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (r11 floor experiment: ~0.5 s of the 1M-event floor)
             st = self._state.get()
             n, mx, arg = st if st is not None else (0, float("-inf"), None)
+            if st is not None and mx is None:
+                # the Arrow pandas boundary renders NaN as NULL, so a
+                # NaN running max round-trips through the state store
+                # as None — restore it (arg is set iff data arrived)
+                mx = float("nan")
             # numpy per batch, not per row (r11 variant C, output
             # hashes bit-identical; 17.4 -> 12.3 s at the cold 1M-event
             # tier — the r12 warm-tier A/B read within noise, the win
@@ -476,34 +481,53 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (value desc, event_id asc) rule the row loop applied.
             import numpy as np
 
+            import math
+
             for pdf in rows:
                 n += len(pdf)
                 if not len(pdf):
                     continue
                 vals = pdf["value"].to_numpy(dtype=np.float64)
                 eids = pdf["event_id"].to_numpy(dtype=np.int64)
-                # nanmax, not max: a single NaN row must not poison
-                # the batch (plain max() returns NaN, `bmx >= mx` goes
-                # False, and every REAL value in the batch would be
-                # skipped). NaN rows themselves are ignored, exactly
-                # as the old per-row `v > mx` comparison ignored them.
-                if np.isnan(vals).all():
-                    continue
-                bmx = float(np.nanmax(vals))
-                if bmx >= mx:
+                # NaN-GREATEST, matching both engines: Spark and
+                # DuckDB order NaN above every numeric (incl. +inf),
+                # so the oracle's `ORDER BY value DESC, event_id`
+                # ranks NaN rows first, tie-broken by event_id. The
+                # common no-NaN case stays single-pass because
+                # vals.max() PROPAGATES NaN — it doubles as the
+                # presence probe (the r12 review's NaN-poisoning fix,
+                # redone to oracle semantics instead of NaN-ignoring).
+                bmx = float(vals.max())
+                if math.isnan(bmx):
+                    barg = int(eids[np.isnan(vals)].min())
+                else:
                     barg = int(eids[vals == bmx].min())
-                    if bmx > mx or arg is None or barg < arg:
-                        mx, arg = bmx, barg
+                take = (
+                    arg is None
+                    or (math.isnan(bmx) and not math.isnan(mx))
+                    or (math.isnan(bmx) == math.isnan(mx) and (bmx > mx or (not (bmx < mx) and barg < arg)))
+                )
+                if take:
+                    mx, arg = bmx, barg
             self._state.update((n, mx, arg))
-            # arg is None iff no real (non-NaN) value has ever arrived
-            # for this key; round(-inf) would raise OverflowError, so
-            # such a profile emits NULLs (pre-existing latent crash,
-            # exposed and pinned by the r12 NaN edge test)
+            # round() raises OverflowError on +/-inf (and the initial
+            # -inf placeholder when a key has no rows yet); non-finite
+            # maxima pass through unrounded, exactly as DuckDB's
+            # round() leaves inf/NaN untouched. Transport boundary,
+            # documented: the Arrow pandas serializer renders an
+            # emitted NaN as NULL, so a NaN maximum arrives as NULL
+            # in max_value while the RANKING columns (argmax_event)
+            # stay oracle-exact; no corpus row carries NaN.
+            out_mx = (
+                None
+                if arg is None
+                else (mx if not math.isfinite(mx) else round(mx * 100) / 100)
+            )
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_events": [n],
-                    "max_value": [round(mx * 100) / 100 if arg is not None else None],
+                    "max_value": [out_mx],
                     "argmax_event": [arg],
                 }
             )
@@ -579,7 +603,12 @@ def stream_transform_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             # ListState.get() yields an empty iterator when the list
             # is absent and ValueState.get() returns None — both
             # exists() round trips dropped (r11 floor experiment).
-            cur = [(float(v), int(e)) for (v, e) in self._top.get()]
+            # (NULL value = a NaN that round-tripped the Arrow pandas
+            # boundary, which renders NaN as NULL — restore it)
+            cur = [
+                (float("nan") if v is None else float(v), int(e))
+                for (v, e) in self._top.get()
+            ]
             nst = self._n.get()
             n = nst[0] if nst is not None else 0
             # numpy per batch: reduce each Arrow batch to ITS top-3 by
@@ -588,8 +617,18 @@ def stream_transform_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             # top-3, so the merge is exact (r11 variant C,
             # bit-identical hashes; cold-tier win, warm within noise
             # in the r12 paired A/B — kept for the strictly smaller
-            # Python work and dropped round trips).
+            # Python work and dropped round trips). Ordering is
+            # NaN-GREATEST like both engines' ORDER BY value DESC:
+            # the lexsort primary key is the NaN flag, and the Python
+            # merge key mirrors it (a raw tuple sort with NaN floats
+            # is comparison-unstable and batch-order-dependent).
+            import math
+
             import numpy as np
+
+            def _rank_key(t):
+                v, e = t
+                return (0, 0.0, e) if math.isnan(v) else (1, -v, e)
 
             for pdf in rows:
                 n += len(pdf)
@@ -597,9 +636,12 @@ def stream_transform_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 vals = pdf["value"].to_numpy(dtype=np.float64)
                 eids = pdf["event_id"].to_numpy(dtype=np.int64)
-                top = np.lexsort((eids, -vals))[:3]
+                isn = np.isnan(vals)
+                top = np.lexsort(
+                    (eids, -np.where(isn, np.inf, vals), (~isn).astype(np.int8))
+                )[:3]
                 cur.extend((float(vals[i]), int(eids[i])) for i in top)
-            cur.sort(key=lambda t: (-t[0], t[1]))
+            cur.sort(key=_rank_key)
             cur = cur[:3]
             self._top.put(cur)
             self._n.update((n,))
@@ -700,16 +742,20 @@ def stream_transform_typecounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             n, n_null = nst if nst is not None else (0, 0)
             batch: dict[str, int] = {}
             # vectorized per-batch histogram instead of the per-row
-            # Python loop (r11 variant C). value_counts() drops NaN
-            # by default, which would silently LOSE null-type rows
-            # the oracle keeps as a NULL group — count them apart.
+            # Python loop (r11 variant C). dropna=False keeps the
+            # null-type rows the oracle groups as NULL — one pass
+            # yields both the histogram and the NULL count.
+            import pandas as _pd
+
             for pdf in rows:
                 n += len(pdf)
                 if not len(pdf):
                     continue
-                n_null += int(pdf["event_type"].isna().sum())
-                for et, cnt in pdf["event_type"].value_counts().items():
-                    batch[str(et)] = batch.get(str(et), 0) + int(cnt)
+                for et, cnt in pdf["event_type"].value_counts(dropna=False).items():
+                    if _pd.isna(et):
+                        n_null += int(cnt)
+                    else:
+                        batch[str(et)] = batch.get(str(et), 0) + int(cnt)
             # ONE paginated iterator read replaces a getValue round
             # trip per type (the map is per-user and bounded by type
             # cardinality, so the full read is small); only the types

@@ -311,20 +311,22 @@ def test_scrub_pii_redacts_planted_identifiers(spark, sf_dir):
     assert rows[0].scrub_md5 == expect
 
 
-def test_stream_transform_nan_and_null_type_semantics(spark):
-    """Pins the r12 vectorization's edge semantics: a NaN value must
-    not poison its batch's max (NaN rows are ignored, as the original
-    per-row `v > mx` comparison ignored them), and a NULL event_type
-    must surface as the oracle's NULL group in the typecounts
-    histogram rather than being dropped by value_counts()."""
+def test_stream_transform_nan_and_null_type_semantics(spark, tmp_path):
+    """Pins the r12 vectorization's edge semantics to the ORACLE's:
+    both Spark and DuckDB order NaN above every numeric (incl. inf),
+    so NaN rows must RANK FIRST in the high-water profile and top-k
+    (not poison the batch, not be silently dropped); a NULL
+    event_type must surface as the oracle's NULL group; and a
+    non-finite running max must not crash Python's round()."""
+    import math
     import os
-    import tempfile
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from skills_vectors_spark.streaming.windows import (
         stream_transform_state,
+        stream_transform_topk,
         stream_transform_typecounts,
         transform_with_state_available,
     )
@@ -334,17 +336,22 @@ def test_stream_transform_nan_and_null_type_semantics(spark):
 
         pytest.skip("transformWithStateInPandas runtime unavailable")
 
-    d = tempfile.mkdtemp(prefix="svs_tws_edge_")
+    d = str(tmp_path)
     base = 1_700_000_000_000_000  # us
     rows = [
-        # user 1: NaN interleaved with real values; real max 7.0 @ eid 3
+        # user 1: NaN interleaved with real values and +inf — NaN
+        # outranks inf outranks reals, ties break toward low eid
         (1, 1, "click", 5.0),
         (2, 1, "click", float("nan")),
         (3, 1, None, 7.0),
         (4, 1, "view", float("nan")),
+        (7, 1, "view", float("inf")),
         # user 2: all-NaN values, two null types
         (5, 2, None, float("nan")),
         (6, 2, None, float("nan")),
+        # user 3: +inf max must not crash round()
+        (8, 3, "view", float("inf")),
+        (9, 3, "view", 1.0),
     ]
     pq.write_table(
         pa.table(
@@ -367,10 +374,24 @@ def test_stream_transform_nan_and_null_type_semantics(spark):
         r.user_id: (r.n_events, r.max_value, r.argmax_event)
         for r in stream_transform_state(spark, d).collect()
     }
-    assert prof[1] == (4, 7.0, 3)  # NaNs ignored, not batch-poisoning
-    # all-NaN user: no real value ever arrived -> NULL profile (and
-    # no round(-inf) crash, the pre-existing latent failure)
-    assert prof[2] == (2, None, None)
+    # NaN ranks FIRST (oracle ordering) so argmax is the lowest-eid
+    # NaN row; the NaN metric itself arrives NULL — the Arrow pandas
+    # boundary renders an emitted NaN as NULL (documented transport
+    # boundary; ranking columns stay oracle-exact)
+    assert prof[1] == (5, None, 2)
+    assert prof[2] == (2, None, 5)
+    n3, mx3, arg3 = prof[3]
+    assert (n3, arg3) == (2, 8) and math.isinf(mx3)  # no round(inf) crash
+
+    topk = {}
+    for r in stream_transform_topk(spark, d).collect():
+        topk.setdefault(r.user_id, {})[r.rnk] = (r.value, r.event_id)
+    # user 1: NaN@2, NaN@4, inf@7 — NaN > inf > 7.0, eid-asc ties;
+    # NaN values arrive NULL through the same Arrow boundary
+    assert [topk[1][k][1] for k in (1, 2, 3)] == [2, 4, 7]
+    assert topk[1][1][0] is None and topk[1][2][0] is None
+    assert math.isinf(topk[1][3][0])
+    assert [topk[2][k][1] for k in (1, 2)] == [5, 6]
 
     hist = {
         (r.user_id, r.event_type): r.n
@@ -378,7 +399,8 @@ def test_stream_transform_nan_and_null_type_semantics(spark):
     }
     assert hist == {
         (1, "click"): 2,
-        (1, "view"): 1,
+        (1, "view"): 2,
         (1, None): 1,  # the oracle's NULL group, preserved
         (2, None): 2,
+        (3, "view"): 2,
     }
