@@ -240,7 +240,9 @@ def bind_view(spark: SparkSession, name: str, sf_dir: str, frame_fn) -> None:
 # probe runs once per table per session, not once per operator call
 # (advisor r8: the old df.rdd probe compiled a physical plan — and
 # listed the table's files — on every invocation).
-_SPREAD_DECISION: dict[tuple, bool] = {}  # (appId, path) or (appId, "sem", hash)
+# (appId, path, budget) -> target partition count (0 = no spread),
+# or (appId, "sem", hash) -> bool for the frame-level spread()
+_SPREAD_DECISION: dict[tuple, int | bool] = {}
 
 
 def _parse_bytes(s: str, default: int) -> int:
@@ -264,6 +266,35 @@ def _parse_bytes(s: str, default: int) -> int:
         return default
 
 
+def _local_file_sizes(path: str) -> list[int] | None:
+    """Data-file byte sizes under a LOCAL table path; None when the
+    path is not on the local filesystem (an object-store / DFS URI on
+    a real cluster — there the listing itself is the cost we refuse
+    to pay). Raises FileNotFoundError on a missing/renamed path so
+    callers never memoize a decision for a table that was not there
+    to probe."""
+    if "://" in path and not path.startswith("file://"):
+        return None
+    p = path[len("file://") :] if path.startswith("file://") else path
+    if os.path.isfile(p):
+        return [os.path.getsize(p)]
+    if os.path.isdir(p):
+        # recurse: a hive-partitioned table is nested subdirectories
+        # of data files — a top-level-only scandir would sum 0 bytes
+        # and misreport the table as single-split (advisor r9)
+        sizes = []
+        for root, dirs, files in os.walk(p):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            sizes.extend(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+        return sizes
+    # missing/renamed path: let the caller decide
+    raise FileNotFoundError(p)
+
+
 def _local_scan_splits(spark: SparkSession, path: str) -> int | None:
     """Estimated scan-split count for a LOCAL parquet table path —
     computed from filesystem file sizes with Spark's own
@@ -283,27 +314,9 @@ def _local_scan_splits(spark: SparkSession, path: str) -> int | None:
     than this byte math predicts. The corpus tiers here are
     one-file-one-row-group SMALL files, where the estimate and the
     physical plan agree."""
-    if "://" in path and not path.startswith("file://"):
+    sizes = _local_file_sizes(path)
+    if sizes is None:
         return None
-    p = path[len("file://") :] if path.startswith("file://") else path
-    if os.path.isfile(p):
-        sizes = [os.path.getsize(p)]
-    elif os.path.isdir(p):
-        # recurse: a hive-partitioned table is nested subdirectories
-        # of data files — a top-level-only scandir would sum 0 bytes
-        # and misreport the table as single-split (advisor r9)
-        sizes = []
-        for root, dirs, files in os.walk(p):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-            sizes.extend(
-                os.path.getsize(os.path.join(root, f))
-                for f in files
-                if not f.startswith(("_", "."))
-            )
-    else:
-        # missing/renamed path: let the caller decide — and never
-        # memoize a decision for a table that was not there to probe
-        raise FileNotFoundError(p)
     total = sum(sizes)
     if total == 0:
         return 1
@@ -344,7 +357,9 @@ def _local_scan_splits(spark: SparkSession, path: str) -> int | None:
     return max(1, n_parts)
 
 
-def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_spread(
+    spark: SparkSession, sf_dir: str, name: str, budget_bytes: int | None = None
+) -> DataFrame:
     """Scan one corpus table, guaranteeing at least default-parallelism
     partitions before CPU-heavy per-row work (regex tokenization,
     n-gram extraction, hashing, binary decode).
@@ -364,26 +379,49 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     The probe is a driver-local stat of the table's file sizes fed
     through Spark's split-packing math (see _local_scan_splits),
-    memoized per (application, path): non-local paths are never
-    probed (no plan compile, no second file listing at cluster
-    scale), and repeated load_spread calls reuse the decision."""
+    memoized per (application, path, budget): non-local paths are
+    never probed (no plan compile, no second file listing at cluster
+    scale), and repeated load_spread calls reuse the decision.
+
+    ``budget_bytes`` sizes the spread to the WORK instead of the
+    machine: when set, the target is ceil(table_bytes / budget),
+    clamped to [1, defaultParallelism] — so a small tier fans out to
+    a handful of tasks instead of paying task-scheduling + Python
+    worker fan-out for 32 near-empty partitions, while a bigger tier
+    still reaches full width. Measured on the tokenize pass
+    (_term_freqs, r13 sweep, one process, min-of-3): sf0.1
+    0.48 s at 4-8 parts vs 0.62 s at 32 and 0.69 s at 1; 10x tier
+    monotone down to 32 parts (0.73 s) — a 128 KiB budget lands both
+    tiers on their measured best. At cluster scale the conditional
+    still short-circuits: a multi-split read already exceeds any
+    target, so no shuffle is ever added."""
     df = load(spark, sf_dir, name)
     path = f"{sf_dir}/{name}.parquet"
-    key = (spark.sparkContext.applicationId, path)
-    dec = _SPREAD_DECISION.get(key)
-    if dec is None:
-        target = spark.sparkContext.defaultParallelism
+    key = (spark.sparkContext.applicationId, path, budget_bytes)
+    # memoized target partition count; 0 = don't spread
+    tgt = _SPREAD_DECISION.get(key)
+    if tgt is None:
+        parallelism = spark.sparkContext.defaultParallelism
         try:
-            est = _local_scan_splits(spark, path)
+            sizes = _local_file_sizes(path)
         except FileNotFoundError:
             # the load() above resolved a schema, so the table exists
             # under some layout this probe doesn't see (e.g. a path
             # alias); don't spread — and don't memoize 'never spread'
             # for a path that wasn't probe-able (advisor r9)
             return df
-        dec = _SPREAD_DECISION[key] = est is not None and est < target
-    if dec:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        est = _local_scan_splits(spark, path)
+        if est is None:
+            tgt = 0
+        else:
+            target = parallelism
+            if budget_bytes is not None and sizes is not None:
+                total = sum(sizes)
+                target = max(1, min(parallelism, -(-total // budget_bytes)))
+            tgt = target if est < target else 0
+        _SPREAD_DECISION[key] = tgt
+    if tgt:
+        df = df.repartition(tgt)
     return df
 
 
