@@ -195,7 +195,7 @@ def _pctl_bucket_expr() -> F.Column:
     )
 
 
-def exact_group_quantiles(gv, qs):
+def exact_group_quantiles(gv, qs, return_frags=False):
     """Exact interpolated per-group quantiles of a (g, v) frame via
     the two-pass log-bucket machinery (full design rationale in
     agg_percentile's docstring): one map-side-combinable (g, bucket)
@@ -205,21 +205,47 @@ def exact_group_quantiles(gv, qs):
     bucket packs. Returns {group: (value per q, in qs order)}.
     Shared by agg_percentile and agg_winsorized_mean (clip bounds) —
     never an ObjectHashAggregate percentile buffer, so no pass ever
-    shuffles the raw value column."""
+    shuffles the raw value column.
+
+    With ``return_frags=True`` returns ``(quantiles, frags)`` where
+    frags — when available — is {group: [(cnt, lo, hi, sum, vals)]}:
+    one fragment per occupied bucket carrying its exact count / value
+    hull / value SUM, plus the bucket's full sorted value list for
+    every bucket the pick pass collected (vals is None elsewhere).
+    This is everything a consumer needs to finish a clipped/trimmed
+    aggregate DRIVER-side without a third fact scan: any bucket not
+    straddling a clip bound resolves from (cnt, hull, sum) alone, and
+    a straddling bucket always holds an unresolved order statistic —
+    the bound interpolates between order stats that live in it — so
+    its rows are exactly the ones the pick pass already collected.
+    frags comes back None (consumer falls back to its own scan) on
+    the pathological paths where fragment sums stop being exact:
+    refinement levels engaged, or a sub-ulp-width region resolved
+    without a scan."""
     li = gv
     lib = li.withColumn("b", _pctl_bucket_expr())
 
-    hist: dict[str, dict[int, tuple[int, float, float]]] = {}
+    hist: dict[str, dict[int, tuple[int, float, float, float]]] = {}
     for r in (
         lib.groupBy("g", "b")
-        .agg(F.count("*").alias("cnt"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum("v").alias("sm"),
+        )
         .collect()
     ):
         hist.setdefault(r["g"], {})[r["b"]] = (
             r["cnt"],
             float(r["lo"]),
             float(r["hi"]),
+            float(r["sm"]),
         )
+    # fragment exactness: refinement / zero-width shortcuts replace
+    # whole-bucket collections with partial ones, so frags go None
+    frag_exact = True
+    vals_by_gb: dict[tuple, list] = {}
 
     # needed 0-based order-statistic indices per group: floor(h) and
     # floor(h)+1 (clamped) for each quantile's virtual index h
@@ -227,7 +253,7 @@ def exact_group_quantiles(gv, qs):
     kval: dict[str, dict[int, float]] = {}
     sel: dict[tuple[str, int], list[tuple[int, int]]] = {}  # (g,b) -> [(k, off)]
     for g, buckets in hist.items():
-        n = sum(c for c, _, _ in buckets.values())
+        n = sum(c for c, *_ in buckets.values())
         need[g] = {}
         kval[g] = {}
         for q in qs:
@@ -237,7 +263,7 @@ def exact_group_quantiles(gv, qs):
         ks = sorted({k for pair in need[g].values() for k in pair[:2]})
         cum, i = 0, 0
         for b in sorted(buckets):
-            cnt, lo, hi = buckets[b]
+            cnt, lo, hi, _sm = buckets[b]
             while i < len(ks) and ks[i] < cum + cnt:
                 if lo == hi:  # single-valued bucket: resolved for free
                     kval[g][ks[i]] = lo
@@ -269,9 +295,15 @@ def exact_group_quantiles(gv, qs):
             )
             for (g, b), picks in sorted(sel.items())
         ]
+        if any(
+            lo != hi and (hi - lo) / PCTL_NSUB == 0.0
+            for _, _, _, _, lo, hi, _ in regions
+        ):
+            frag_exact = False  # sub-ulp region resolves without a scan
         regions = _pctl_resolve_zero_width(regions, kval)
         level = 0
         while regions and sum(r[3] for r in regions) > PCTL_MAX_PICK_ROWS:
+            frag_exact = False  # refinement splits buckets into sub-scans
             if level >= PCTL_MAX_REFINE_LEVELS:
                 raise ValueError(
                     f"agg_percentile: {sum(r[3] for r in regions)} rows still "
@@ -347,18 +379,32 @@ def exact_group_quantiles(gv, qs):
                 .agg(F.sort_array(F.collect_list("v")).alias("vals"))
                 .collect()
             ):
-                g, _, _, _, _, _, picks = regions[r["rid"]]
+                g, b, _, _, _, _, picks = regions[r["rid"]]
                 vals = r["vals"]
+                # level-0 region == whole bucket, so vals is the
+                # bucket's complete sorted multiset (frag consumers
+                # need that; under refinement frag_exact is False and
+                # the stash is unused)
+                vals_by_gb[(g, b)] = vals
                 for k, off in picks:
                     kval[g][k] = float(vals[off])
 
-    return {
+    result = {
         g: tuple(
             kval[g][k] + frac * (kval[g][k1] - kval[g][k])
             for (k, k1, frac) in (need[g][q] for q in qs)
         )
         for g in sorted(hist)
     }
+    if not return_frags:
+        return result
+    if not frag_exact:
+        return result, None
+    frags = {
+        g: [(*buckets[b], vals_by_gb.get((g, b))) for b in sorted(buckets)]
+        for g, buckets in hist.items()
+    }
+    return result, frags
 
 
 @register(
@@ -1565,25 +1611,90 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable histogram pass + a bounded pick pass — NOT from
     Spark's `percentile` aggregate, whose ObjectHashAggregate buffer
     has no map-side reduction and therefore shuffles the entire
-    value column (measured: 1.85 s cold naive vs 1.44 s here at
-    sf0.1 — the residual is three bounded job launches, while the
-    full-column exchange is gone). The bounds come back as per-group
-    LITERALS in a codegen CASE (no join at all); the final avg is
-    map-side-combinable. The fact never shuffles at all: plain load,
-    not load_spread — clamp+avg per row is too cheap to be worth a
-    round-robin row shuffle at local tiers (see
-    exact_group_quantiles's measured A/B), and a cluster read is
-    already multi-split."""
+    value column. Since r13 the winsorized mean itself ALSO resolves
+    from those same two passes: the histogram carries each bucket's
+    exact value SUM, so every bucket cleanly below lo / above hi /
+    inside [lo, hi] contributes lo*cnt / hi*cnt / sum in closed form,
+    and a bucket straddling a bound always holds the order statistics
+    that bound interpolates between — meaning the pick pass already
+    collected its full sorted value list, which resolves the boundary
+    rows exactly. The third full-fact clip+avg scan of the r7 shape
+    is gone (cold 1.44 -> ~0.95 s at sf0.1; at 100 TB this deletes
+    one complete fact pass). Driver arithmetic uses math.fsum —
+    correctly-rounded summation, at least as accurate as either
+    engine's fold — and the pathological paths where fragment sums
+    stop being exact (refinement levels, sub-ulp regions) fall back
+    to the r7 clip-scan plan unchanged. The fact never shuffles at
+    all: plain load, not load_spread — the per-row work is too cheap
+    to be worth a round-robin row shuffle at local tiers, and a
+    cluster read is already multi-split."""
+    import math
+
     li = sources.load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    bounds = exact_group_quantiles(
+    bounds, frags = exact_group_quantiles(
         li.select(
             F.col("l_returnflag").alias("g"),
             F.col("l_extendedprice").alias("v"),
         ).filter(F.col("v").isNotNull()),
         (0.05, 0.95),
+        return_frags=True,
     )
+
+    def _closed_form():
+        """(g, n, wins_mean, raw_mean) rows from the fragment stats;
+        None when a straddling fragment lacks its value list (cannot
+        happen per the interpolation argument above — belt-and-braces
+        fallback to the scan plan rather than a wrong answer)."""
+        rows = []
+        for g in sorted(bounds):
+            lo_v, hi_v = bounds[g]
+            n = 0
+            raw_parts: list[float] = []
+            wins_parts: list[float] = []
+            for cnt, bmin, bmax, bsum, vals in frags[g]:
+                n += cnt
+                raw_parts.append(bsum)
+                if bmax <= lo_v:
+                    wins_parts.append(lo_v * cnt)
+                elif bmin >= hi_v:
+                    wins_parts.append(hi_v * cnt)
+                elif bmin >= lo_v and bmax <= hi_v:
+                    wins_parts.append(bsum)
+                elif vals is not None:
+                    wins_parts.append(
+                        math.fsum(min(max(v, lo_v), hi_v) for v in vals)
+                    )
+                else:
+                    return None
+            rows.append(
+                (g, n, math.fsum(wins_parts) / n, math.fsum(raw_parts) / n)
+            )
+        return rows
+
+    out = _closed_form() if frags is not None else None
+    if out is not None:
+        if not out:  # empty input: VALUES needs >= 1 tuple
+            return spark.createDataFrame(
+                [], "l_returnflag string, n bigint, wins_mean double, raw_mean double"
+            )
+        vals_sql = ", ".join(
+            "('%s', CAST(%d AS BIGINT), CAST(%r AS DOUBLE), CAST(%r AS DOUBLE))"
+            % (g.replace("'", "''"), n, wm, rm)
+            for g, n, wm, rm in out
+        )
+        ps = spark.sql(
+            f"SELECT * FROM VALUES {vals_sql} AS t(l_returnflag, n, wins_mean, raw_mean)"
+        )
+        return ps.select(
+            "l_returnflag",
+            "n",
+            (F.round(F.col("wins_mean") * 1e4) / 1e4).alias("wins_mean"),
+            (F.round(F.col("raw_mean") * 1e4) / 1e4).alias("raw_mean"),
+        )
+
+    # fallback: the r7 clip-scan plan (one extra fact pass)
     lo_col, hi_col = None, None
     for g, (lo, hi) in sorted(bounds.items()):
         pred = F.col("l_returnflag") == g

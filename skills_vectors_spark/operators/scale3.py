@@ -661,9 +661,15 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator, exactly as production runtime filters size from build
     statistics). The bits table is ≤ k·n rows of two ints —
     broadcast-safe precisely when a runtime filter makes sense
-    (selective build side); the probe side is evaluated at its
-    distinct-key granularity; no shuffle of the fact table happens to
-    EVALUATE membership — only the surviving candidates proceed.
+    (selective build side). The fact table is scanned ONCE: the
+    map-side-combinable groupBy collapses it to per-key row counts —
+    the same exchange the old distinct-key probe already paid, now
+    carrying the count alongside — and every audit number (probe
+    rows, candidate rows, exact-truth rows) is a broadcast-flagged
+    conditional sum over that key-grain frame, so the two extra
+    full-fact semi-join scans of the r8 shape are gone (r12 verdict
+    item: cold 2.93 -> ~1.2 s at sf0.1, identical audit row by
+    construction).
     """
     o = sources.load(spark, sf_dir, "orders")
     li = sources.load(spark, sf_dir, "lineitem").select("l_orderkey")
@@ -682,9 +688,18 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("seed", _bloom_bit(F.col("seed"), F.col("k"), m).alias("bit"))
         .distinct()
     )
-    probe_keys = li.select(F.col("l_orderkey").alias("k")).distinct()
+    # ONE fact scan: per-key row counts (map-side combinable; the key
+    # exchange is what probe_keys.distinct() cost before, the count
+    # rides along for free). Cached: the Bloom probe and the audit
+    # sums both read it.
+    key_counts = (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("c"))
+        .withColumnRenamed("l_orderkey", "k")
+        .cache()
+    )
     hits = (
-        probe_keys.select(seeds, "k")
+        key_counts.select(seeds, "k")
         .select("seed", "k", _bloom_bit(F.col("seed"), F.col("k"), m).alias("bit"))
         .join(F.broadcast(bits), ["seed", "bit"])
         .groupBy("k")
@@ -692,15 +707,30 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_hit") == len(BLOOM_SEEDS))
         .select("k")
     )
-    # three scalar actions (a fused tagged-union variant measured
-    # SLOWER: the union job serializes behind both broadcast builds,
-    # while separate actions let each broadcast overlap its probe)
-    cand_n = li.join(F.broadcast(hits), li.l_orderkey == hits.k, "left_semi").count()
-    true_n = li.join(F.broadcast(build), li.l_orderkey == build.k, "left_semi").count()
-    probe_n = li.count()
-    # every action that reads the build side has run; free its blocks
-    # rather than holding them until session teardown
+    # one scalar action over the key-grain frame: candidate and
+    # exact-truth row counts are conditional sums under broadcast
+    # membership flags (truth ⊆ candidates is separately gated, but
+    # the truth flag joins the build set directly, so the audit
+    # numbers are exact regardless). A per-seed-broadcast-join variant
+    # (k flag joins, no explode/groupBy) measured SLOWER locally
+    # (2.7-3.2 s vs 2.06 s): three broadcast exchanges serialize
+    # behind each other while the single hits broadcast overlaps.
+    flagged = (
+        key_counts.join(F.broadcast(hits.withColumn("h", F.lit(1))), "k", "left")
+        .join(F.broadcast(build.withColumn("t", F.lit(1))), "k", "left")
+    )
+    r = flagged.agg(
+        F.sum("c").alias("probe"),
+        F.sum(F.when(F.col("h") == 1, F.col("c")).otherwise(0)).alias("cand"),
+        F.sum(F.when(F.col("t") == 1, F.col("c")).otherwise(0)).alias("truth"),
+    ).collect()[0]
+    probe_n = int(r["probe"] or 0)
+    cand_n = int(r["cand"] or 0)
+    true_n = int(r["truth"] or 0)
+    # every action that reads the cached sides has run; free their
+    # blocks rather than holding them until session teardown
     build.unpersist()
+    key_counts.unpersist()
     fp = cand_n - true_n
     # gate: no false negatives, and fp <= ceil(5% of non-member rows)
     # (integer form: 20*fp <= nonmember + 19 — engine-identical)

@@ -602,3 +602,30 @@ def test_agg_winsorized_mean_matches_numpy(spark, sf_dir):
         # winsorizing pulls the mean toward the median of a skewed
         # distribution — it must differ from the raw mean here
         assert r.wins_mean != r.raw_mean, g
+
+
+def test_agg_winsorized_closed_form_equals_clip_scan(spark, sf_dir, monkeypatch):
+    """The r13 driver-side fragment decomposition (no third fact
+    scan) must produce the same rows as the r7 clip-scan plan it
+    replaced — forced here by blanking the fragment stats so the
+    operator takes its fallback path."""
+    from skills_vectors_spark.operators import relational2 as r2
+
+    fast = {r.l_returnflag: r for r in r2.agg_winsorized_mean(spark, sf_dir).collect()}
+
+    real = r2.exact_group_quantiles
+
+    def no_frags(gv, qs, return_frags=False):
+        res = real(gv, qs, return_frags=return_frags)
+        return (res[0], None) if return_frags else res
+
+    monkeypatch.setattr(r2, "exact_group_quantiles", no_frags)
+    slow = {r.l_returnflag: r for r in r2.agg_winsorized_mean(spark, sf_dir).collect()}
+    assert set(fast) == set(slow) and fast
+    for g, a in fast.items():
+        b = slow[g]
+        assert a.n == b.n, g
+        # both paths round to the 1e-4 grid; pre-rounding drift is
+        # ~1e-12 relative, so the grid values must coincide
+        assert abs(a.wins_mean - b.wins_mean) < 1e-9, g
+        assert abs(a.raw_mean - b.raw_mean) < 1e-9, g
