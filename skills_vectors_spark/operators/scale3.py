@@ -363,6 +363,14 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PR_ITERS = 3
 PR_DAMP = 0.85
+# eager localCheckpoint every 2nd iteration, not every iteration: the
+# checkpoint bounds lineage/recompute, but each one is a full eager
+# materialization — halving their count won all 3 paired cold A/Bs at
+# sf0.1 (5.63/4.49/4.68 s every-1 vs 4.76/4.42/4.24 s every-2,
+# identical output). Lineage depth between checkpoints stays ≤ 2
+# join+agg rounds, so the Pregel quadratic-recompute hazard stays
+# bounded at any iteration count.
+PR_CHECKPOINT_EVERY = 2
 
 
 def _pagerank_oracle() -> str:
@@ -452,19 +460,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("d")
     ).cache()
     n = deg.count()  # scalar node count (one int on the driver)
-    # localCheckpoint per iteration (eager): without it the single
-    # final action re-derives iteration i inside iterations i+1..N —
+    # eager localCheckpoint on a 2-iteration cadence (see
+    # PR_CHECKPOINT_EVERY): without ANY checkpoint the single final
+    # action re-derives iteration i inside iterations i+1..N —
     # quadratic recompute — and the lineage deepens per round (the
-    # Pregel pattern, same as dedup_clusters)
+    # Pregel pattern, same as dedup_clusters); checkpointing EVERY
+    # round over-materializes (measured: every-2 won all 3 paired
+    # A/Bs). The final iteration always checkpoints so the returned
+    # frame is self-contained once the iteration caches release.
     ranks = deg.select("node", F.lit(1.0 / n).alias("pr")).localCheckpoint()
-    for _ in range(PR_ITERS):
+    for i in range(PR_ITERS):
         rd = ranks.join(deg, "node").select("node", (F.col("pr") / F.col("d")).alias("w"))
         ranks = (
             edges.join(rd, edges.src == rd.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.round(F.lit(0.15 / n) + PR_DAMP * F.sum("w"), 10).alias("pr"))
-            .localCheckpoint()
         )
+        if (i + 1) % PR_CHECKPOINT_EVERY == 0 or i == PR_ITERS - 1:
+            ranks = ranks.localCheckpoint()
     # the eager checkpoint makes the final ranks self-contained, so
     # the iteration-only caches can release their executor blocks now
     # instead of living until session teardown (cache-pressure lesson

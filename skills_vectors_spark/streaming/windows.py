@@ -431,7 +431,22 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     State is one fixed-size tuple per user regardless of stream
     length; for fully-arrived bounded input the final state equals
     the batch GROUP BY, which is the oracle. Ties on max value break
-    toward the lowest event_id in both formulations."""
+    toward the lowest event_id in both formulations.
+
+    NaN/NULL contract (r13, closing the r12 transport-boundary note):
+    every input row carries a Spark-computed ``v_nan`` flag, because
+    the Arrow->pandas boundary renders BOTH a NULL value and a NaN
+    value as NaN in the float64 column — without the flag the two are
+    indistinguishable worker-side (advisor r13). Rows rank in the
+    engines' total order — NaN above every numeric (both engines sort
+    NaN greatest under ORDER BY value DESC), NULL below every numeric
+    (both engines default NULLS LAST) — tracked as an explicit rank
+    class in state. The emitted ``max_value`` is NULL whenever
+    max(value) is NaN (the pandas serializer cannot transport NaN
+    anyway), and the new ``max_is_nan`` companion column — oracle:
+    ``isnan(max(value))`` — disambiguates that NULL from an all-NULL
+    group's genuine NULL maximum, making the contract hash-exact even
+    on NaN/NULL-bearing corpora."""
     import pandas as pd
 
     from skills_vectors_spark import protocompat
@@ -451,14 +466,20 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("user_id", T.LongType()),
             T.StructField("n_events", T.LongType()),
             T.StructField("max_value", T.DoubleType()),
+            T.StructField("max_is_nan", T.BooleanType()),
             T.StructField("argmax_event", T.LongType()),
         ]
     )
 
     class HighWaterProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
+            # cls = the best row's rank class: 2 NaN, 1 numeric,
+            # 0 NULL value, -1 no rows yet. max_value round-trips as
+            # NULL for both the NaN and NULL classes (Arrow boundary);
+            # cls disambiguates on restore.
             self._state = handle.getValueState(
-                "profile", "n BIGINT, max_value DOUBLE, argmax_event BIGINT"
+                "profile",
+                "n BIGINT, rcls BIGINT, max_value DOUBLE, argmax_event BIGINT",
             )
 
         def handleInputRows(self, key, rows, timerValues):
@@ -466,19 +487,16 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the exists() round trip to the state server is redundant
             # (r11 floor experiment: ~0.5 s of the 1M-event floor)
             st = self._state.get()
-            n, mx, arg = st if st is not None else (0, float("-inf"), None)
-            if st is not None and mx is None:
-                # the Arrow pandas boundary renders NaN as NULL, so a
-                # NaN running max round-trips through the state store
-                # as None — restore it (arg is set iff data arrived)
-                mx = float("nan")
+            n, cls, mx, arg = st if st is not None else (0, -1, None, None)
+            if cls == 2:
+                mx = float("nan")  # NaN transported as NULL; restore
             # numpy per batch, not per row (r11 variant C, output
             # hashes bit-identical; 17.4 -> 12.3 s at the cold 1M-event
-            # tier — the r12 warm-tier A/B read within noise, the win
-            # is first-run/cold where the Python loop isn't amortized
-            # by worker reuse). Batch max + min event_id among its
-            # ties merges with the running (mx, arg) under the same
-            # (value desc, event_id asc) rule the row loop applied.
+            # tier). Batch best row under (class desc, value desc,
+            # event_id asc) merges with the running (cls, mx, arg)
+            # under the same rule the oracle's row_number applies:
+            # ORDER BY value DESC, event_id with NaN greatest and
+            # NULLS LAST.
             import numpy as np
 
             import math
@@ -489,45 +507,49 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 vals = pdf["value"].to_numpy(dtype=np.float64)
                 eids = pdf["event_id"].to_numpy(dtype=np.int64)
-                # NaN-GREATEST, matching both engines: Spark and
-                # DuckDB order NaN above every numeric (incl. +inf),
-                # so the oracle's `ORDER BY value DESC, event_id`
-                # ranks NaN rows first, tie-broken by event_id. The
-                # common no-NaN case stays single-pass because
-                # vals.max() PROPAGATES NaN — it doubles as the
-                # presence probe (the r12 review's NaN-poisoning fix,
-                # redone to oracle semantics instead of NaN-ignoring).
-                bmx = float(vals.max())
-                if math.isnan(bmx):
-                    barg = int(eids[np.isnan(vals)].min())
+                vnan = pdf["v_nan"].to_numpy(dtype=np.bool_)
+                # rank class per row: genuine NaN (flag) = 2, numeric
+                # = 1, NULL (NaN in pandas without the flag) = 0
+                bcls_arr = np.where(vnan, 2, np.where(np.isnan(vals), 0, 1))
+                bcls = int(bcls_arr.max())
+                in_cls = bcls_arr == bcls
+                if bcls == 1:
+                    bmx = float(vals[in_cls].max())
+                    barg = int(eids[in_cls & (vals == bmx)].min())
                 else:
-                    barg = int(eids[vals == bmx].min())
-                take = (
-                    arg is None
-                    or (math.isnan(bmx) and not math.isnan(mx))
-                    or (math.isnan(bmx) == math.isnan(mx) and (bmx > mx or (not (bmx < mx) and barg < arg)))
+                    bmx = float("nan") if bcls == 2 else None
+                    barg = int(eids[in_cls].min())
+                take = cls < bcls or (
+                    cls == bcls
+                    and (
+                        (cls == 1 and (bmx > mx or (not (bmx < mx) and barg < arg)))
+                        or (cls != 1 and barg < arg)
+                    )
                 )
                 if take:
-                    mx, arg = bmx, barg
-            self._state.update((n, mx, arg))
-            # round() raises OverflowError on +/-inf (and the initial
-            # -inf placeholder when a key has no rows yet); non-finite
-            # maxima pass through unrounded, exactly as DuckDB's
-            # round() leaves inf/NaN untouched. Transport boundary,
-            # documented: the Arrow pandas serializer renders an
-            # emitted NaN as NULL, so a NaN maximum arrives as NULL
-            # in max_value while the RANKING columns (argmax_event)
-            # stay oracle-exact; no corpus row carries NaN.
-            out_mx = (
-                None
-                if arg is None
-                else (mx if not math.isfinite(mx) else round(mx * 100) / 100)
-            )
+                    cls, mx, arg = bcls, bmx, barg
+            self._state.update((n, cls, mx, arg))
+            # round() raises OverflowError on +/-inf AND on a finite
+            # mx whose mx*100 overflows to inf (advisor r13: guard the
+            # SCALED value, not mx); non-finite results pass through
+            # unrounded, exactly as DuckDB's round() leaves inf/NaN
+            # untouched. A NaN maximum is emitted as NULL with
+            # max_is_nan=True (it cannot transport anyway); an
+            # all-NULL group emits NULL with max_is_nan=NULL — the
+            # oracle's isnan(max(value)) is NULL there too.
+            if cls == 1:
+                out_mx = mx if not math.isfinite(mx * 100) else round(mx * 100) / 100
+                is_nan = False
+            elif cls == 2:
+                out_mx, is_nan = None, True
+            else:  # all-NULL (0) or no rows yet (-1)
+                out_mx, is_nan = None, None
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_events": [n],
                     "max_value": [out_mx],
+                    "max_is_nan": pd.array([is_nan], dtype="boolean"),
                     "argmax_event": [arg],
                 }
             )
@@ -541,7 +563,15 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        ev = stream_events(spark, sf_dir).select("user_id", "event_id", "value")
+        # v_nan computed SPARK-side, where NULL and NaN are still
+        # distinct (isnan(NULL) is false; the flag is true only for a
+        # genuine NaN) — worker-side both arrive as NaN in float64
+        ev = stream_events(spark, sf_dir).select(
+            "user_id",
+            "event_id",
+            "value",
+            (F.col("value").isNotNull() & F.isnan("value")).alias("v_nan"),
+        )
         profiled = ev.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=HighWaterProcessor(),
             outputStructType=out_schema,
@@ -560,7 +590,7 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("user_id", "n_events", "max_value", "argmax_event")
+        .select("user_id", "n_events", "max_value", "max_is_nan", "argmax_event")
     )
 
 
@@ -572,7 +602,16 @@ def stream_transform_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a bounded 3-element list + one counter regardless of stream
     length; for fully-arrived bounded input the final list equals the
     batch per-group top-3, which is the oracle. Ties break toward the
-    lowest event_id in both formulations."""
+    lowest event_id in both formulations.
+
+    NaN/NULL contract (r13): rows carry the Spark-computed ``v_nan``
+    flag (NULL and NaN both arrive as NaN in the float64 column —
+    the flag is the only worker-side disambiguator) and rank in the
+    engines' total order — NaN greatest, NULLs last — via an explicit
+    rank class stored alongside each list entry. Emitted ``value`` is
+    NULL for a NaN row (Arrow cannot transport NaN) and for a NULL
+    row; the ``value_is_nan`` companion — oracle: ``isnan(value)`` —
+    tells them apart."""
     import pandas as pd
 
     from skills_vectors_spark import protocompat
@@ -590,45 +629,46 @@ def stream_transform_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_seen", T.LongType()),
             T.StructField("rnk", T.LongType()),
             T.StructField("value", T.DoubleType()),
+            T.StructField("value_is_nan", T.BooleanType()),
             T.StructField("event_id", T.LongType()),
         ]
     )
 
     class TopKProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._top = handle.getListState("top3", "value DOUBLE, event_id BIGINT")
+            # cls per entry: 2 NaN, 1 numeric, 0 NULL value. A NaN (or
+            # NULL) value round-trips the state store as NULL; cls
+            # disambiguates on restore.
+            self._top = handle.getListState(
+                "top3", "rcls BIGINT, value DOUBLE, event_id BIGINT"
+            )
             self._n = handle.getValueState("nseen", "n BIGINT")
 
         def handleInputRows(self, key, rows, timerValues):
             # ListState.get() yields an empty iterator when the list
             # is absent and ValueState.get() returns None — both
             # exists() round trips dropped (r11 floor experiment).
-            # (NULL value = a NaN that round-tripped the Arrow pandas
-            # boundary, which renders NaN as NULL — restore it)
             cur = [
-                (float("nan") if v is None else float(v), int(e))
-                for (v, e) in self._top.get()
+                (int(c), float(v) if v is not None else None, int(e))
+                for (c, v, e) in self._top.get()
             ]
             nst = self._n.get()
             n = nst[0] if nst is not None else 0
             # numpy per batch: reduce each Arrow batch to ITS top-3 by
-            # (value desc, event_id asc) before merging — a batch's
-            # top-3 is a superset of its contribution to the global
-            # top-3, so the merge is exact (r11 variant C,
-            # bit-identical hashes; cold-tier win, warm within noise
-            # in the r12 paired A/B — kept for the strictly smaller
-            # Python work and dropped round trips). Ordering is
-            # NaN-GREATEST like both engines' ORDER BY value DESC:
-            # the lexsort primary key is the NaN flag, and the Python
-            # merge key mirrors it (a raw tuple sort with NaN floats
-            # is comparison-unstable and batch-order-dependent).
-            import math
-
+            # (class desc, value desc, event_id asc) before merging —
+            # a batch's top-3 is a superset of its contribution to the
+            # global top-3, so the merge is exact (r11 variant C,
+            # bit-identical hashes; cold-tier win). Ordering is the
+            # engines' total order for ORDER BY value DESC: NaN
+            # greatest, NULLS LAST; the lexsort primary key is the
+            # rank class and the Python merge key mirrors it (a raw
+            # tuple sort with NaN floats is comparison-unstable and
+            # batch-order-dependent).
             import numpy as np
 
             def _rank_key(t):
-                v, e = t
-                return (0, 0.0, e) if math.isnan(v) else (1, -v, e)
+                c, v, e = t
+                return (-c, -v if c == 1 else 0.0, e)
 
             for pdf in rows:
                 n += len(pdf)
@@ -636,11 +676,18 @@ def stream_transform_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 vals = pdf["value"].to_numpy(dtype=np.float64)
                 eids = pdf["event_id"].to_numpy(dtype=np.int64)
-                isn = np.isnan(vals)
-                top = np.lexsort(
-                    (eids, -np.where(isn, np.inf, vals), (~isn).astype(np.int8))
-                )[:3]
-                cur.extend((float(vals[i]), int(eids[i])) for i in top)
+                vnan = pdf["v_nan"].to_numpy(dtype=np.bool_)
+                cls = np.where(vnan, 2, np.where(np.isnan(vals), 0, 1))
+                sortval = np.where(cls == 1, -vals, 0.0)
+                top = np.lexsort((eids, sortval, -cls))[:3]
+                cur.extend(
+                    (
+                        int(cls[i]),
+                        float(vals[i]) if cls[i] == 1 else None,
+                        int(eids[i]),
+                    )
+                    for i in top
+                )
             cur.sort(key=_rank_key)
             cur = cur[:3]
             self._top.put(cur)
@@ -650,8 +697,12 @@ def stream_transform_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "user_id": [key[0]] * len(cur),
                     "n_seen": [n] * len(cur),
                     "rnk": list(range(1, len(cur) + 1)),
-                    "value": [v for v, _ in cur],
-                    "event_id": [e for _, e in cur],
+                    "value": [v for _, v, _ in cur],
+                    "value_is_nan": pd.array(
+                        [c == 2 if c != 0 else None for c, _, _ in cur],
+                        dtype="boolean",
+                    ),
+                    "event_id": [e for _, _, e in cur],
                 }
             )
 
@@ -664,7 +715,12 @@ def stream_transform_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        ev = stream_events(spark, sf_dir).select("user_id", "event_id", "value")
+        ev = stream_events(spark, sf_dir).select(
+            "user_id",
+            "event_id",
+            "value",
+            (F.col("value").isNotNull() & F.isnan("value")).alias("v_nan"),
+        )
         profiled = ev.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=TopKProcessor(),
             outputStructType=out_schema,
@@ -688,6 +744,7 @@ def stream_transform_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "rnk",
             (F.round(F.col("value") * 100) / 100).alias("value"),
+            "value_is_nan",
             "event_id",
         )
     )
@@ -815,6 +872,11 @@ def stream_transform_typecounts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 if transform_with_state_available():  # pragma: no cover - env-dependent
+    # max_value goes NULL whenever isnan(max(value)) — Spark's Arrow
+    # pandas serializer cannot transport an emitted NaN — and the
+    # max_is_nan companion column disambiguates that NULL from an
+    # all-NULL group's genuine NULL maximum (isnan(NULL) is NULL in
+    # both engines). Hash-exact even on NaN/NULL-bearing corpora.
     register(
         "stream_transform_state",
         """
@@ -826,7 +888,9 @@ if transform_with_state_available():  # pragma: no cover - env-dependent
         )
         SELECT user_id,
                CAST(count(*) AS BIGINT) AS n_events,
-               round(max(value) * 100) / 100 AS max_value,
+               CASE WHEN isnan(max(value)) THEN NULL
+                    ELSE round(max(value) * 100) / 100 END AS max_value,
+               isnan(max(value)) AS max_is_nan,
                max(CASE WHEN r = 1 THEN event_id END) AS argmax_event
         FROM ranked GROUP BY user_id
         """,
@@ -841,7 +905,10 @@ if transform_with_state_available():  # pragma: no cover - env-dependent
           FROM events
         )
         SELECT user_id, CAST(rnk AS BIGINT) AS rnk,
-               round(value * 100) / 100 AS value, event_id
+               CASE WHEN isnan(value) THEN NULL
+                    ELSE round(value * 100) / 100 END AS value,
+               isnan(value) AS value_is_nan,
+               event_id
         FROM ranked WHERE rnk <= 3
         """,
     )(stream_transform_topk)

@@ -312,12 +312,17 @@ def test_scrub_pii_redacts_planted_identifiers(spark, sf_dir):
 
 
 def test_stream_transform_nan_and_null_type_semantics(spark, tmp_path):
-    """Pins the r12 vectorization's edge semantics to the ORACLE's:
-    both Spark and DuckDB order NaN above every numeric (incl. inf),
-    so NaN rows must RANK FIRST in the high-water profile and top-k
-    (not poison the batch, not be silently dropped); a NULL
-    event_type must surface as the oracle's NULL group; and a
-    non-finite running max must not crash Python's round()."""
+    """Pins the TWS trio's edge semantics to the ORACLE's total
+    order: NaN above every numeric (both engines rank NaN first
+    under ORDER BY value DESC), NULL values below every numeric
+    (both engines default NULLS LAST) and excluded from max(); a
+    NULL event_type must surface as the oracle's NULL group; a
+    non-finite running max must not crash Python's round(). The r13
+    is_nan companion columns disambiguate a NaN metric (transported
+    as NULL by Arrow) from a genuine NULL, and the whole fixture is
+    ALSO cross-checked against the registered DuckDB oracles — the
+    driver corpus carries no NaN/NULL values, so this is where the
+    NaN/NULL contract is actually oracle-verified."""
     import math
     import os
 
@@ -349,9 +354,15 @@ def test_stream_transform_nan_and_null_type_semantics(spark, tmp_path):
         # user 2: all-NaN values, two null types
         (5, 2, None, float("nan")),
         (6, 2, None, float("nan")),
-        # user 3: +inf max must not crash round()
+        # user 3: +inf max must not crash round(); a NULL value ranks
+        # below the numerics but still lands in the top-3
         (8, 3, "view", float("inf")),
         (9, 3, "view", 1.0),
+        (12, 3, "view", None),
+        # user 4: all-NULL values — max is NULL (not NaN), argmax is
+        # the lowest-eid NULL row (the oracle's NULLS-LAST r=1)
+        (10, 4, "view", None),
+        (11, 4, "view", None),
     ]
     pq.write_table(
         pa.table(
@@ -370,28 +381,37 @@ def test_stream_transform_nan_and_null_type_semantics(spark, tmp_path):
         os.path.join(d, "events.parquet"),
     )
 
+    state_rows = stream_transform_state(spark, d).collect()
     prof = {
-        r.user_id: (r.n_events, r.max_value, r.argmax_event)
-        for r in stream_transform_state(spark, d).collect()
+        r.user_id: (r.n_events, r.max_value, r.max_is_nan, r.argmax_event)
+        for r in state_rows
     }
     # NaN ranks FIRST (oracle ordering) so argmax is the lowest-eid
-    # NaN row; the NaN metric itself arrives NULL — the Arrow pandas
-    # boundary renders an emitted NaN as NULL (documented transport
-    # boundary; ranking columns stay oracle-exact)
-    assert prof[1] == (5, None, 2)
-    assert prof[2] == (2, None, 5)
-    n3, mx3, arg3 = prof[3]
-    assert (n3, arg3) == (2, 8) and math.isinf(mx3)  # no round(inf) crash
+    # NaN row; the NaN metric itself arrives NULL (Arrow transport)
+    # with max_is_nan=True disambiguating it from user 4's genuine
+    # NULL maximum (max_is_nan=None there: isnan(NULL) is NULL)
+    assert prof[1] == (5, None, True, 2)
+    assert prof[2] == (2, None, True, 5)
+    n3, mx3, nan3, arg3 = prof[3]
+    assert (n3, nan3, arg3) == (3, False, 8) and math.isinf(mx3)
+    assert prof[4] == (2, None, None, 10)
 
+    topk_rows = stream_transform_topk(spark, d).collect()
     topk = {}
-    for r in stream_transform_topk(spark, d).collect():
-        topk.setdefault(r.user_id, {})[r.rnk] = (r.value, r.event_id)
+    for r in topk_rows:
+        topk.setdefault(r.user_id, {})[r.rnk] = (r.value, r.value_is_nan, r.event_id)
     # user 1: NaN@2, NaN@4, inf@7 — NaN > inf > 7.0, eid-asc ties;
-    # NaN values arrive NULL through the same Arrow boundary
-    assert [topk[1][k][1] for k in (1, 2, 3)] == [2, 4, 7]
-    assert topk[1][1][0] is None and topk[1][2][0] is None
-    assert math.isinf(topk[1][3][0])
-    assert [topk[2][k][1] for k in (1, 2)] == [5, 6]
+    # NaN values arrive NULL with value_is_nan=True
+    assert [topk[1][k][2] for k in (1, 2, 3)] == [2, 4, 7]
+    assert topk[1][1][:2] == (None, True) and topk[1][2][:2] == (None, True)
+    assert math.isinf(topk[1][3][0]) and topk[1][3][1] is False
+    assert [topk[2][k][2] for k in (1, 2)] == [5, 6]
+    # user 3: inf > 1.0 > NULL — the NULL row ranks LAST (oracle
+    # NULLS-LAST), value NULL with value_is_nan=None
+    assert [topk[3][k][2] for k in (1, 2, 3)] == [8, 9, 12]
+    assert topk[3][3][:2] == (None, None)
+    # user 4: two NULL rows, eid-asc
+    assert [topk[4][k][2] for k in (1, 2)] == [10, 11]
 
     hist = {
         (r.user_id, r.event_type): r.n
@@ -402,5 +422,35 @@ def test_stream_transform_nan_and_null_type_semantics(spark, tmp_path):
         (1, "view"): 2,
         (1, None): 1,  # the oracle's NULL group, preserved
         (2, None): 2,
-        (3, "view"): 2,
+        (3, "view"): 3,
+        (4, "view"): 2,
     }
+
+    # cross-engine: the registered DuckDB oracles on the SAME fixture
+    # must match row-for-row — the NaN/NULL contract is hash-exact,
+    # not just documented
+    import duckdb
+
+    from skills_vectors_spark.registry import ORACLES
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+
+    def norm(vals):
+        return {
+            tuple(
+                round(v, 6) if isinstance(v, float) and not math.isnan(v) else v
+                for v in row
+            )
+            for row in vals
+        }
+
+    duck_state = norm(con.execute(ORACLES["stream_transform_state"]).fetchall())
+    got_state = norm(tuple(r) for r in state_rows)
+    assert got_state == duck_state
+    duck_topk = norm(con.execute(ORACLES["stream_transform_topk"]).fetchall())
+    got_topk = norm(tuple(r) for r in topk_rows)
+    assert got_topk == duck_topk
+    con.close()
