@@ -121,7 +121,11 @@ HEADLINE = [
 
 def _extras() -> dict:
     """Sketch-only production variants benched alongside the
-    registered exact forms."""
+    registered exact forms, plus the raw ANN top-k operators (their
+    registered rows became r13 gate summaries, which add the exact
+    gold computation — these rows keep the pure operator wall
+    visible)."""
+    from skills_vectors_spark.operators import ann
     from skills_vectors_spark.operators.analytics import anomaly_mad_production
     from skills_vectors_spark.operators.dedup import dedup_ngram_jaccard_production
     from skills_vectors_spark.operators.relational2 import (
@@ -136,6 +140,9 @@ def _extras() -> dict:
         "dedup_ngram_jaccard_production": dedup_ngram_jaccard_production,
         "anomaly_mad_production": anomaly_mad_production,
         "agg_gini_distributed": agg_gini_distributed,
+        "ann_lsh_topk": ann.ann_lsh,
+        "ann_ivf_topk": ann.ann_ivf,
+        "ann_ivf_pq_topk": ann.ann_ivf_pq,
     }
 
 

@@ -104,7 +104,6 @@ def hyperplane_buckets(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
     return proj.mapInPandas(run, _SIG_SCHEMA)
 
 
-@register("ann_lsh")  # rows-only
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 cosine KNN via random-hyperplane LSH:
     candidates = corpus vectors sharing any (table, bucket) with the
@@ -347,7 +346,6 @@ def assign_cells(emb: DataFrame, centers: list[list[float]]) -> DataFrame:
     )
 
 
-@register("ann_ivf")  # rows-only
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (the pgvector IVFFlat analogue, lists=N_CELLS,
     probes=N_PROBE — ref load_skill_vectors_pg.py:15,51 and the
@@ -402,7 +400,6 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_brp_l2")  # rows-only
 def ann_brp_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stock MLlib BucketedRandomProjectionLSH (L2) approx similarity
     join -> per-query top-10 by L2 (the Milvus-HNSW seat in the
@@ -600,7 +597,6 @@ def pq_codebooks(spark: SparkSession, sf_dir: str, emb: DataFrame) -> np.ndarray
     return _PQ_CODEBOOKS[sf_dir]
 
 
-@register("ann_pq")  # rows-only
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (the memory-bound scale tier: 8-byte
     codes instead of 256-byte vectors — at 100 TB the codes for the
@@ -727,7 +723,6 @@ def pq_residual_codebooks(spark: SparkSession, sf_dir: str, emb: DataFrame) -> n
     return _PQRES_CODEBOOKS[sf_dir]
 
 
-@register("ann_ivf_pq")  # rows-only: seeded quantizers, gated by recall test
 def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + PQ composed (the FAISS IVFADC architecture, and what the
     reference's two index choices — IVFFlat lists
@@ -942,3 +937,109 @@ def stream_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = run_to_completion(counts, mode="complete")
     return out.select(F.col("cell").cast("int"), F.col("count").alias("n_vectors"))
+
+
+# ------------------------------------------- driver-facing gate rows
+#
+# The ANN operators above stay library functions (their top-k rows
+# depend on seeded projections / sampled quantizers — not
+# SQL-expressible), but each one is REGISTERED as a gate-column
+# summary the driver can hash (r12 verdict item 5, the eval_recall_lsh
+# pattern reduced to its driver-checkable core): query coverage is
+# verified for REAL in both engines — n_queries must equal the
+# corpus's query count and n_results must equal n_queries*K, so an
+# operator that drops a query or under-fills its top-K goes red — and
+# the recall-vs-exact-gold floor (BACKEND_FLOORS, same bars as
+# tests/test_ann.py) rides as a Spark-computed gate column the oracle
+# self-attests (TRUE), the documented gate-column caveat from SURVEY
+# §2.C. Value-level recall remains cross-engine-verified where it is
+# SQL-expressible (eval_recall_lsh replays the whole seeded pipeline
+# in DuckDB) and unit-gated everywhere else.
+
+
+def _ann_gate_oracle() -> str:
+    return f"""
+    WITH q AS (
+      SELECT count(*) AS nq FROM embeddings WHERE vec_id < {N_QUERIES}
+    )
+    SELECT CAST(nq AS BIGINT) AS n_queries,
+           CAST(nq * {K} AS BIGINT) AS n_results,
+           TRUE AS full_k,
+           TRUE AS recall_ok
+    FROM q
+    """
+
+
+def _ann_gate_summary(
+    spark: SparkSession, sf_dir: str, topk_fn, gold_metric: str, floor: float
+) -> DataFrame:
+    """One-row coverage + recall-gate summary of an ANN operator: the
+    operator's top-k joined against the exact gold ranking
+    (ranked_knn — the reference's ground-truth full scan,
+    skills_for_jobs.py:354-387), reduced to driver-hashable columns.
+    Lazy single plan: two tiny aggregates over the ≤ N_QUERIES*K
+    result rows plus one semi-join for the match count."""
+    from skills_vectors_spark.operators.knn import ranked_knn
+
+    a = topk_fn(spark, sf_dir).select("q_id", "c_id")
+    g = ranked_knn(spark, sf_dir, gold_metric).select("q_id", "c_id")
+    stats = a.agg(
+        F.count_distinct("q_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_results"),
+    )
+    matches = g.join(a, ["q_id", "c_id"], "left_semi").agg(
+        F.count("*").alias("n_match")
+    )
+    gold_n = g.agg(F.count("*").alias("n_gold"))
+    return (
+        stats.crossJoin(F.broadcast(matches))
+        .crossJoin(F.broadcast(gold_n))
+        .select(
+            "n_queries",
+            "n_results",
+            (F.col("n_results") == F.col("n_queries") * K).alias("full_k"),
+            (F.col("n_match") / F.col("n_gold") >= floor).alias("recall_ok"),
+        )
+    )
+
+
+@register("ann_lsh", _ann_gate_oracle())
+def ann_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for :func:`ann_lsh`: coverage oracle-checked,
+    recall@K vs the exact cosine gold gated at 0.8."""
+    return _ann_gate_summary(
+        spark, sf_dir, ann_lsh, "cosine", BACKEND_FLOORS["hyperplane_lsh"]
+    )
+
+
+@register("ann_ivf", _ann_gate_oracle())
+def ann_ivf_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for :func:`ann_ivf`: coverage oracle-checked,
+    recall@K vs the exact cosine gold gated at 0.7 (nprobe=8 of 16
+    cells on a near-random corpus, same bar as tests/test_ann.py)."""
+    return _ann_gate_summary(spark, sf_dir, ann_ivf, "cosine", BACKEND_FLOORS["ivf"])
+
+
+@register("ann_brp_l2", _ann_gate_oracle())
+def ann_brp_l2_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for :func:`ann_brp_l2`: coverage oracle-checked,
+    recall@K vs the exact L2 gold gated at 0.8."""
+    return _ann_gate_summary(spark, sf_dir, ann_brp_l2, "l2", BACKEND_FLOORS["brp_l2"])
+
+
+@register("ann_pq", _ann_gate_oracle())
+def ann_pq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for :func:`ann_pq`: coverage oracle-checked,
+    recall@K vs the exact cosine gold gated at 0.6 (8-byte codes +
+    ADC + exact re-rank; the quantization tier's floor)."""
+    return _ann_gate_summary(spark, sf_dir, ann_pq, "cosine", BACKEND_FLOORS["pq"])
+
+
+@register("ann_ivf_pq", _ann_gate_oracle())
+def ann_ivf_pq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for :func:`ann_ivf_pq`: coverage oracle-checked,
+    recall@K vs the exact cosine gold gated at 0.6 (bounded by the
+    IVF probe recall; residual-PQ ADC + re-rank loses little more)."""
+    return _ann_gate_summary(
+        spark, sf_dir, ann_ivf_pq, "cosine", BACKEND_FLOORS["ivf_pq"]
+    )
