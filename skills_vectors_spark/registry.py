@@ -34,90 +34,93 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Round-12 window (the r11 verdict's ordered rotation):
-# (a) relational.py's 29 rows — staled by the batched r12 edits:
-# the join_cross_topk s_suppkey>2^53 precision fix (per-tag -1
-# sentinel + nullable-Int64 output column; the strict xfail pin
-# flipped to a passing guard), the NULL-balance union arms closing
-# the advisor-r10 oracle divergence (probe-guarded, plan unchanged
-# on a NULL-free corpus), and the persist-justification / skew
-# comments;
-# (b) windows.py's 13 rows — staled by the TWS variant-C
-# vectorization (numpy handleInputRows + single get(); typecounts
-# additionally reads the map ONCE via iterator() — paired A/B
-# 12.0 -> 10.6 s median at 1M events, new shape won all 3 pairs);
-# (c) the five r7 rows deferred from the r11 window (all
-# scale2.py, file unchanged);
-# (d) 3 re-attestation slots for the then-oldest cohort (r8 rows in
-# files unchanged this round, alphabetical).
-# After this window the oldest attestation is r8.
+# Round-13 window (the r12 verdict's ordered rotation):
+# (a) ann.py's 7 rows — the five ann_* registrations are NEW
+#   gate-column summaries this round (coverage oracle-checked,
+#   recall_ok vs the BACKEND_FLOORS bar; rows-only set 10 -> 5), and
+#   eval_recall_lsh / eval_backend_compare share the edited file;
+# (b) the TWS trio — output schema changed this round (is_nan
+#   companion columns closing the NaN->NULL transport boundary, NULL
+#   values pre-split via the v_nan input flag);
+# (c) relevance.py's 5 rows + the 3 corpus_eval consumers of the
+#   shared _term_freqs subtree — staled by the r13 cold-path work
+#   (byte-budgeted tokenize spread, conditional vocab broadcast);
+# (d) relational2's percentile family — exact_group_quantiles now
+#   carries per-bucket sums and agg_winsorized_mean resolves
+#   driver-side (third fact scan deleted);
+# (e) scale3.py's 8 rows — join_bloom_prefilter re-planned (single
+#   fact scan), graph_pagerank checkpoint cadence, rest of the file
+#   re-attested;
+# (f) 21 slots of the r8-oldest cohort per the r12 queue (files
+#   unchanged; mm_*, scan_*, mix/split, analytics, lakehouse rows).
+# After this window the oldest attestations are the r8 remainder
+# (text_ngram_novelty, mix_temperature, quality_drift_psi, ...) —
+# queued first for r14.
 _PROMOTED = [
-    # (a) relational.py stratum -- the edited operator first
-    "join_cross_topk",
-    "scan_parquet",
-    "scan_csv",
-    "sink_parquet",
-    "sink_overwrite",
-    "project_rename",
-    "filter_pred",
-    "join_inner_hash",
-    "join_broadcast",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_theta_range",
-    "agg_hash",
-    "agg_distinct",
-    "agg_approx_distinct",
-    "agg_collect",
-    "agg_rollup",
-    "agg_cube",
-    "agg_gsets",
-    "win_rank_topk",
-    "win_running",
-    "win_lag_lead",
-    "win_ntile_cume",
-    "sort_limit",
-    "dedup_first",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    # (b) windows.py stratum -- the vectorized trio first
+    # (a) ann.py stratum -- newly-oracled rows first
+    "ann_lsh",
+    "ann_ivf",
+    "ann_brp_l2",
+    "ann_pq",
+    "ann_ivf_pq",
+    "eval_recall_lsh",
+    "eval_backend_compare",
+    # (b) windows.py TWS trio -- schema changed this round
     "stream_transform_state",
     "stream_transform_topk",
     "stream_transform_typecounts",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_stateful",
-    "stream_dedup_late",
-    "stream_enrich",
-    "stream_join_interval",
-    "stream_foreach_batch",
-    "stream_sink_files",
-    "stream_late_metrics",
-    # (c) the r7 rows deferred from the r11 window (scale2.py)
-    "quality_filter_apply",
-    "sessionize_batch",
-    "sink_compact",
-    "sink_zorder",
-    "text_pack_tokens",
-    # (d) oldest-cohort re-attest (r8, files unchanged this round)
+    # (c) the inverted-index family -- cold-path re-plan
+    "text_tfidf_sim",
+    "text_bm25_search",
+    "search_hybrid_rrf",
+    "quality_perplexity",
+    "quality_entropy",
+    "eval_ndcg_mrr",
+    "text_zipf_slope",
+    "text_pmi_bigrams",
+    # (d) percentile machinery -- fragment-sum rework
+    "agg_percentile",
+    "agg_winsorized_mean",
+    "agg_approx_percentile",
+    # (e) scale3.py stratum -- edited operators first
+    "join_bloom_prefilter",
+    "graph_pagerank",
     "agg_heavy_hitters",
-    "anomaly_mad",
+    "stream_cms_counters",
+    "text_normalize",
     "dedup_normalized",
+    "dedup_url",
+    "scd2_history",
+    # (f) r8-oldest cohort refresh (files unchanged this round)
+    "mm_image_features",
+    "mm_image_resize",
+    "mm_frame_sample",
+    "mm_metadata_stats",
+    "mm_arrow_bytes",
+    "mm_audio_features",
+    "stream_drift_psi",
+    "mix_corpus",
+    "mix_epochs",
+    "split_train_eval",
+    "retention_cohorts",
+    "rollup_hypertable",
+    "scan_binaryfile",
+    "scan_merge_schema",
+    "scan_npy",
+    "seq_transitions",
+    "sink_bucketed",
+    "sink_upsert_partition",
+    "eval_ab_lift",
+    "ts_ewma",
+    "ts_gapfill",
 ]
-# r13 rotation queue: after this window the oldest attestations are
-# the r8 cohort minus the three re-attested above — mm_* (5 rows),
-# the remaining streaming twins (stream_cms_counters,
-# stream_drift_psi), graph_pagerank, join_bloom_prefilter,
-# mix_corpus/mix_epochs/split_train_eval, retention_cohorts,
-# rollup_hypertable, scan_binaryfile/scan_merge_schema/scan_npy,
-# scd2_history, seq_transitions, sink_bucketed,
-# sink_upsert_partition, eval_ab_lift, text_ngram_novelty,
-# text_normalize, text_pmi_bigrams, ts_ewma, ts_gapfill,
-# quality_drift_psi — ~26 rows, fitting one window with slots to
-# spare for whatever r12's verdict stales.
+# r14 rotation queue: oldest attestations after this window are the
+# r8/r10 remainder — text_ngram_novelty, mix_temperature,
+# quality_drift_psi, dedup_substring, dedup_containment,
+# dedup_incremental, knn_filtered, sim_topk_bruteforce, anomaly_mad,
+# agg_corr_matrix, agg_moments, agg_gini(+_distributed),
+# sink_merge_rows, stream_sink_files, stream_late_metrics, the
+# relational.py r12 cohort, and whatever r13's verdict stales.
 _DEFERRED: list[str] = []
 
 
@@ -128,13 +131,13 @@ def load_all() -> None:
     sweeps (tools/driver_sim.py's first-N window, spot checks, and any
     consumer that samples the registry front-to-back). The head of the
     order is the surface with the least accumulated verification
-    signal. Round-12 rotation (the r11 verdict's ordered queue): the
-    two files edited this round — relational.py (cross-topk precision
-    fix + NULL arms) and windows.py (TWS vectorization), edited
-    operators first within each stratum — then the deferred r7
-    scale2.py rows and the oldest-cohort re-attest slots. The
-    explicit 50-entry _PROMOTED list IS the window; what follows it
-    is queued in the r13 rotation comment above.
+    signal. Round-13 rotation (the r12 verdict's ordered queue):
+    every stratum edited this round — ann.py (gate-column
+    promotions), the TWS trio (schema change), the inverted-index
+    family (cold re-plan), the percentile machinery, scale3.py —
+    then 21 slots of the r8-oldest cohort. The explicit 50-entry
+    _PROMOTED list IS the window; what follows it is queued in the
+    r14 rotation comment above.
     """
     import skills_vectors_spark.operators.functions_suite  # noqa: F401
     import skills_vectors_spark.operators.textstats  # noqa: F401
