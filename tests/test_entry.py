@@ -27,11 +27,11 @@ def test_entry_contract(spark):
 def test_sweep_window_prioritizes_least_attested():
     """Bounded front-to-back sweeps read the first 50 registered
     queries; that window must hold the least-attested-on-current-code
-    surface. Round-12 rotation (the r11 verdict's ordered queue): the
-    two files edited this round — relational.py's 29 rows (the
-    join_cross_topk precision fix + NULL arms) and windows.py's 13
-    (the TWS vectorization) — plus the five r7 scale2.py rows
-    deferred from the r11 window and 3 oldest-cohort (r8) slots."""
+    surface. Round-13 rotation (the r12 verdict's ordered queue):
+    every stratum edited this round — ann.py's newly-oracled gate
+    rows, the TWS trio (schema change), the inverted-index family
+    (cold re-plan), the percentile machinery, scale3.py — then 21
+    slots of the r8-oldest cohort."""
     from skills_vectors_spark import registry
     from skills_vectors_spark.streaming.windows import (
         transform_with_state_available,
@@ -53,17 +53,20 @@ def test_sweep_window_prioritizes_least_attested():
         window = list(registry.QUERIES)[: len(promoted)]
     assert promoted == set(window)
     for must in (
-        # relational.py stratum (the edited operator leads)
-        ["join_cross_topk", "scan_parquet", "join_theta_range", "agg_hash",
-         "win_rank_topk", "sort_limit", "dedup_first", "set_except"]
-        # windows.py stratum
+        # ann.py stratum (newly-oracled gate rows lead)
+        ["ann_lsh", "ann_ivf", "ann_brp_l2", "ann_pq", "ann_ivf_pq",
+         "eval_recall_lsh", "eval_backend_compare"]
+        # TWS trio (is_nan schema change this round)
         + (["stream_transform_state", "stream_transform_topk",
             "stream_transform_typecounts"] if tws else [])
-        + ["stream_tumbling", "stream_foreach_batch", "stream_late_metrics"]
-        # deferred r7 scale2.py rows
-        + ["quality_filter_apply", "sessionize_batch", "sink_compact",
-           "sink_zorder", "text_pack_tokens"]
-        # oldest-cohort re-attest slots
-        + ["agg_heavy_hitters", "anomaly_mad", "dedup_normalized"]
+        # inverted-index family (cold re-plan)
+        + ["text_tfidf_sim", "text_bm25_search", "search_hybrid_rrf",
+           "quality_perplexity", "quality_entropy", "eval_ndcg_mrr"]
+        # percentile machinery (fragment-sum rework)
+        + ["agg_percentile", "agg_winsorized_mean"]
+        # scale3.py stratum
+        + ["join_bloom_prefilter", "graph_pagerank", "agg_heavy_hitters"]
+        # r8-oldest cohort refresh
+        + ["mm_audio_features", "scan_npy", "ts_gapfill", "eval_ab_lift"]
     ):
         assert must in window, f"{must} fell out of the 50-query sweep window"

@@ -24,7 +24,12 @@ BNLJ_ALLOWED = {
     "eval_backend_compare",  # consumes all ANN tiers + gold
     "report_pivot",  # consumes knn_exact
     "embed_knn_pipeline",  # embeds then knn_exact
-    "ann_ivf",  # 20 queries x 16 centroids probe ranking
+    "ann_ivf",  # 20 queries x 16 centroids probe ranking; r13 gate
+    # row additionally consumes knn_exact gold + 1-row scalar crosses
+    "ann_lsh",  # r13 gate row: knn_exact gold + 1-row scalar crosses
+    "ann_brp_l2",  # r13 gate row: same shape (L2 gold)
+    "ann_pq",  # r13 gate row: same shape
+    "ann_ivf_pq",  # r13 gate row: same shape
     "join_cross_topk",  # bounded boundary broadcast (<=2K rows/range
     # partition) into the few edge suppliers — r10 sorted-neighbor
     # candidate plan; the |S| x |C| brute-force expansion is gone
