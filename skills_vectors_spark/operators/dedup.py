@@ -25,7 +25,7 @@ import random
 
 import numpy as np
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1145,13 +1145,18 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     differs). Cross-doc duplication only: a window repeated within
     one document does not count.
 
-    Scale shape: windows explode to ~n_tokens/stride rows per doc but
-    immediately collapse to 32-byte fingerprints; the duplicate set
-    is one map-side-combinable groupBy on the fingerprint key, and
-    the per-doc report joins windows back to it on the same key — two
-    shuffles of fixed-width keys, linear in corpus size, no pairwise
-    comparison anywhere (the window join plays the inverted-index
-    role: only identical spans ever meet)."""
+    Scale shape (r13 single-pass form): windows explode to
+    ~n_tokens/stride rows per doc but immediately collapse — first to
+    32-byte fingerprints, then to (fp, doc_id, window-count) grain in
+    ONE map-side-combinable groupBy, so the fingerprint pass runs
+    once (the r12 plan referenced the exploded frame three times —
+    duplicate set, flag join, per-doc totals — recomputing the
+    explode+md5 pass each time; at 100 TB that is two full extra
+    corpus passes). Cross-doc duplication falls out of a count window
+    over the fp key on the collapsed grain: (fp, doc) rows are unique,
+    so rows-per-fp IS distinct-docs-per-fp, and the per-doc report is
+    one final groupBy — two shuffles of fixed-width keys total, linear
+    in corpus size, no pairwise comparison anywhere."""
     d = sources.load_spread(spark, sf_dir, "documents")
     t = d.select("doc_id", tokens_col("text").alias("toks")).withColumn(
         "n", F.size("toks")
@@ -1166,25 +1171,25 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp"),
     )
-    dup = (
-        w.groupBy("fp")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("fp")
-    )
-    flagged = w.join(dup, "fp", "left_semi").groupBy("doc_id").agg(
-        F.count("*").alias("n_dup")
-    )
+    # (fp, doc) grain: c = this doc's windows carrying this span
+    g = w.groupBy("fp", "doc_id").agg(F.count("*").alias("c"))
+    # distinct docs per fp == rows per fp on the unique (fp, doc) grain
+    nd = F.count("*").over(Window.partitionBy("fp"))
     return (
-        w.groupBy("doc_id")
-        .agg(F.count("*").alias("n_windows"))
-        .join(flagged, "doc_id", "left")
+        g.withColumn("nd", nd)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
         .select(
             "doc_id",
-            F.col("n_windows").cast("long").alias("n_windows"),
-            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_windows"),
-            (
-                F.round(F.coalesce("n_dup", F.lit(0)) / F.col("n_windows") * 1e6) / 1e6
-            ).alias("dup_frac"),
+            "n_windows",
+            "n_dup_windows",
+            (F.round(F.col("n_dup_windows") / F.col("n_windows") * 1e6) / 1e6).alias(
+                "dup_frac"
+            ),
         )
     )
