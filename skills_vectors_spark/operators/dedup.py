@@ -1156,8 +1156,12 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the fp key on the collapsed grain: (fp, doc) rows are unique,
     so rows-per-fp IS distinct-docs-per-fp, and the per-doc report is
     one final groupBy — two shuffles of fixed-width keys total, linear
-    in corpus size, no pairwise comparison anywhere."""
-    d = sources.load_spread(spark, sf_dir, "documents")
+    in corpus size, no pairwise comparison anywhere. The fingerprint
+    pass spreads under a 128 KiB/task byte budget (r13 A/B: 0.97 ->
+    0.63 s at sf0.1, 1.25 -> 1.11 s at 10x vs the full 32-way fan-out
+    — window md5s are cheap enough that near-empty tasks cost more
+    than they parallelize; no-op at cluster scale)."""
+    d = sources.load_spread(spark, sf_dir, "documents", budget_bytes=128 << 10)
     t = d.select("doc_id", tokens_col("text").alias("toks")).withColumn(
         "n", F.size("toks")
     )
