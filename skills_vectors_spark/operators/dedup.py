@@ -213,6 +213,76 @@ def _perms(seed: int = 42) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(N_PERM)]
 
 
+# The minhash tier's ENTIRE seeded pipeline re-expressed in DuckDB SQL
+# (the eval_recall_lsh pattern, ann.py, extended to MinHash): the 128
+# (a, b) permutation pairs are embedded as literals, token hashes are
+# the md5-conv value both engines compute identically, the rolling
+# trigram mix / per-permutation min / 4-row band keys / candidate
+# self-join / exact-Jaccard verification all recompute for real. The
+# shared CTE chain serves two oracles — the pair-level
+# _MINHASH_PAIRS_SQL hash-checks dedup_minhash's full (doc_a, doc_b,
+# jaccard) output, and _MINHASH_EVAL_SQL reduces it to the
+# recall/precision gate row of eval_dedup_compare.
+_POLY = 1000003
+_PERMS_SQL = ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(_perms()))
+_MINHASH_CTES = f"""
+    docs AS (
+      SELECT doc_id,
+             list_transform({D_TOKENS},
+               t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % {_MERSENNE}) AS th
+      FROM documents
+    ),
+    rolled AS (
+      SELECT doc_id,
+             CASE WHEN len(th) >= 3 THEN
+               list_transform(range(1, len(th) - 1),
+                 i -> ((th[i] * {_POLY} + th[i+1]) % {_MERSENNE}
+                        * {_POLY} + th[i+2]) % {_MERSENNE})
+             ELSE th END AS g
+      FROM docs WHERE len(th) > 0
+    ),
+    hsx AS (
+      SELECT DISTINCT doc_id, unnest(g) AS h FROM rolled
+    ),
+    sizes AS (
+      SELECT doc_id, count(*) AS n FROM hsx GROUP BY doc_id
+    ),
+    perms(k, a, b) AS (VALUES {_PERMS_SQL}),
+    sigrows AS (
+      SELECT x.doc_id, p.k, min((p.a * x.h + p.b) % {_MERSENNE}) AS sigv
+      FROM hsx x CROSS JOIN perms p
+      GROUP BY x.doc_id, p.k
+    ),
+    bandkeys AS (
+      SELECT doc_id, k // {N_PERM // N_BANDS} AS band,
+             string_agg(sigv::VARCHAR, ',' ORDER BY k) AS bucket
+      FROM sigrows GROUP BY doc_id, k // {N_PERM // N_BANDS}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bandkeys x
+      JOIN bandkeys y ON x.band = y.band AND x.bucket = y.bucket
+                     AND x.doc_id < y.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN hsx x ON x.doc_id = c.doc_a
+      JOIN hsx y ON y.doc_id = c.doc_b AND y.h = x.h
+      GROUP BY c.doc_a, c.doc_b
+    )
+"""
+_MINHASH_PAIRS_SQL = f"""
+    WITH {_MINHASH_CTES}
+    SELECT i.doc_a, i.doc_b,
+           round(i.i::DOUBLE / (sa.n + sb.n - i.i) * 1e6) / 1e6 AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.i::DOUBLE / (sa.n + sb.n - i.i) >= {JACCARD_THRESHOLD}
+"""
+
+
 def shingle_sigs(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     """(doc_id, hs array<long>, sig array<long>[N_PERM]) — hashed
     distinct shingle set AND MinHash signature from ONE fused Arrow
@@ -288,13 +358,17 @@ def shingle_sigs(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     return tdf.mapInPandas(run, schema)
 
 
-@register("dedup_minhash")  # rows-only: hash-seeded, not SQL-expressible
+@register("dedup_minhash", _MINHASH_PAIRS_SQL)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup detection — the subquadratic
     scale path (ref A11's ANN-index idea applied to dedup). Signature
     -> 32 bands of 4 rows -> candidate pairs from band-bucket
     collisions only -> exact Jaccard verification of candidates.
-    Verified against dedup_ngram_jaccard by a recall unit test."""
+    Verified against dedup_ngram_jaccard by a recall unit test AND
+    value-hashed pair-for-pair against _MINHASH_PAIRS_SQL, which
+    replays the whole seeded pipeline (md5-conv token hashes, the 128
+    embedded permutations, banding, candidate join, exact-Jaccard
+    verify) in DuckDB — promoted from rows-only in r13."""
     from skills_vectors_spark.cache import cached_df
 
     # the fused Arrow signature pass feeds the band self-join (2x) and
@@ -403,37 +477,108 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------------- SimHash
 
+_SIM_BITS = 60  # 15 md5 hex chars -> positive BIGINT in both engines
+_SIM_HAMMING = 3  # pigeonhole: hamming<=3 => one of 4 chunks identical
+# The simhash pipeline replayed in DuckDB (same cross-engine md5-conv
+# token-hash contract as _MINHASH_CTES): per-bit votes via an
+# unnest x range(60) cross join, sign-of-vote signature assembly,
+# 15-bit chunk blocking, and bit_count(xor) hamming verification.
+# CTE names are s-prefixed so the chain composes with _MINHASH_CTES
+# inside eval_dedup_compare's single oracle statement.
+_SIMHASH_CTES = f"""
+    sdocs AS (
+      SELECT doc_id,
+             list_transform({D_TOKENS},
+               t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS th
+      FROM documents
+    ),
+    stok AS (
+      SELECT doc_id, unnest(th) AS h FROM sdocs WHERE len(th) > 0
+    ),
+    sbits(b) AS (SELECT unnest(range({_SIM_BITS}))),
+    svotes AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM stok CROSS JOIN sbits
+      GROUP BY doc_id, b
+    ),
+    ssigs AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+      FROM svotes GROUP BY doc_id
+    ),
+    schunkpos(c) AS (SELECT unnest(range(4))),
+    schunks AS (
+      SELECT doc_id, sig, c,
+             (sig >> ({_SIM_BITS // 4} * c)) & {(1 << (_SIM_BITS // 4)) - 1} AS chunk
+      FROM ssigs CROSS JOIN schunkpos
+    ),
+    scand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                      x.sig AS sig_a, y.sig AS sig_b
+      FROM schunks x
+      JOIN schunks y ON x.c = y.c AND x.chunk = y.chunk
+                    AND x.doc_id < y.doc_id
+    ),
+    sh_pairs AS (
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+      FROM scand
+      WHERE bit_count(xor(sig_a, sig_b)) <= {_SIM_HAMMING}
+    )
+"""
+_SIMHASH_PAIRS_SQL = f"""
+    WITH {_SIMHASH_CTES}
+    SELECT doc_a, doc_b, hamming FROM sh_pairs
+"""
 
-@register("dedup_simhash")  # rows-only
+
+@register("dedup_simhash", _SIMHASH_PAIRS_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signature = sign of per-bit vote over
-    token xxhash64s; candidate pairs must share one of four 16-bit
+    """SimHash near-dup: 60-bit signature = sign of per-bit vote over
+    token hashes; candidate pairs must share one of four 15-bit
     chunks (pigeonhole: hamming<=3 implies an identical chunk);
     verified by bit_count(xor) <= 3. Token hashing and bit votes stay
-    JVM-side; chunk blocking makes candidate generation subquadratic."""
+    JVM-side; chunk blocking makes candidate generation subquadratic.
+
+    The token hash is the md5-prefix conv value (60 bits — 15 hex
+    chars so the BIGINT stays positive) rather than xxhash64: both
+    engines compute it identically (the shingle_sigs contract), which
+    is what lets _SIMHASH_PAIRS_SQL replay signatures, chunk
+    blocking, and hamming verification end-to-end in DuckDB — the
+    r13 promotion of this query from rows-only to a value-hashed
+    oracle row. Hash quality is equivalent for vote purposes (md5
+    bits are uniform); the hamming radius over 60 vs 63 vote bits is
+    the same design point."""
     import pandas as pd
 
     d = sources.load_spread(spark, sf_dir, "documents")
-    # token -> 64-bit hash stays JVM-side; the 64 per-bit votes and
-    # signature assembly are one numpy unpackbits + column-sum per
-    # Arrow batch (same zero-shuffle shape as minhash_signatures —
-    # replaces an explode + 64-aggregate groupBy shuffle). Bit 63 is
-    # kept zero so the signature stays a positive long.
+    # token -> 60-bit hash stays JVM-side; the 60 per-bit votes and
+    # signature assembly are one numpy shift + column-sum per Arrow
+    # batch (same zero-shuffle shape as minhash_signatures — replaces
+    # an explode + 60-aggregate groupBy shuffle).
     hashed = d.select(
         "doc_id",
-        F.transform(F.split(normalize_text("text"), " "), lambda t: F.xxhash64(t)).alias("hs"),
+        F.transform(
+            F.split(normalize_text("text"), " "),
+            lambda t: F.conv(F.substring(F.md5(F.encode(t, "UTF-8")), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        ).alias("hs"),
     )
 
     def run(batches):
-        weights = (1 << np.arange(63, dtype=np.uint64)).astype(np.uint64)
+        weights = (1 << np.arange(_SIM_BITS, dtype=np.uint64)).astype(np.uint64)
         for pdf in batches:
             sigs_out = []
             for hs in pdf["hs"]:
                 h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
                 # bits[i, b] = bit b of token i's hash
-                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+                bits = ((h[:, None] >> np.arange(_SIM_BITS, dtype=np.uint64)) & 1).astype(
+                    np.int64
+                )
                 votes = (2 * bits - 1).sum(axis=0)  # +1/-1 vote per bit
-                sig = int(((votes[:63] > 0).astype(np.uint64) * weights).sum())
+                sig = int(((votes > 0).astype(np.uint64) * weights).sum())
                 sigs_out.append(sig)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs_out})
 
@@ -449,7 +594,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("sig"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col("sig"), (_SIM_BITS // 4) * c).bitwiseAND(
+                        F.lit((1 << (_SIM_BITS // 4)) - 1)
+                    )
                     for c in range(4)
                 ]
             )
@@ -470,7 +617,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         cand.withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= _SIM_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )
 
@@ -539,62 +686,14 @@ def dedup_compare_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The minhash tier's ENTIRE seeded pipeline re-expressed in DuckDB SQL
-# (the eval_recall_lsh pattern, ann.py, extended to MinHash): the 128
-# (a, b) permutation pairs are embedded as literals, token hashes are
-# the md5-conv value both engines compute identically, the rolling
-# trigram mix / per-permutation min / 4-row band keys / candidate
-# self-join / exact-Jaccard verification all recompute for real — so
-# the minhash row's numerators and gate booleans are genuinely
-# cross-engine, not Spark-attested.
-_POLY = 1000003
-_PERMS_SQL = ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(_perms()))
+# eval_dedup_compare's oracle rides the same shared CTE chains as the
+# dedup_minhash and dedup_simhash pair-level oracles (defined above)
+# — both tiers' numerators and gate booleans are genuinely
+# cross-engine, not Spark-attested. Only the mllib tier stays
+# self-attested (MLlib's MinHashLSH seeds are not SQL-expressible).
 _MINHASH_EVAL_SQL = f"""
-    WITH docs AS (
-      SELECT doc_id,
-             list_transform({D_TOKENS},
-               t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % {_MERSENNE}) AS th
-      FROM documents
-    ),
-    rolled AS (
-      SELECT doc_id,
-             CASE WHEN len(th) >= 3 THEN
-               list_transform(range(1, len(th) - 1),
-                 i -> ((th[i] * {_POLY} + th[i+1]) % {_MERSENNE}
-                        * {_POLY} + th[i+2]) % {_MERSENNE})
-             ELSE th END AS g
-      FROM docs WHERE len(th) > 0
-    ),
-    hsx AS (
-      SELECT DISTINCT doc_id, unnest(g) AS h FROM rolled
-    ),
-    sizes AS (
-      SELECT doc_id, count(*) AS n FROM hsx GROUP BY doc_id
-    ),
-    perms(k, a, b) AS (VALUES {_PERMS_SQL}),
-    sigrows AS (
-      SELECT x.doc_id, p.k, min((p.a * x.h + p.b) % {_MERSENNE}) AS sigv
-      FROM hsx x CROSS JOIN perms p
-      GROUP BY x.doc_id, p.k
-    ),
-    bandkeys AS (
-      SELECT doc_id, k // {N_PERM // N_BANDS} AS band,
-             string_agg(sigv::VARCHAR, ',' ORDER BY k) AS bucket
-      FROM sigrows GROUP BY doc_id, k // {N_PERM // N_BANDS}
-    ),
-    cand AS (
-      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      FROM bandkeys x
-      JOIN bandkeys y ON x.band = y.band AND x.bucket = y.bucket
-                     AND x.doc_id < y.doc_id
-    ),
-    inter AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS i
-      FROM cand c
-      JOIN hsx x ON x.doc_id = c.doc_a
-      JOIN hsx y ON y.doc_id = c.doc_b AND y.h = x.h
-      GROUP BY c.doc_a, c.doc_b
-    ),
+    WITH {_MINHASH_CTES},
+    {_SIMHASH_CTES},
     mh_pairs AS (
       SELECT i.doc_a, i.doc_b
       FROM inter i
@@ -606,6 +705,12 @@ _MINHASH_EVAL_SQL = f"""
     stats AS (
       SELECT (SELECT count(*) FROM mh_pairs) AS n_found,
              (SELECT count(*) FROM mh_pairs p
+                JOIN gold g ON g.doc_a = p.doc_a AND g.doc_b = p.doc_b) AS n_hit,
+             (SELECT count(*) FROM gold) AS n_gold
+    ),
+    s_stats AS (
+      SELECT (SELECT count(*) FROM sh_pairs) AS n_found,
+             (SELECT count(*) FROM sh_pairs p
                 JOIN gold g ON g.doc_a = p.doc_a AND g.doc_b = p.doc_b) AS n_hit,
              (SELECT count(*) FROM gold) AS n_gold
     )
@@ -625,9 +730,15 @@ _MINHASH_EVAL_SQL = f"""
              CAST({DEDUP_FLOORS["mllib_minhash"][0]} AS DOUBLE),
              CAST({DEDUP_FLOORS["mllib_minhash"][1]} AS DOUBLE), TRUE, TRUE
       UNION ALL
-      SELECT 'simhash', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      SELECT 'simhash',
+             CAST(n_found AS BIGINT), CAST(n_hit AS BIGINT),
              CAST({DEDUP_FLOORS["simhash"][0]} AS DOUBLE),
-             CAST({DEDUP_FLOORS["simhash"][1]} AS DOUBLE), TRUE, TRUE
+             CAST({DEDUP_FLOORS["simhash"][1]} AS DOUBLE),
+             (round(n_hit::DOUBLE / greatest(n_gold, 1) * 1e6) / 1e6)
+               >= {DEDUP_FLOORS["simhash"][0]},
+             (round(n_hit::DOUBLE / greatest(n_found, 1) * 1e6) / 1e6)
+               >= {DEDUP_FLOORS["simhash"][1]}
+      FROM s_stats
     ) ORDER BY tier
 """
 
@@ -640,25 +751,28 @@ def eval_dedup_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluate-against-gold shape as the reference's recall loop,
     skills_for_jobs.py:199-211, applied to dedup).
 
-    Attestation tiers: the MINHASH row's numerators (n_found, n_hit)
-    and gates are recomputed end-to-end by the DuckDB oracle
-    (_MINHASH_EVAL_SQL embeds the 128 seeded permutations as literals
-    and rebuilds signatures, band keys, candidates, and exact-Jaccard
-    verification from the parquet corpus). The mllib_minhash and
-    simhash rows stay self-attested (NULL numerators, literal gates):
-    MLlib's MinHashLSH hash seeds and the SimHash bit votes over
-    64-bit xxhash64 are not SQL-expressible in DuckDB; their
-    value-level assertions live in tests/test_dedup.py, and both fail
-    honestly at the degraded 10x tier exactly where theory predicts."""
-    is_mh = F.col("tier") == "minhash"
+    Attestation tiers: the MINHASH and SIMHASH rows' numerators
+    (n_found, n_hit) and gates are recomputed end-to-end by the
+    DuckDB oracle (_MINHASH_EVAL_SQL composes both pair-oracle CTE
+    chains — the 128 embedded permutations, band keys, candidates,
+    and exact-Jaccard verify for minhash; the 60-bit vote
+    signatures, chunk blocking, and hamming verify for simhash).
+    Only the mllib_minhash row stays self-attested (NULL numerators,
+    literal gates): MLlib's MinHashLSH hash seeds are not
+    SQL-expressible in DuckDB; its value-level assertions live in
+    tests/test_dedup.py. The simhash gates fail honestly at the
+    degraded 10x tier exactly where theory predicts — and since r13
+    both engines compute that failure identically, so the row stays
+    hash-equal even where the gate is FALSE."""
+    is_real = F.col("tier").isin("minhash", "simhash")
     floors_r = F.create_map(*[F.lit(x) for t, (r, _) in DEDUP_FLOORS.items() for x in (t, r)])
     floors_p = F.create_map(*[F.lit(x) for t, (_, p) in DEDUP_FLOORS.items() for x in (t, p)])
     return (
         dedup_compare_report(spark, sf_dir)
         .select(
             "tier",
-            F.when(is_mh, F.col("n_found")).cast("long").alias("n_found"),
-            F.when(is_mh, F.col("n_hit")).cast("long").alias("n_hit"),
+            F.when(is_real, F.col("n_found")).cast("long").alias("n_found"),
+            F.when(is_real, F.col("n_hit")).cast("long").alias("n_hit"),
             floors_r[F.col("tier")].alias("recall_floor"),
             floors_p[F.col("tier")].alias("precision_floor"),
             # gates stay REAL for every tier (the sf0.1 simhash
