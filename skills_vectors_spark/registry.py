@@ -51,11 +51,18 @@ def register(name: str, oracle: str | None = None):
 # (e) scale3.py's 8 rows — join_bloom_prefilter re-planned (single
 #   fact scan), graph_pagerank checkpoint cadence, rest of the file
 #   re-attested;
-# (f) 21 slots of the r8-oldest cohort per the r12 queue (files
-#   unchanged; mm_*, scan_*, mix/split, analytics, lakehouse rows).
-# After this window the oldest attestations are the r8 remainder
-# (text_ngram_novelty, mix_temperature, quality_drift_psi, ...) —
-# queued first for r14.
+# (f) 18 slots of the r8-oldest cohort per the r12 queue (files
+#   unchanged; mm_*, scan_*, analytics, lakehouse rows);
+# (g) the dedup oracle promotions — dedup_minhash / dedup_simhash
+#   graduated from rows-only to value-hashed pair oracles late in
+#   r13 (simhash's token hash moved to the cross-engine md5-conv
+#   value, so its OUTPUT changed), and eval_dedup_compare's simhash
+#   row numerators became real; behavior-changed rows outrank
+#   cohort refresh, so these displaced mix_corpus / mix_epochs /
+#   split_train_eval (files unchanged, judge-sweep-green in r12).
+# After this window the oldest attestations are the displaced
+# mix/split rows and the r8 remainder (text_ngram_novelty,
+# mix_temperature, quality_drift_psi, ...) — queued first for r14.
 _PROMOTED = [
     # (a) ann.py stratum -- newly-oracled rows first
     "ann_lsh",
@@ -99,9 +106,6 @@ _PROMOTED = [
     "mm_arrow_bytes",
     "mm_audio_features",
     "stream_drift_psi",
-    "mix_corpus",
-    "mix_epochs",
-    "split_train_eval",
     "retention_cohorts",
     "rollup_hypertable",
     "scan_binaryfile",
@@ -113,6 +117,10 @@ _PROMOTED = [
     "eval_ab_lift",
     "ts_ewma",
     "ts_gapfill",
+    # (g) dedup oracle promotions -- behavior/oracle changed late r13
+    "dedup_minhash",
+    "dedup_simhash",
+    "eval_dedup_compare",
 ]
 # r14 rotation queue: oldest attestations after this window are the
 # r8/r10 remainder — text_ngram_novelty, mix_temperature,

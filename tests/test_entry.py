@@ -30,8 +30,10 @@ def test_sweep_window_prioritizes_least_attested():
     surface. Round-13 rotation (the r12 verdict's ordered queue):
     every stratum edited this round — ann.py's newly-oracled gate
     rows, the TWS trio (schema change), the inverted-index family
-    (cold re-plan), the percentile machinery, scale3.py — then 21
-    slots of the r8-oldest cohort."""
+    (cold re-plan), the percentile machinery, scale3.py, the dedup
+    oracle promotions (minhash/simhash pair oracles; simhash output
+    changed with the cross-engine hash) — then 18 slots of the
+    r8-oldest cohort."""
     from skills_vectors_spark import registry
     from skills_vectors_spark.streaming.windows import (
         transform_with_state_available,
@@ -68,5 +70,7 @@ def test_sweep_window_prioritizes_least_attested():
         + ["join_bloom_prefilter", "graph_pagerank", "agg_heavy_hitters"]
         # r8-oldest cohort refresh
         + ["mm_audio_features", "scan_npy", "ts_gapfill", "eval_ab_lift"]
+        # dedup oracle promotions (behavior/oracle changed late r13)
+        + ["dedup_minhash", "dedup_simhash", "eval_dedup_compare"]
     ):
         assert must in window, f"{must} fell out of the 50-query sweep window"
