@@ -881,18 +881,17 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sink_ann_index")  # rows-only: cell ids are quantizer-seeded
-def sink_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize the IVF index as a TABLE partitioned by cell and
-    search against the reloaded copy — the reference's load-once /
-    search-many split made concrete (load_skill_vectors_*.py persist
-    vectors + index server-side; here the 'server' is the lakehouse:
-    a hive-partitioned parquet table whose partition key is the cell
-    id). A query probing nprobe cells reads exactly nprobe
-    directories — partition pruning is the index traversal. Returns
-    the per-cell manifest (cell, n_vectors) as the declared result;
-    the recall-equivalence of searching the reloaded index is gated
-    in tests."""
+    read the per-cell manifest back from the reloaded copy — the
+    reference's load-once / search-many split made concrete
+    (load_skill_vectors_*.py persist vectors + index server-side;
+    here the 'server' is the lakehouse: a hive-partitioned parquet
+    table whose partition key is the cell id). A query probing
+    nprobe cells reads exactly nprobe directories — partition
+    pruning is the index traversal. Returns (cell, n_vectors); the
+    recall-equivalence of searching the reloaded index is gated in
+    tests."""
     from skills_vectors_spark.scratch import scratch as _scratch
 
     emb = sources.load_spread(spark, sf_dir, "embeddings")
@@ -907,8 +906,39 @@ def sink_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_ann_assign")  # rows-only: quantizer-seeded cells
-def stream_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register(
+    "sink_ann_index",
+    # Gate-column oracle (r13 promotion from rows-only, the
+    # eval_backend_compare pattern): the vector total is REAL in both
+    # engines — an index that drops or duplicates a vector goes red
+    # against the corpus count — while the cell-bound gate is
+    # Spark-computed and self-attested (cell ids are
+    # quantizer-seeded, not SQL-expressible); the per-cell manifest
+    # and the partition-pruning property stay unit-gated
+    # (tests/test_ann.py).
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           TRUE AS cells_bounded_ok
+    FROM embeddings
+    """,
+)
+def sink_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable summary of :func:`ann_index_manifest`: total
+    vectors landed in the persisted index (hash-checked against the
+    corpus count — every vector indexed exactly once) and whether the
+    cell set stays within the trained quantizer's N_CELLS."""
+    m = ann_index_manifest(spark, sf_dir)
+    return m.agg(
+        F.sum("n_vectors").cast("long").alias("n_vectors"),
+        (
+            (F.count("*") <= F.lit(N_CELLS))
+            & (F.max("cell") < F.lit(N_CELLS))
+            & (F.min("cell") >= F.lit(0))
+        ).alias("cells_bounded_ok"),
+    )
+
+
+def stream_ann_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming index maintenance: newly-arriving vectors are
     assigned to their IVF cell inside the micro-batch (broadcast
     centroids + the same Arrow matmul as the batch path) and the
@@ -916,7 +946,8 @@ def stream_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector index absorbs a live embedding feed without rebuilds
     (new vectors land in cell partitions; the coarse quantizer
     retrains only on drift). Bounded input -> final counts equal the
-    batch assignment, asserted in tests."""
+    batch assignment, asserted in tests and in the registered
+    summary's matches_batch gate."""
     emb_batch = sources.load(spark, sf_dir, "embeddings")
     cents = ivf_centroids(spark, sf_dir, emb_batch)
     schema = T.StructType(
@@ -937,6 +968,38 @@ def stream_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = run_to_completion(counts, mode="complete")
     return out.select(F.col("cell").cast("int"), F.col("count").alias("n_vectors"))
+
+
+@register(
+    "stream_ann_assign",
+    # Gate-column oracle (r13 promotion from rows-only): the streamed
+    # ingest total is REAL — a micro-batch that drops rows goes red
+    # against the corpus count — and the batch-equivalence of the
+    # full per-cell distribution (the unit test's assertion) rides as
+    # a Spark-computed self-attested gate.
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           TRUE AS matches_batch
+    FROM embeddings
+    """,
+)
+def stream_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable summary of :func:`stream_ann_assign_counts`:
+    total vectors ingested by the stream (hash-checked against the
+    corpus count) and whether the streaming per-cell counts equal the
+    batch assignment cell-for-cell (full-outer comparison, so a cell
+    present on only one side fails the gate)."""
+    sc = stream_ann_assign_counts(spark, sf_dir)
+    emb = sources.load(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(spark, sf_dir, emb)
+    bc = assign_cells(emb, cents).groupBy("cell").agg(F.count("*").alias("nb"))
+    j = sc.join(bc, "cell", "full_outer")
+    return j.agg(
+        F.sum("n_vectors").cast("long").alias("n_vectors"),
+        F.bool_and(
+            F.coalesce("n_vectors", F.lit(-1)) == F.coalesce("nb", F.lit(-2))
+        ).alias("matches_batch"),
+    )
 
 
 # ------------------------------------------- driver-facing gate rows

@@ -106,7 +106,7 @@ def test_sink_ann_index_partition_pruned_search(spark, sf_dir):
     from skills_vectors_spark.operators import ann
     from skills_vectors_spark.scratch import scratch as _scratch
 
-    manifest = {r.cell: r.n_vectors for r in ann.sink_ann_index(spark, sf_dir).collect()}
+    manifest = {r.cell: r.n_vectors for r in ann.ann_index_manifest(spark, sf_dir).collect()}
     from skills_vectors_spark import sources
 
     emb_n = sources.load(spark, sf_dir, "embeddings").count()
@@ -128,7 +128,9 @@ def test_stream_ann_assign_matches_batch_assignment(spark, sf_dir):
     from skills_vectors_spark import sources
     from skills_vectors_spark.operators import ann
 
-    streamed = {r.cell: r.n_vectors for r in ann.stream_ann_assign(spark, sf_dir).collect()}
+    streamed = {
+        r.cell: r.n_vectors for r in ann.stream_ann_assign_counts(spark, sf_dir).collect()
+    }
     emb = sources.load(spark, sf_dir, "embeddings")
     cents = ann.ivf_centroids(spark, sf_dir, emb)
     batch = {
