@@ -141,3 +141,22 @@ def test_stream_ann_assign_matches_batch_assignment(spark, sf_dir):
         .collect()
     }
     assert streamed == batch
+
+
+def test_index_maintenance_summary_gates(spark, sf_dir):
+    """The REGISTERED rows for the index-maintenance pair are one-row
+    gate summaries (r13): vector totals must equal the corpus count
+    (the cross-engine-verified column) and the self-attested gates
+    must hold on healthy tiers."""
+    from skills_vectors_spark import sources
+    from skills_vectors_spark.operators import ann
+
+    emb_n = sources.load(spark, sf_dir, "embeddings").count()
+    sink = ann.sink_ann_index(spark, sf_dir).collect()
+    assert len(sink) == 1
+    assert sink[0].n_vectors == emb_n
+    assert sink[0].cells_bounded_ok
+    stream = ann.stream_ann_assign(spark, sf_dir).collect()
+    assert len(stream) == 1
+    assert stream[0].n_vectors == emb_n
+    assert stream[0].matches_batch
