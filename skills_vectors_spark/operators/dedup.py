@@ -445,16 +445,16 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_near")  # rows-only: MLlib hash seeds, not SQL-expressible
-def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via stock MLlib MinHashLSH over hashed shingle
     sets (SURVEY §2.B dedup_near) — the library counterpart of the
     hand-rolled dedup_minhash: HashingTF turns each doc's shingle set
     into a sparse binary vector, approxSimilarityJoin generates
     candidate pairs from min-hash collisions, and the reported
     distance is Jaccard on the HASHED feature space (collisions can
-    perturb it slightly vs true shingle Jaccard, hence rows-only +
-    an overlap unit test vs the exact tier)."""
+    perturb it slightly vs true shingle Jaccard; MLlib's hash seeds
+    are not SQL-expressible, so the pairs stay a library function
+    gated by an overlap unit test and the registered gate summary)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = sources.load_spread(spark, sf_dir, "documents")
@@ -472,6 +472,54 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
+    )
+
+
+@register(
+    "dedup_near",
+    # Gate-column oracle (r13, the last rows-only promotion): the
+    # shingled-doc count and exact-gold pair count are REAL in both
+    # engines; the recall/precision gates vs DEDUP_FLOORS are
+    # Spark-computed from the seeded MLlib pairs and self-attested
+    # (the hash seeds are not SQL-expressible). Pair-level output
+    # stays in dedup_near_pairs, unit-gated.
+    f"""
+    WITH gold AS ({_JACCARD_PAIRS_SQL})
+    SELECT (SELECT count(*) FROM documents
+             WHERE len({D_SHINGLES}) > 0)::BIGINT AS n_docs,
+           (SELECT count(*) FROM gold)::BIGINT AS n_gold,
+           TRUE AS recall_ok,
+           TRUE AS precision_ok
+    """,
+)
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable summary of :func:`dedup_near_pairs`: input
+    coverage (shingled docs) and the exact-gold pair count are
+    hash-checked cross-engine, and the MLlib tier's recall/precision
+    vs that gold ride as Spark-computed gates against the
+    DEDUP_FLOORS bars."""
+    fr, fp = DEDUP_FLOORS["mllib_minhash"]
+    p = dedup_near_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    g = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    hits = p.join(g, ["doc_a", "doc_b"], "left_semi")
+    d = sources.load_spread(spark, sf_dir, "documents")
+    docs = d.filter(F.size(F.array_distinct(word_shingles("text", 3))) > 0)
+    lab = (
+        docs.select(F.lit("d").alias("k"))
+        .unionByName(g.select(F.lit("g").alias("k")))
+        .unionByName(p.select(F.lit("f").alias("k")))
+        .unionByName(hits.select(F.lit("h").alias("k")))
+    )
+    cnt = lambda tag: F.sum(F.when(F.col("k") == tag, 1).otherwise(0))  # noqa: E731
+    return lab.agg(
+        cnt("d").cast("long").alias("n_docs"),
+        cnt("g").cast("long").alias("n_gold"),
+        (
+            F.round(cnt("h") / F.greatest(cnt("g"), F.lit(1)) * 1e6) / 1e6 >= fr
+        ).alias("recall_ok"),
+        (
+            F.round(cnt("h") / F.greatest(cnt("f"), F.lit(1)) * 1e6) / 1e6 >= fp
+        ).alias("precision_ok"),
     )
 
 
@@ -651,7 +699,7 @@ def dedup_compare_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         fn(spark, sf_dir).select(F.lit(name).alias("tier"), "doc_a", "doc_b")
         for name, fn in [
             ("minhash", dedup_minhash),
-            ("mllib_minhash", dedup_near),
+            ("mllib_minhash", dedup_near_pairs),
             ("simhash", dedup_simhash),
         ]
     ]

@@ -40,7 +40,7 @@ def test_dedup_near_overlaps_exact_tier(spark, sf_dir):
         (r.doc_a, r.doc_b)
         for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
     }
-    near = {(r.doc_a, r.doc_b) for r in dedup.dedup_near(spark, sf_dir).collect()}
+    near = {(r.doc_a, r.doc_b) for r in dedup.dedup_near_pairs(spark, sf_dir).collect()}
     assert exact, "exact tier must find near-dups in the test corpus"
     recall = len(exact & near) / len(exact)
     assert recall >= 0.5, f"MLlib MinHash recall vs exact tier too low: {recall}"
