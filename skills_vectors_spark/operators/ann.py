@@ -928,13 +928,13 @@ def sink_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus count — every vector indexed exactly once) and whether the
     cell set stays within the trained quantizer's N_CELLS."""
     m = ann_index_manifest(spark, sf_dir)
+    # manifest rows are distinct cells, so min/max bounds alone pin
+    # the cell-id range to the trained quantizer's [0, N_CELLS)
     return m.agg(
         F.sum("n_vectors").cast("long").alias("n_vectors"),
-        (
-            (F.count("*") <= F.lit(N_CELLS))
-            & (F.max("cell") < F.lit(N_CELLS))
-            & (F.min("cell") >= F.lit(0))
-        ).alias("cells_bounded_ok"),
+        ((F.max("cell") < F.lit(N_CELLS)) & (F.min("cell") >= F.lit(0))).alias(
+            "cells_bounded_ok"
+        ),
     )
 
 

@@ -486,7 +486,7 @@ def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH gold AS ({_JACCARD_PAIRS_SQL})
     SELECT (SELECT count(*) FROM documents
-             WHERE len({D_SHINGLES}) > 0)::BIGINT AS n_docs,
+             WHERE text IS NOT NULL)::BIGINT AS n_docs,
            (SELECT count(*) FROM gold)::BIGINT AS n_gold,
            TRUE AS recall_ok,
            TRUE AS precision_ok
@@ -498,12 +498,25 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked cross-engine, and the MLlib tier's recall/precision
     vs that gold ride as Spark-computed gates against the
     DEDUP_FLOORS bars."""
+    from skills_vectors_spark.cache import cached_df
+
     fr, fp = DEDUP_FLOORS["mllib_minhash"]
-    p = dedup_near_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # persist the MLlib subtree: it is referenced twice below (found
+    # rows + the gold semi-join) and approxSimilarityJoin over the
+    # corpus is the dominant cost — same reuse pattern as
+    # dedup_minhash's shingle_sigs base
+    p = cached_df(
+        "dedup_near_pairs", spark, sf_dir, lambda: dedup_near_pairs(spark, sf_dir)
+    ).select("doc_a", "doc_b")
     g = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     hits = p.join(g, ["doc_a", "doc_b"], "left_semi")
-    d = sources.load_spread(spark, sf_dir, "documents")
-    docs = d.filter(F.size(F.array_distinct(word_shingles("text", 3))) > 0)
+    d = sources.load(spark, sf_dir, "documents")
+    # n_docs = docs the MLlib path can shingle. word_shingles emits
+    # >= 1 element for every non-null text (sequence(1, greatest(...,
+    # 1))), so the only excludable rows are NULL text — count that
+    # predicate directly instead of materializing shingles per doc
+    # (the DuckDB twin is WHERE text IS NOT NULL for the same reason)
+    docs = d.filter(F.col("text").isNotNull())
     lab = (
         docs.select(F.lit("d").alias("k"))
         .unionByName(g.select(F.lit("g").alias("k")))
@@ -824,9 +837,10 @@ def eval_dedup_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             floors_r[F.col("tier")].alias("recall_floor"),
             floors_p[F.col("tier")].alias("precision_floor"),
             # gates stay REAL for every tier (the sf0.1 simhash
-            # failure must keep failing honestly); the oracle's TRUE
-            # literals for the two non-SQL tiers are what's matched
-            # at the healthy sf0.01 gate
+            # failure must keep failing honestly); since r13 the
+            # minhash AND simhash gates are recomputed by the oracle,
+            # leaving only the mllib tier's TRUE literals matched at
+            # the healthy sf0.01 gate
             (F.col("recall") >= floors_r[F.col("tier")]).alias("recall_ok"),
             (F.col("precision") >= floors_p[F.col("tier")]).alias("precision_ok"),
         )
@@ -1337,8 +1351,14 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp"),
     )
-    # (fp, doc) grain: c = this doc's windows carrying this span
-    g = w.groupBy("fp", "doc_id").agg(F.count("*").alias("c"))
+    # (fp, doc) grain: c = this doc's windows carrying this span.
+    # Pre-partition by fp ALONE: hashpartitioning(fp) satisfies both
+    # the (fp, doc_id) aggregation's clustered distribution (same fp
+    # -> same partition, so same (fp, doc) certainly colocated) and
+    # the count window's partitionBy(fp) — collapsing what would
+    # otherwise be two separate exchanges (by (fp, doc_id), then by
+    # fp) into the single documented fingerprint shuffle.
+    g = w.repartition("fp").groupBy("fp", "doc_id").agg(F.count("*").alias("c"))
     # distinct docs per fp == rows per fp on the unique (fp, doc) grain
     nd = F.count("*").over(Window.partitionBy("fp"))
     return (
