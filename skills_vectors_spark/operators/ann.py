@@ -289,11 +289,19 @@ def train_ivf_centroids(
 ) -> list[list[float]]:
     """Lloyd's k-means on a bounded driver-side sample — the coarse-
     quantizer training step (corpus-size-independent: MAX_TRAIN rows)."""
-    sample = np.stack(
-        emb.select("embedding").limit(MAX_TRAIN).toPandas()["embedding"].to_numpy()
-    ).astype(np.float64)
+    rows = emb.select("embedding").limit(MAX_TRAIN).toPandas()["embedding"].to_numpy()
+    if not len(rows):
+        # empty corpus (an empty daily increment is routine at scale):
+        # no centroids — consumers degrade to empty results, not a
+        # np.stack crash
+        return []
+    sample = np.stack(rows).astype(np.float64)
     rng = np.random.default_rng(seed)
-    cent = sample[rng.choice(len(sample), n_cells, replace=False)].copy()
+    # replace only when the sample is smaller than the cell count
+    # (degenerate tiny corpus); normal tiers keep replace=False
+    cent = sample[
+        rng.choice(len(sample), n_cells, replace=len(sample) < n_cells)
+    ].copy()
     for _ in range(10):
         # argmin_c ||x - c||^2 = argmin_c (||c||^2 - 2 x.c)
         d = (cent**2).sum(axis=1)[None, :] - 2.0 * (sample @ cent.T)
@@ -317,7 +325,13 @@ def assign_cells(emb: DataFrame, centers: list[list[float]]) -> DataFrame:
     zero shuffle, zero row blow-up, linear in corpus size."""
     import pandas as pd
 
-    C = np.array(centers, dtype=np.float64)
+    # empty-corpus training yields zero centroids; keep C 2-D so the
+    # closure constructs (the batch loop never runs — no batches)
+    C = (
+        np.array(centers, dtype=np.float64)
+        if centers
+        else np.zeros((0, 1), dtype=np.float64)
+    )
     c_sq = (C**2).sum(axis=1)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -356,6 +370,10 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the cell assignment is the partitioning key."""
     emb = sources.load_spread(spark, sf_dir, "embeddings")
     cents = ivf_centroids(spark, sf_dir, emb)
+    if not cents:  # empty corpus: nothing to index or search
+        return spark.createDataFrame(
+            [], "q_id long, rnk long, c_id long, cos_sim double"
+        )
     centers = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)],
         "cell int, center array<double>",
@@ -410,6 +428,10 @@ def ann_brp_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = sources.load(spark, sf_dir, "embeddings")
     feat = emb.select("vec_id", array_to_vector("embedding").alias("features"))
+    if feat.isEmpty():  # MLlib fit() throws on an empty frame
+        return spark.createDataFrame(
+            [], "q_id long, rnk long, c_id long, l2_dist double"
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=SEED
     )
@@ -576,15 +598,19 @@ def pq_codebooks(spark: SparkSession, sf_dir: str, emb: DataFrame) -> np.ndarray
     driver-side on a bounded sample exactly like the IVF coarse
     quantizer (per-subspace Lloyd's) — the index-build step."""
     if sf_dir not in _PQ_CODEBOOKS:
-        sample = np.stack(
-            emb.select("embedding").limit(MAX_TRAIN).toPandas()["embedding"].to_numpy()
-        ).astype(np.float64)
+        rows = emb.select("embedding").limit(MAX_TRAIN).toPandas()["embedding"].to_numpy()
+        if not len(rows):
+            # empty corpus: zero-width codebooks; the search path
+            # returns empty before they are ever applied
+            _PQ_CODEBOOKS[sf_dir] = np.zeros((PQ_M, PQ_K, 0))
+            return _PQ_CODEBOOKS[sf_dir]
+        sample = np.stack(rows).astype(np.float64)
         d_sub = sample.shape[1] // PQ_M
         rng = np.random.default_rng(SEED)
         books = np.empty((PQ_M, PQ_K, d_sub))
         for m in range(PQ_M):
             sub = sample[:, m * d_sub : (m + 1) * d_sub]
-            cent = sub[rng.choice(len(sub), PQ_K, replace=False)].copy()
+            cent = sub[rng.choice(len(sub), PQ_K, replace=len(sub) < PQ_K)].copy()
             for _ in range(10):
                 d = (cent**2).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
                 assign = d.argmin(axis=1)
@@ -616,6 +642,10 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toPandas()
         .sort_values("vec_id")
     )
+    if not len(q_rows):  # empty corpus / no query slice: empty result
+        return spark.createDataFrame(
+            [], "q_id long, rnk long, c_id long, cos_sim double"
+        )
     Q = np.stack(q_rows["embedding"].to_numpy()).astype(np.float64)  # (nq, DIM)
     q_ids = q_rows["vec_id"].to_numpy()
     # per-query ADC tables: luts[q, m, k] = ||Q[q, sub m] - books[m, k]||^2
@@ -699,9 +729,13 @@ def pq_residual_codebooks(spark: SparkSession, sf_dir: str, emb: DataFrame) -> n
     between-cell variance, so the 4-bit-per-subspace budget is spent
     on the (much smaller) within-cell displacement."""
     if sf_dir not in _PQRES_CODEBOOKS:
-        sample = np.stack(
+        rows = (
             emb.select("embedding").limit(MAX_TRAIN).toPandas()["embedding"].to_numpy()
-        ).astype(np.float64)
+        )
+        if not len(rows):
+            _PQRES_CODEBOOKS[sf_dir] = np.zeros((PQ_M, PQ_K, 0))
+            return _PQRES_CODEBOOKS[sf_dir]
+        sample = np.stack(rows).astype(np.float64)
         C = np.array(ivf_centroids(spark, sf_dir, emb), dtype=np.float64)
         cell = ((C**2).sum(axis=1)[None, :] - 2.0 * (sample @ C.T)).argmin(axis=1)
         resid = sample - C[cell]
@@ -710,7 +744,7 @@ def pq_residual_codebooks(spark: SparkSession, sf_dir: str, emb: DataFrame) -> n
         books = np.empty((PQ_M, PQ_K, d_sub))
         for m in range(PQ_M):
             sub = resid[:, m * d_sub : (m + 1) * d_sub]
-            cent = sub[rng.choice(len(sub), PQ_K, replace=False)].copy()
+            cent = sub[rng.choice(len(sub), PQ_K, replace=len(sub) < PQ_K)].copy()
             for _ in range(10):
                 d = (cent**2).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
                 assign = d.argmin(axis=1)
@@ -739,6 +773,10 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank join fetches the few shortlisted vectors."""
     emb = sources.load_spread(spark, sf_dir, "embeddings")
     cents = ivf_centroids(spark, sf_dir, emb)
+    if not cents:  # empty corpus: nothing to index or search
+        return spark.createDataFrame(
+            [], "q_id long, rnk long, c_id long, cos_sim double"
+        )
     books = pq_residual_codebooks(spark, sf_dir, emb)
     C = np.array(cents, dtype=np.float64)
     c_sq = (C**2).sum(axis=1)
@@ -897,8 +935,11 @@ def ann_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = sources.load_spread(spark, sf_dir, "embeddings")
     cents = ivf_centroids(spark, sf_dir, emb)
     path = _scratch(sf_dir, "ivf_index")
-    assign_cells(emb, cents).write.mode("overwrite").partitionBy("cell").parquet(path)
-    reloaded = spark.read.parquet(path)
+    idx = assign_cells(emb, cents)
+    idx.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # explicit schema: a zero-vector corpus writes no data file for
+    # inference; the relation is identical otherwise
+    reloaded = spark.read.schema(idx.schema).parquet(path)
     return (
         reloaded.groupBy("cell")
         .agg(F.count("*").alias("n_vectors"))
@@ -930,11 +971,14 @@ def sink_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = ann_index_manifest(spark, sf_dir)
     # manifest rows are distinct cells, so min/max bounds alone pin
     # the cell-id range to the trained quantizer's [0, N_CELLS)
+    # coalesced for the zero-cell (empty-corpus) manifest: 0 vectors
+    # and a vacuously bounded cell set, matching the oracle's row
     return m.agg(
-        F.sum("n_vectors").cast("long").alias("n_vectors"),
-        ((F.max("cell") < F.lit(N_CELLS)) & (F.min("cell") >= F.lit(0))).alias(
-            "cells_bounded_ok"
-        ),
+        F.coalesce(F.sum("n_vectors"), F.lit(0)).cast("long").alias("n_vectors"),
+        F.coalesce(
+            (F.max("cell") < F.lit(N_CELLS)) & (F.min("cell") >= F.lit(0)),
+            F.lit(True),
+        ).alias("cells_bounded_ok"),
     )
 
 
@@ -994,10 +1038,16 @@ def stream_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ivf_centroids(spark, sf_dir, emb)
     bc = assign_cells(emb, cents).groupBy("cell").agg(F.count("*").alias("nb"))
     j = sc.join(bc, "cell", "full_outer")
+    # coalesce both aggregates for the zero-cell (empty-corpus) case:
+    # 0 vectors streamed and a vacuously matching distribution, not
+    # NULLs
     return j.agg(
-        F.sum("n_vectors").cast("long").alias("n_vectors"),
-        F.bool_and(
-            F.coalesce("n_vectors", F.lit(-1)) == F.coalesce("nb", F.lit(-2))
+        F.coalesce(F.sum("n_vectors"), F.lit(0)).cast("long").alias("n_vectors"),
+        F.coalesce(
+            F.bool_and(
+                F.coalesce("n_vectors", F.lit(-1)) == F.coalesce("nb", F.lit(-2))
+            ),
+            F.lit(True),
         ).alias("matches_batch"),
     )
 
@@ -1061,7 +1111,11 @@ def _ann_gate_summary(
             "n_queries",
             "n_results",
             (F.col("n_results") == F.col("n_queries") * K).alias("full_k"),
-            (F.col("n_match") / F.col("n_gold") >= floor).alias("recall_ok"),
+            # vacuously true on zero gold rows (empty corpus) — the
+            # 0/0 division would otherwise render NULL, not a verdict
+            F.when(F.col("n_gold") == 0, F.lit(True))
+            .otherwise(F.col("n_match") / F.col("n_gold") >= floor)
+            .alias("recall_ok"),
         )
     )
 

@@ -53,11 +53,13 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     pay at load time, skip at query time."""
     path = _scratch(sf_dir, "events_by_date")
     ev = sources.load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
-    ev.select("event_id", "user_id", "event_type", "value", "event_date").write.mode(
-        "overwrite"
-    ).partitionBy("event_date").parquet(path)
+    out = ev.select("event_id", "user_id", "event_type", "value", "event_date")
+    out.write.mode("overwrite").partitionBy("event_date").parquet(path)
     return (
-        spark.read.parquet(path)
+        # explicit schema: inference needs >=1 data file, so a
+        # zero-row write (empty increment) would otherwise fail the
+        # read-back; pruning behavior is unchanged
+        spark.read.schema(out.schema).parquet(path)
         .filter(F.col("event_date") == F.lit(PARTITION_DATE).cast("date"))
         .select(
             "event_id",

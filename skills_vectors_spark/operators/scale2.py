@@ -627,7 +627,12 @@ def scan_npy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "existing matrix instead of synthesizing one driver-side."
             )
         pdf = emb.orderBy("vec_id").toPandas()
-        np.save(path, np.stack(pdf["embedding"].to_numpy()).astype(np.float32))
+        arr = (
+            np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+            if len(pdf)
+            else np.zeros((0, 0), dtype=np.float32)  # empty-corpus fixture
+        )
+        np.save(path, arr)
     from skills_vectors_spark.functions.vector import l2_norm
 
     # project to scalars for the value compare (the harness hashes
@@ -686,7 +691,9 @@ def sink_upsert_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         restated.write.mode("overwrite").partitionBy("event_date").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return spark.read.parquet(path).select(
+    # explicit schema: a zero-row base write leaves no data file for
+    # inference (empty increment); same relation otherwise
+    return spark.read.schema(ev.schema).parquet(path).select(
         "event_id",
         "user_id",
         F.round("value", 6).alias("value"),

@@ -460,6 +460,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("d")
     ).cache()
     n = deg.count()  # scalar node count (one int on the driver)
+    if n == 0:  # empty corpus: no graph — empty ranks, not 1/0
+        edges.unpersist()
+        deg.unpersist()
+        return spark.createDataFrame([], "node string, pr double")
     # eager localCheckpoint on a 2-iteration cadence (see
     # PR_CHECKPOINT_EVERY): without ANY checkpoint the single final
     # action re-derives iteration i inside iterations i+1..N —

@@ -72,11 +72,18 @@ def _load_corpus(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         import pyarrow.parquet as pq
 
         t = pq.read_table(path, columns=["vec_id", "embedding"])
-        ids_raw = t.column("vec_id").to_numpy()
-        order = np.argsort(ids_raw)
-        ids = ids_raw[order]
-        V = np.stack(t.column("embedding").to_pylist())[order].astype(np.float64)
-        norms = np.sqrt((V * V).sum(axis=1))
+        if t.num_rows == 0:
+            # empty corpus: the generator body still runs before the
+            # (empty) batch loop, so the matrix must construct
+            ids = np.zeros(0, dtype=np.int64)
+            V = np.zeros((0, 0), dtype=np.float64)
+            norms = np.zeros(0, dtype=np.float64)
+        else:
+            ids_raw = t.column("vec_id").to_numpy()
+            order = np.argsort(ids_raw)
+            ids = ids_raw[order]
+            V = np.stack(t.column("embedding").to_pylist())[order].astype(np.float64)
+            norms = np.sqrt((V * V).sum(axis=1))
         _CORPUS_CACHE.clear()  # bound: one corpus resident per worker
         hit = _CORPUS_CACHE[path] = (ids, V, norms)
     return hit
@@ -217,9 +224,13 @@ def pca_basis(spark: SparkSession, sf_dir: str, emb: DataFrame, k: int = PCA_DIM
     independent, exactly like the IVF/PQ quantizer training."""
     key = f"{sf_dir}:{k}"
     if key not in _PCA_BASIS:
-        sample = np.stack(
-            emb.select("embedding").limit(16384).toPandas()["embedding"].to_numpy()
-        ).astype(np.float64)
+        rows = emb.select("embedding").limit(16384).toPandas()["embedding"].to_numpy()
+        if not len(rows):
+            # empty corpus: degenerate basis; the projection pass
+            # never sees a batch, so the shapes only need to construct
+            _PCA_BASIS[key] = (np.zeros(0), np.zeros((0, k)))
+            return _PCA_BASIS[key]
+        sample = np.stack(rows).astype(np.float64)
         mu = sample.mean(axis=0)
         cov = np.cov((sample - mu).T)
         vals, vecs = np.linalg.eigh(cov)

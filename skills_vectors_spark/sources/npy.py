@@ -61,6 +61,10 @@ class NpyReader(DataSourceReader):
         self.n_rows = shape[0]
 
     def partitions(self) -> list[InputPartition]:
+        if self.n_rows == 0:
+            # one empty slice: the API requires >=1 partition, and
+            # read() over [0, 0) yields nothing
+            return [NpyScanPartition(0, 0)]
         step = max(1, -(-self.n_rows // self.n_parts))
         return [
             NpyScanPartition(lo, min(lo + step, self.n_rows))

@@ -394,8 +394,23 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+    import os
+
+    if not os.path.isdir(target):  # zero micro-batches ran: empty store
+        return spark.createDataFrame(
+            [], "event_type string, n long, sum_value double"
+        )
+    # read-back schema built from the same expressions the upsert
+    # writes — inference needs >=1 data file, which a zero-event
+    # stream (empty increment) never produces
+    store_schema = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .withColumn("batch_id", F.lit(0))
+        .schema
+    )
     merged = (
-        spark.read.parquet(target)
+        spark.read.schema(store_schema).parquet(target)
         .groupBy("event_type")
         .agg(F.sum("n").cast("long").alias("n"), F.sum("s").alias("s"))
     )
