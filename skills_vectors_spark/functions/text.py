@@ -66,12 +66,21 @@ def char_ngrams_expr(col_sql: str, n: int = 5) -> Column:
 def word_shingles(c: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles -> array<string> (for MinHash/Jaccard).
     Scale note: arrays stay inside the row; no explode until the
-    MinHash stage aggregates them away."""
+    MinHash stage aggregates them away.
+
+    NULL text -> NULL array (so a downstream explode emits nothing),
+    matching the oracle's unnest-of-NULL. Without the guard,
+    greatest() skips the NULL size and concat_ws swallows the NULL
+    slice, silently producing [''] — which made every NULL-text
+    document a jaccard-1.0 duplicate of every other one (found by the
+    r13 NULL-corpus differential, SCALING.md)."""
+    c = F.col(c) if isinstance(c, str) else c
     t = tokens(c)
-    return F.transform(
+    shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(t, i, n)),
     )
+    return F.when(c.isNull(), F.lit(None).cast("array<string>")).otherwise(shingles)
 
 
 STOPWORDS = {

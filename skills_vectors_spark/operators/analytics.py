@@ -370,16 +370,17 @@ AB_VALUE_CUT = 48.0  # event-level conversion: purchase above this value
            CAST(k_t AS BIGINT) AS conv_treatment,
            round(k_c / CAST(n_c AS DOUBLE) * 1e6) / 1e6 AS rate_control,
            round(k_t / CAST(n_t AS DOUBLE) * 1e6) / 1e6 AS rate_treatment,
-           round(((k_t / CAST(n_t AS DOUBLE)) / (k_c / CAST(n_c AS DOUBLE)) - 1)
+           round(((k_t / CAST(n_t AS DOUBLE))
+                  / nullif(k_c / CAST(n_c AS DOUBLE), 0) - 1)
                  * 1e6) / 1e6 AS lift,
            round((k_t / CAST(n_t AS DOUBLE) - k_c / CAST(n_c AS DOUBLE))
-                 / sqrt(((k_c + k_t) / CAST(n_c + n_t AS DOUBLE))
+                 / nullif(sqrt(((k_c + k_t) / CAST(n_c + n_t AS DOUBLE))
                         * (1 - (k_c + k_t) / CAST(n_c + n_t AS DOUBLE))
-                        * (1.0 / n_c + 1.0 / n_t)) * 1e6) / 1e6 AS z,
+                        * (1.0 / n_c + 1.0 / n_t)), 0) * 1e6) / 1e6 AS z,
            abs((k_t / CAST(n_t AS DOUBLE) - k_c / CAST(n_c AS DOUBLE))
-               / sqrt(((k_c + k_t) / CAST(n_c + n_t AS DOUBLE))
+               / nullif(sqrt(((k_c + k_t) / CAST(n_c + n_t AS DOUBLE))
                       * (1 - (k_c + k_t) / CAST(n_c + n_t AS DOUBLE))
-                      * (1.0 / n_c + 1.0 / n_t))) > {Z_CRIT!r} AS significant
+                      * (1.0 / n_c + 1.0 / n_t)), 0)) > {Z_CRIT!r} AS significant
     FROM w
     """,
 )
@@ -425,9 +426,13 @@ def eval_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled = (F.col("k_c") + F.col("k_t")) / (
         F.col("n_c") + F.col("n_t")
     ).cast("double")
-    z = (rate_t - rate_c) / F.sqrt(
+    # nullif guards: zero conversions in BOTH arms (possible on a
+    # degenerate corpus) zero the pooled variance and the control
+    # rate; SQL division yields NULL there, ANSI Spark would raise
+    z_denom = F.sqrt(
         pooled * (1 - pooled) * (1.0 / F.col("n_c") + 1.0 / F.col("n_t"))
     )
+    z = (rate_t - rate_c) / F.nullif(z_denom, F.lit(0.0))
     return w.select(
         F.col("n_c").cast("long").alias("n_control"),
         F.col("k_c").cast("long").alias("conv_control"),
@@ -435,7 +440,7 @@ def eval_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k_t").cast("long").alias("conv_treatment"),
         (F.round(rate_c * 1e6) / 1e6).alias("rate_control"),
         (F.round(rate_t * 1e6) / 1e6).alias("rate_treatment"),
-        (F.round((rate_t / rate_c - 1) * 1e6) / 1e6).alias("lift"),
+        (F.round((rate_t / F.nullif(rate_c, F.lit(0.0)) - 1) * 1e6) / 1e6).alias("lift"),
         (F.round(z * 1e6) / 1e6).alias("z"),
         (F.abs(z) > F.lit(Z_CRIT)).alias("significant"),
     )

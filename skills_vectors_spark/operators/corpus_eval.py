@@ -75,7 +75,8 @@ PMI_TOPN = 50
     ), ranked AS (
       SELECT q_doc, c_doc,
              row_number() OVER (PARTITION BY q_doc
-                                ORDER BY dot / (nq.nrm * nc.nrm) DESC, c_doc) AS rnk
+                                ORDER BY round(dot / (nq.nrm * nc.nrm) * 1e6) DESC,
+                                         c_doc) AS rnk
       FROM pairs
       JOIN nrm nq ON nq.doc_id = q_doc
       JOIN nrm nc ON nc.doc_id = c_doc
@@ -156,7 +157,12 @@ def eval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nc), "c_doc")
         .withColumn("sim", F.col("dot") / (F.col("nq") * F.col("nc")))
     )
-    gold_w = Window.partitionBy("q_doc").orderBy(F.col("sim").desc(), "c_doc")
+    # gold ranks at the 1e-6 grain (see text_tfidf_sim: raw-float tie
+    # order is engine-dependent); the candidate key n_shared is an
+    # exact integer and needs no rounding
+    gold_w = Window.partitionBy("q_doc").orderBy(
+        F.round(F.col("sim") * 1e6).desc(), "c_doc"
+    )
     cand_w = Window.partitionBy("q_doc").orderBy(F.col("n_shared").desc(), "c_doc")
     both = scored.withColumn("grnk", F.row_number().over(gold_w)).withColumn(
         "pos", F.row_number().over(cand_w)

@@ -331,6 +331,8 @@ def shingle_sigs(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
         for pdf in batches:
             out_id, out_hs, out_sig = [], [], []
             for did, tk in zip(pdf["doc_id"], pdf["th"]):
+                if tk is None:  # NULL text: no tokens, no signature
+                    continue
                 m = len(tk)
                 if m == 0:
                     continue
@@ -458,7 +460,22 @@ def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = sources.load_spread(spark, sf_dir, "documents")
-    docs = d.select("doc_id", F.array_distinct(word_shingles("text", 3)).alias("shingles"))
+    # NULL-text docs are excluded by the filter — but the filter
+    # alone cannot PROTECT the MLlib UDFs: codegen subexpression
+    # elimination hoists the HashingTF/LSH-hash UDF chain above the
+    # null-guarding conjunct when approxSimilarityJoin merges its
+    # predicates, so every row must be UDF-safe under any evaluation
+    # order. NULL shingles therefore coalesce to a [''] sentinel
+    # (hashes harmlessly; never NPEs, never an all-zero vector) and
+    # the isNotNull predicate — which always applies semantically,
+    # wherever the optimizer evaluates it — keeps those rows out of
+    # the results. Found by the r13 NULL-corpus differential.
+    docs = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.coalesce(
+            F.array_distinct(word_shingles("text", 3)), F.array(F.lit(""))
+        ).alias("shingles"),
+    )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
     feat = tf.transform(docs).filter(F.expr("size(shingles) > 0"))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
@@ -631,8 +648,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run(batches):
         weights = (1 << np.arange(_SIM_BITS, dtype=np.uint64)).astype(np.uint64)
         for pdf in batches:
-            sigs_out = []
-            for hs in pdf["hs"]:
+            ids_out, sigs_out = [], []
+            for did, hs in zip(pdf["doc_id"], pdf["hs"]):
+                if hs is None:  # NULL text: no tokens, no signature
+                    continue
                 h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
                 # bits[i, b] = bit b of token i's hash
                 bits = ((h[:, None] >> np.arange(_SIM_BITS, dtype=np.uint64)) & 1).astype(
@@ -640,8 +659,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 votes = (2 * bits - 1).sum(axis=0)  # +1/-1 vote per bit
                 sig = int(((votes > 0).astype(np.uint64) * weights).sum())
+                ids_out.append(did)
                 sigs_out.append(sig)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs_out})
+            yield pd.DataFrame({"doc_id": ids_out, "sig": sigs_out})
 
     sigs = hashed.mapInPandas(
         run,

@@ -137,10 +137,14 @@ def embed_documents(
     reference's provider switch (create_skill_embeddings.py:11-20)."""
     dim = PROVIDERS[provider]
 
+    # NULL text embeds to NOTHING (no row) — the pipeline contract;
+    # rows that must surface failures instead go through
+    # embed_with_status, the error-ledger path (ref A21)
+    src = df.select(id_col, text_col).filter(F.col(text_col).isNotNull())
     # spread the (often single-partition) input so embedding batches
     # run on every core / executor, not one — conditionally, so a
     # multi-split cluster read is never reshuffled
-    spread = sources.spread(df.sparkSession, df.select(id_col, text_col))
+    spread = sources.spread(df.sparkSession, src)
     if provider == SQLHASH_PROVIDER:
         # engine-expression provider: whole-stage codegen, no Python
         # worker stage at all — and a plan that reuses for free when a
@@ -171,6 +175,7 @@ def embed_documents(
     SELECT doc_id, 'mock-hash-v1' AS provider, {EMBED_DIM} AS dim,
            TRUE AS unit_norm_ok
     FROM documents
+    WHERE text IS NOT NULL
     """,
 )
 def embed_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,7 +215,7 @@ _SQLHASH_COORD = (
     # reuses the knn_exact oracle pattern
     f"""
     WITH digests AS (
-      SELECT doc_id, md5(text) AS dig FROM documents
+      SELECT doc_id, md5(text) AS dig FROM documents WHERE text IS NOT NULL
     ),
     emb AS (
       SELECT doc_id,
@@ -340,7 +345,8 @@ def embed_with_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embed_provider_switch",
     f"""
-    WITH n AS (SELECT least(200, count(*)) AS c FROM documents)
+    WITH n AS (SELECT least(200, count(*)) AS c FROM documents
+               WHERE text IS NOT NULL)
     SELECT 'mock-openai' AS provider, CAST(c AS BIGINT) AS n_docs,
            {PROVIDERS["mock-openai"]} AS dim FROM n
     UNION ALL
@@ -354,7 +360,9 @@ def embed_provider_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
     row count and dimensionality. One scan per provider, unioned; at
     100 TB each provider run is an independent Arrow-batched pass
     whose dim only changes the output width."""
-    d = sources.load(spark, sf_dir, "documents").limit(200)
+    # embeddable (non-null-text) docs first, THEN the cap: keeps the
+    # selected set deterministic cross-engine when NULL texts exist
+    d = sources.load(spark, sf_dir, "documents").filter(F.col("text").isNotNull()).limit(200)
     parts = [
         embed_documents(d, provider=p).select(
             "provider", F.size("embedding").alias("dim")

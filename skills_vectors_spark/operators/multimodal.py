@@ -114,7 +114,11 @@ def ppm_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     real P6 PPM files planted from the documents table (_plant_ppm).
     The generic media_table keeps serving the frame/audio/metadata
     queries; the image decode path reads these genuine image bytes."""
-    d = sources.load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    # NULL text plants no image (nothing to derive the raster from) —
+    # the oracles carry the same text IS NOT NULL predicate
+    d = sources.load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 0) & F.col("text").isNotNull()
+    )
     spread = sources.spread(spark, d.select("doc_id", "text"))
 
     def plant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -196,7 +200,7 @@ def image_features_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + (8 + ('0x' || substr(md5(text), 1, 2))::INT % 8 - 1) / 2.0
                  + (8 + ('0x' || substr(md5(text), 3, 2))::INT % 8 - 1) / 2.0,
                  6) AS mean_b
-    FROM documents WHERE doc_id % 3 = 0
+    FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
     """,
 )
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:

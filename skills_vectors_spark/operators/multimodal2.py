@@ -88,7 +88,7 @@ N_BLOB_FILES = 24  # bounded fixture (test-SF only; prod scans real dirs)
     SELECT 'blob_' || doc_id || '.bin' AS file_name,
            CAST(strlen(text) AS BIGINT) AS length,
            md5(text) AS content_md5
-    FROM documents WHERE doc_id < {N_BLOB_FILES}
+    FROM documents WHERE doc_id < {N_BLOB_FILES} AND text IS NOT NULL
     """,
 )
 def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,7 +116,9 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     blob_dir.mkdir(parents=True, exist_ok=True)
     docs = (
         sources.load(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < N_BLOB_FILES)
+        # NULL text has no bytes to write — no blob, same predicate
+        # as the oracle
+        .filter((F.col("doc_id") < N_BLOB_FILES) & F.col("text").isNotNull())
         .select("doc_id", "text")
         .collect()  # bounded: <= N_BLOB_FILES rows by the filter above
     )
@@ -156,7 +158,7 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('0x' || substr(md5(text), 5, 2))::INT % 128
                + ('0x' || substr(md5(text), 7, 2))::INT % 128
                + ('0x' || substr(md5(text), 9, 2))::INT % 128 AS base_sum
-      FROM documents WHERE doc_id % 3 = 0
+      FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
     )
     SELECT media_id, src_h, src_w, {OUT_H} AS out_h, {OUT_W} AS out_w,
            round((256 * base_sum

@@ -670,10 +670,18 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-moments), so 100 TB costs one shuffle of 5 tiny rows per
     mapper."""
     li = sources.load(spark, sf_dir, "lineitem")
+    # corr spelled from covar/stddev with a nullif guard: Spark's
+    # built-in corr RAISES under ANSI when either side has zero
+    # variance, while SQL engines return NULL (found by the r13
+    # zero-variance-corpus differential). Same co-moment
+    # accumulators, identical value where defined.
+    corr_safe = F.covar_samp("l_extendedprice", "l_quantity") / F.nullif(
+        F.stddev_samp("l_extendedprice") * F.stddev_samp("l_quantity"), F.lit(0.0)
+    )
     return li.groupBy("l_returnflag").agg(
         (F.round(F.stddev_samp("l_extendedprice") * 1e4) / 1e4).alias("price_stddev"),
         (F.round(F.var_samp("l_quantity") * 1e4) / 1e4).alias("qty_var"),
-        (F.round(F.corr("l_extendedprice", "l_quantity") * 1e6) / 1e6).alias("price_qty_corr"),
+        (F.round(corr_safe * 1e6) / 1e6).alias("price_qty_corr"),
         (F.round(F.covar_samp("l_extendedprice", "l_discount") * 1e4) / 1e4).alias(
             "price_disc_covar"
         ),
@@ -1099,6 +1107,7 @@ def win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH counts AS (
       SELECT user_id, event_type, count(*) AS c FROM events
+      WHERE event_type IS NOT NULL
       GROUP BY user_id, event_type
     ), ranked AS (
       SELECT user_id, event_type, c,
@@ -1119,7 +1128,13 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number for clarity; the struct-max is the same argmax trick
     as agg_minmax_by)."""
     ev = sources.load(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    # SQL mode() semantics: NULL is not a candidate value (and a NULL
+    # type would also sort engine-differently inside the struct-min)
+    counts = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
     # argmax by (c DESC, event_type ASC) in one pass: min over
     # struct(-c, event_type) sorts count-descending then type-
     # ascending, and the winning struct already CARRIES the count —
@@ -1203,9 +1218,13 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = sources.load(spark, sf_dir, "lineitem")
     aggs = []
     for i, (x, y) in enumerate(CORR_PAIRS):
-        aggs.append(
-            (F.round(F.corr(x, y) * 1e6) / 1e6).alias(f"c{i}")
+        # covar/stddev spelling with a nullif guard: built-in corr
+        # RAISES under ANSI on a zero-variance column; SQL returns
+        # NULL (see agg_stats)
+        safe = F.covar_samp(x, y) / F.nullif(
+            F.stddev_samp(x) * F.stddev_samp(y), F.lit(0.0)
         )
+        aggs.append((F.round(safe * 1e6) / 1e6).alias(f"c{i}"))
     wide = li.groupBy("l_returnflag").agg(
         *aggs, F.count("*").cast("long").alias("n")
     )
@@ -1263,11 +1282,13 @@ _MOMENTS_FINAL_EXPRS = (
     "n",
     f"round((m1 / 100.0 + {MOMENTS_SHIFT!r}) * 1e6) / 1e6 AS mean",
     "round((m2 - m1 * m1) / 1e4 * 1e6) / 1e6 AS variance",
+    # nullif: zero central variance (constant column) must yield NULL
+    # skewness/kurtosis in both engines, not an ANSI divide error
     "round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)"
-    " / power(m2 - m1 * m1, 1.5) * 1e6) / 1e6 AS skewness",
+    " / nullif(power(m2 - m1 * m1, 1.5), 0) * 1e6) / 1e6 AS skewness",
     "round(((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2"
     " - 3 * m1 * m1 * m1 * m1)"
-    " / power(m2 - m1 * m1, 2.0) - 3) * 1e6) / 1e6 AS kurtosis",
+    " / nullif(power(m2 - m1 * m1, 2.0), 0) - 3) * 1e6) / 1e6 AS kurtosis",
 )
 
 

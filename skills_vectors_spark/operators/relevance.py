@@ -207,7 +207,8 @@ def tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), scored AS (
       SELECT q_doc, c_doc, dot / (nq.nrm * nc.nrm) AS sim,
              row_number() OVER (PARTITION BY q_doc
-                                ORDER BY dot / (nq.nrm * nc.nrm) DESC, c_doc) AS rnk
+                                ORDER BY round(dot / (nq.nrm * nc.nrm) * 1e6) DESC,
+                                         c_doc) AS rnk
       FROM pairs
       JOIN nrm nq ON nq.doc_id = q_doc
       JOIN nrm nc ON nc.doc_id = c_doc
@@ -247,7 +248,13 @@ def text_tfidf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nc), "c_doc")
         .withColumn("sim", F.col("dot") / (F.col("nq") * F.col("nc")))
     )
-    win = Window.partitionBy("q_doc").orderBy(F.col("sim").desc(), F.col("c_doc"))
+    # rank at the 1e-6 output grain (the displayed sim IS the rank
+    # key): raw-float ranking makes tie order engine-dependent when
+    # per-pair summation orders differ at the last ulp — the r13
+    # duplicated-corpus differential finding; ties break by c_doc
+    win = Window.partitionBy("q_doc").orderBy(
+        F.round(F.col("sim") * 1e6).desc(), F.col("c_doc")
+    )
     return (
         scored.withColumn("rnk", F.row_number().over(win).cast("long"))
         .filter(F.col("rnk") <= TOPK)

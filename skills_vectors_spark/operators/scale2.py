@@ -160,6 +160,7 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY value ASC, user_id ASC) AS rmin
       FROM events
+      WHERE value IS NOT NULL
     )
     SELECT event_type,
            max(CASE WHEN rmax = 1 THEN user_id END) AS top_user,
@@ -175,7 +176,10 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic under value ties (user_id is the tiebreaker inside
     the struct). The classic "who had the largest event" query that a
     window-based top-1 would pay a full sort for."""
-    ev = sources.load(spark, sf_dir, "events")
+    # min_by/max_by semantics: a NULL value is not an extremum
+    # candidate (a NULL field inside the struct would also sort
+    # engine-differently), so the argmax runs over valued rows only
+    ev = sources.load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return ev.groupBy("event_type").agg(
         F.max(F.struct("value", "user_id"))["user_id"].alias("top_user"),
         F.min(F.struct("value", "user_id"))["user_id"].alias("bottom_user"),
@@ -225,8 +229,13 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("__all__").alias("event_type"),
         F.count_distinct("user_id").alias("exact_distinct"),
     )
-    merged = est.unionByName(grand_est).join(
-        F.broadcast(exact.unionByName(grand_exact)), "event_type"
+    # null-safe join key: a NULL event_type group exists on both
+    # sides, and a plain equi-join would silently drop it
+    ex = exact.unionByName(grand_exact).withColumnRenamed("event_type", "et_x")
+    merged = (
+        est.unionByName(grand_est)
+        .join(F.broadcast(ex), F.col("event_type").eqNullSafe(F.col("et_x")))
+        .drop("et_x")
     )
     return merged.select(
         "event_type",

@@ -142,9 +142,13 @@ def hll_sketch_production(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("__all__").alias("event_type"),
         F.count_distinct("user_id").alias("exact_distinct"),
     )
+    # null-safe join key: a NULL event_type group exists on both
+    # sides, and a plain equi-join would silently drop it
+    ex = exact.unionByName(grand).withColumnRenamed("event_type", "et_x")
     return (
         _prod(spark, sf_dir)
-        .join(exact.unionByName(grand), "event_type")
+        .join(ex, F.col("event_type").eqNullSafe(F.col("et_x")))
+        .drop("et_x")
         .select(
             "event_type",
             F.col("exact_distinct").cast("long").alias("exact_distinct"),

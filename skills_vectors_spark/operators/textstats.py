@@ -240,11 +240,12 @@ def _rolling_hash(c: Column) -> Column:
       SELECT doc_id, {D_TOKENS} AS toks FROM documents
     )
     SELECT doc_id,
+           CASE WHEN toks IS NULL THEN NULL ELSE
            list_reduce(
              list_prepend(CAST(0 AS BIGINT),
                list_transform(toks, tk -> CAST(ascii(tk) + length(tk) AS BIGINT))),
              (h, v) -> (h * 31 + v) % 1000000007
-           ) AS rolling_fp
+           ) END AS rolling_fp
     FROM t
     """,
 )
@@ -266,6 +267,7 @@ CHUNK_STRIDE = 40  # overlap = size - stride
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
       FROM documents
+      WHERE text IS NOT NULL
     ), s AS (
       SELECT doc_id, toks,
              unnest(range(1, greatest(len(toks), 1) + 1, {CHUNK_STRIDE})) AS start
@@ -288,7 +290,12 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = sources.load_spread(spark, sf_dir, "documents")
     toks = F.split(normalize_text("text"), " ")
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(CHUNK_STRIDE))
-    chunked = d.select("doc_id", toks.alias("toks"), F.posexplode(starts).alias("chunk_id", "start"))
+    # NULL text chunks to NOTHING (the D_TOKS unnest convention): the
+    # oracle's unnest(range(..NULL..)) emits no rows, while Spark's
+    # greatest(size(NULL), 1) would fabricate one phantom empty chunk
+    chunked = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", toks.alias("toks"), F.posexplode(starts).alias("chunk_id", "start")
+    )
     chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_SIZE)
     return chunked.select(
         "doc_id",

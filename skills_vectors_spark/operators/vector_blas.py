@@ -164,7 +164,8 @@ _TOPK_SCHEMA = T.StructType(
       FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
     ), ranked AS (
       SELECT q_id, c_id, score,
-             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY round(score * 1e6) DESC, c_id) AS rnk
       FROM scored
     )
     SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, round(score * 1e6) / 1e6 AS cos_sim
@@ -193,15 +194,30 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in range(len(pdf)):
                 s = S[r].copy()
                 s[pos[int(qid[r])]] = -np.inf  # exclude self
-                cand = np.argpartition(-s, TOPK_K + 1)[: TOPK_K + 8]
-                order = cand[np.lexsort((ids[cand], -s[cand]))][:TOPK_K]
+                # rank at the 1e-6 OUTPUT grain, ties by id — two
+                # r13-differential findings pinned here: (a) a fixed
+                # argpartition pool (top k+8) cannot recover the
+                # id-ordered top-k when ties span the pool boundary,
+                # so the pool is tie-complete (every index >= the
+                # k-th value); (b) blocked-BLAS GEMM yields last-ulp
+                # score differences BY COLUMN POSITION even for
+                # identical vectors, so ranking raw floats makes tie
+                # order engine-dependent — the rank key must be the
+                # displayed (rounded) score itself.
+                sr = np.round(s * 1e6)
+                if len(sr) <= TOPK_K:
+                    cand = np.arange(len(sr))
+                else:
+                    thr = -np.partition(-sr, TOPK_K - 1)[TOPK_K - 1]
+                    cand = np.where(sr >= thr)[0]
+                order = cand[np.lexsort((ids[cand], -sr[cand]))][:TOPK_K]
                 frames.append(
                     pd.DataFrame(
                         {
                             "q_id": int(qid[r]),
                             "rnk": np.arange(1, TOPK_K + 1, dtype=np.int64),
                             "c_id": ids[order].astype(np.int64),
-                            "cos_sim": np.round(s[order] * 1e6) / 1e6,
+                            "cos_sim": sr[order] / 1e6,
                         }
                     )
                 )

@@ -34,101 +34,114 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Round-13 window (the r12 verdict's ordered rotation):
-# (a) ann.py's 7 rows — the five ann_* registrations are NEW
-#   gate-column summaries this round (coverage oracle-checked,
-#   recall_ok vs the BACKEND_FLOORS bar; rows-only set 10 -> 5), and
-#   eval_recall_lsh / eval_backend_compare share the edited file;
-# (b) the TWS trio — output schema changed this round (is_nan
-#   companion columns closing the NaN->NULL transport boundary, NULL
-#   values pre-split via the v_nan input flag);
-# (c) relevance.py's 5 rows + the 3 corpus_eval consumers of the
-#   shared _term_freqs subtree — staled by the r13 cold-path work
-#   (byte-budgeted tokenize spread, conditional vocab broadcast);
-# (d) relational2's percentile family — exact_group_quantiles now
-#   carries per-bucket sums and agg_winsorized_mean resolves
-#   driver-side (third fact scan deleted);
-# (e) scale3.py's 8 rows — join_bloom_prefilter re-planned (single
-#   fact scan), graph_pagerank checkpoint cadence, rest of the file
-#   re-attested;
-# (f) 18 slots of the r8-oldest cohort per the r12 queue (files
-#   unchanged; mm_*, scan_*, analytics, lakehouse rows);
-# (g) the dedup oracle promotions — dedup_minhash / dedup_simhash
-#   graduated from rows-only to value-hashed pair oracles late in
-#   r13 (simhash's token hash moved to the cross-engine md5-conv
-#   value, so its OUTPUT changed), and eval_dedup_compare's simhash
-#   row numerators became real; behavior-changed rows outrank
-#   cohort refresh, so these displaced mix_corpus / mix_epochs /
-#   split_train_eval (files unchanged, judge-sweep-green in r12).
-# After this window the oldest attestations are the displaced
-# mix/split rows and the r8 remainder (text_ngram_novelty,
-# mix_temperature, quality_drift_psi, ...) — queued first for r14.
+# Round-13 window, FINAL (re-curated after the late-r13
+# degenerate-input differential pass — zero-row / NULL-heavy /
+# constant corpora, SCALING.md r13): rows whose ORACLE SQL or output
+# semantics changed this round outrank everything, then rows whose
+# Spark expressions changed with values verified identical, then the
+# earlier-r13 re-plans that still fit. All 189 were value-verified
+# on final code by the full driver simulation AND the three
+# degenerate-tier sweeps; the window lists the rows the driver must
+# formally grade because their contract moved:
+# (a) the dedup family — word_shingles NULL semantics (NULL text no
+#   longer fabricates [''] and pairs with every other NULL doc),
+#   minhash/simhash None guards, dedup_near's UDF-safe sentinel, and
+#   the late-r13 minhash/simhash oracle promotions;
+# (b) embed family — NULL text embeds to no row (oracles aligned),
+#   provider_switch's deterministic non-null cap;
+# (c) BLAS kernels — tie-complete top-k pool + 1e-6-grain rank keys
+#   (sim_topk_bruteforce oracle changed), NULL-corpus load guard;
+# (d) relevance/corpus_eval — text_tfidf_sim / eval_ndcg_mrr rank at
+#   the output grain (oracles changed);
+# (e) streaming — stream_stateful's SQL-NULL aggregate semantics,
+#   foreachBatch explicit read-back schema, stream_ann_assign's
+#   coalesced gate; the TWS trio's is_nan schema (earlier r13);
+# (f) NULL-aggregate fixes — agg_mode / agg_minmax_by (oracles
+#   changed), the hll pair's null-safe group join;
+# (g) zero-variance fixes — corr via guarded covar/stddev,
+#   nullif'd moments and z-statistic (agg_moments / eval_ab_lift
+#   oracles changed);
+# (h) empty-corpus guards with plan or gate changes — ANN gate
+#   recall_ok vacuous-true arm, sink read-back schemas, image/blob
+#   planting skips NULL docs (oracles changed);
+# (i) earlier-r13 re-plans that keep their slots: bloom single-scan,
+#   substring single-pass, percentile fragment rework.
+# Left OUT on plan-only-value-identical grounds (full-sim green):
+# bm25 / rrf / perplexity / entropy / zipf / pmi (cold re-plan only),
+# graph_pagerank + scan_npy (empty-branch guards not taken on real
+# corpora), agg_winsorized_mean / agg_approx_percentile (machinery
+# shared with the in-window agg_percentile), eval_recall_lsh (file
+# shared with the in-window ann gates). Queued first for r14.
 _PROMOTED = [
-    # (a) ann.py stratum -- newly-oracled rows first
+    # (a) dedup stratum
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_production",
+    "dedup_containment",
+    "dedup_clusters",
+    "dedup_apply",
+    "dedup_decontaminate",
+    "dedup_incremental",
+    "dedup_near",
+    "dedup_minhash",
+    "dedup_simhash",
+    "eval_dedup_compare",
+    # (b) embed stratum
+    "embed_mock",
+    "embed_provider_switch",
+    "embed_knn_pipeline",
+    "embed_project_pca",
+    # (c) BLAS kernels
+    "sim_topk_bruteforce",
+    "dedup_embed_cosine_blas",
+    # (d) output-grain rank keys
+    "text_tfidf_sim",
+    "eval_ndcg_mrr",
+    # (e) streaming
+    "stream_stateful",
+    "stream_foreach_batch",
+    "stream_ann_assign",
+    "stream_transform_state",
+    "stream_transform_topk",
+    "stream_transform_typecounts",
+    # (f) NULL-aggregate semantics
+    "agg_mode",
+    "agg_minmax_by",
+    "agg_hll_sketch",
+    "hll_sketch_production",
+    # (g) zero-variance arithmetic
+    "agg_stats",
+    "agg_corr_matrix",
+    "agg_moments",
+    "eval_ab_lift",
+    # (h) empty-corpus guards with gate/oracle changes
     "ann_lsh",
     "ann_ivf",
     "ann_brp_l2",
     "ann_pq",
     "ann_ivf_pq",
-    "eval_recall_lsh",
     "eval_backend_compare",
-    # (b) windows.py TWS trio -- schema changed this round
-    "stream_transform_state",
-    "stream_transform_topk",
-    "stream_transform_typecounts",
-    # (c) the inverted-index family -- cold-path re-plan
-    "text_tfidf_sim",
-    "text_bm25_search",
-    "search_hybrid_rrf",
-    "quality_perplexity",
-    "quality_entropy",
-    "eval_ndcg_mrr",
-    "text_zipf_slope",
-    "text_pmi_bigrams",
-    # (d) percentile machinery -- fragment-sum rework
-    "agg_percentile",
-    "agg_winsorized_mean",
-    "agg_approx_percentile",
-    # (e) scale3.py stratum -- edited operators first
-    "join_bloom_prefilter",
-    "graph_pagerank",
-    "agg_heavy_hitters",
-    "stream_cms_counters",
-    "text_normalize",
-    "dedup_normalized",
-    "dedup_url",
-    "scd2_history",
-    # (f) r8-oldest cohort refresh (files unchanged this round)
+    "sink_ann_index",
+    "sink_partitioned",
+    "sink_upsert_partition",
+    "scan_binaryfile",
     "mm_image_features",
     "mm_image_resize",
-    "mm_frame_sample",
-    "mm_metadata_stats",
-    "mm_arrow_bytes",
-    "mm_audio_features",
-    "stream_drift_psi",
-    "retention_cohorts",
-    "rollup_hypertable",
-    "scan_binaryfile",
-    "scan_merge_schema",
-    "scan_npy",
-    "seq_transitions",
-    "sink_bucketed",
-    "sink_upsert_partition",
-    "eval_ab_lift",
-    "ts_ewma",
-    "ts_gapfill",
-    # (g) dedup oracle promotions -- behavior/oracle changed late r13
-    "dedup_minhash",
-    "dedup_simhash",
-    "eval_dedup_compare",
+    "text_chunk",
+    "fingerprint_rolling",
+    # (i) earlier-r13 re-plans keeping their slots
+    "join_bloom_prefilter",
+    "dedup_substring",
+    "agg_percentile",
 ]
-# r14 rotation queue: oldest attestations after this window are the
-# r8/r10 remainder — text_ngram_novelty, mix_temperature,
-# quality_drift_psi, dedup_substring, dedup_containment,
-# dedup_incremental, knn_filtered, sim_topk_bruteforce, anomaly_mad,
-# agg_corr_matrix, agg_moments, agg_gini(+_distributed),
+# r14 rotation queue (oldest/displaced first): the plan-only rows
+# left out above — text_bm25_search, search_hybrid_rrf,
+# quality_perplexity, quality_entropy, text_zipf_slope,
+# text_pmi_bigrams, graph_pagerank, scan_npy, agg_winsorized_mean,
+# agg_approx_percentile, eval_recall_lsh — then the r8/r10
+# remainder (text_ngram_novelty, mix_temperature, quality_drift_psi,
+# knn_filtered, anomaly_mad, agg_gini(+_distributed),
 # sink_merge_rows, stream_sink_files, stream_late_metrics, the
-# relational.py r12 cohort, and whatever r13's verdict stales.
+# relational.py r12 cohort) and whatever r13's verdict stales.
 _DEFERRED: list[str] = []
 
 
@@ -139,11 +152,10 @@ def load_all() -> None:
     sweeps (tools/driver_sim.py's first-N window, spot checks, and any
     consumer that samples the registry front-to-back). The head of the
     order is the surface with the least accumulated verification
-    signal. Round-13 rotation (the r12 verdict's ordered queue):
-    every stratum edited this round — ann.py (gate-column
-    promotions), the TWS trio (schema change), the inverted-index
-    family (cold re-plan), the percentile machinery, scale3.py —
-    then 21 slots of the r8-oldest cohort. The explicit 50-entry
+    signal. Round-13 final rotation: every row whose oracle or
+    output semantics moved in the degenerate-input differential pass
+    (zero-row / NULL-heavy / constant corpora), plus the earlier-r13
+    schema and re-plan changes that still fit. The explicit 50-entry
     _PROMOTED list IS the window; what follows it is queued in the
     r14 rotation comment above.
     """

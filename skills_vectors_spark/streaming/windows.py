@@ -205,18 +205,28 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def update(key, pdfs, state):
-        n, total, types = (state.get if state.exists else (lambda: (0, 0.0, [])))()
+        # SQL-aggregate NULL semantics, pinned by the NULL-corpus
+        # differential (SCALING.md r13): sum() over zero non-NULL
+        # values is NULL (total stays None until a value arrives),
+        # count(DISTINCT event_type) ignores NULL types (dropna before
+        # the set union — a None in the set also crashes sorted()),
+        # count(*) still counts every row.
+        n, total, types = (state.get if state.exists else (lambda: (0, None, [])))()
         types = set(types or [])
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-            types |= set(pdf["event_type"])
+            vals = pdf["value"].dropna()
+            if len(vals):
+                total = (total or 0.0) + float(vals.sum())
+            types |= set(pdf["event_type"].dropna())
         state.update((n, total, sorted(types)))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [round(total * 100) / 100],
+                "total_value": [
+                    None if total is None else round(total * 100) / 100
+                ],
                 "n_types": [len(types)],
             }
         )

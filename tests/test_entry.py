@@ -55,22 +55,28 @@ def test_sweep_window_prioritizes_least_attested():
         window = list(registry.QUERIES)[: len(promoted)]
     assert promoted == set(window)
     for must in (
-        # ann.py stratum (newly-oracled gate rows lead)
-        ["ann_lsh", "ann_ivf", "ann_brp_l2", "ann_pq", "ann_ivf_pq",
-         "eval_recall_lsh", "eval_backend_compare"]
+        # dedup family (word_shingles NULL semantics + oracle
+        # promotions — the r13 degenerate-differential pass)
+        ["dedup_ngram_jaccard", "dedup_apply", "dedup_incremental",
+         "dedup_near", "dedup_minhash", "dedup_simhash",
+         "eval_dedup_compare"]
+        # embed family (NULL text embeds to no row; oracles aligned)
+        + ["embed_mock", "embed_knn_pipeline", "embed_provider_switch"]
+        # BLAS kernels (tie-complete pool + output-grain rank keys)
+        + ["sim_topk_bruteforce", "text_tfidf_sim", "eval_ndcg_mrr"]
         # TWS trio (is_nan schema change this round)
         + (["stream_transform_state", "stream_transform_topk",
             "stream_transform_typecounts"] if tws else [])
-        # inverted-index family (cold re-plan)
-        + ["text_tfidf_sim", "text_bm25_search", "search_hybrid_rrf",
-           "quality_perplexity", "quality_entropy", "eval_ndcg_mrr"]
-        # percentile machinery (fragment-sum rework)
-        + ["agg_percentile", "agg_winsorized_mean"]
-        # scale3.py stratum
-        + ["join_bloom_prefilter", "graph_pagerank", "agg_heavy_hitters"]
-        # r8-oldest cohort refresh
-        + ["mm_audio_features", "scan_npy", "ts_gapfill", "eval_ab_lift"]
-        # dedup oracle promotions (behavior/oracle changed late r13)
-        + ["dedup_minhash", "dedup_simhash", "eval_dedup_compare"]
+        # streaming + aggregate NULL semantics
+        + ["stream_stateful", "agg_mode", "agg_minmax_by",
+           "agg_hll_sketch"]
+        # zero-variance arithmetic (ANSI divide guards)
+        + ["agg_stats", "agg_corr_matrix", "agg_moments", "eval_ab_lift"]
+        # empty-corpus guards with gate/oracle changes
+        + ["ann_lsh", "ann_ivf_pq", "eval_backend_compare",
+           "sink_ann_index", "sink_partitioned", "scan_binaryfile",
+           "text_chunk", "fingerprint_rolling"]
+        # earlier-r13 re-plans keeping their slots
+        + ["join_bloom_prefilter", "dedup_substring", "agg_percentile"]
     ):
         assert must in window, f"{must} fell out of the 50-query sweep window"
