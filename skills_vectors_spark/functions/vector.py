@@ -36,7 +36,18 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_sim(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL when either vector has zero norm.
+
+    The nullif guard is load-bearing at scale: cosine is undefined
+    for a zero vector, and under ANSI mode the bare division RAISES
+    DIVIDE_BY_ZERO — one zero-norm embedding row (a padding vector, a
+    dead feature) would kill an entire 100 TB similarity job instead
+    of yielding one NULL score. Cross-engine boundary, documented
+    rather than hidden: DuckDB's list_cosine_similarity kernel clamps
+    the zero-vector case to -1.0, so zero-norm rows are outside the
+    oracle parity contract (the test corpus embeddings are non-zero
+    by construction; the kernel's NULL is pinned by a unit test)."""
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
 def l2_dist(a: Column | str, b: Column | str) -> Column:

@@ -95,6 +95,28 @@ def test_cosine_and_l2_match_numpy_batch(spark):
         assert math.isclose(r.l2, want_l2, rel_tol=1e-9, abs_tol=1e-9), (a, b)
 
 
+def test_cosine_zero_vector_is_null_not_a_crash(spark):
+    """cosine is undefined for a zero-norm vector: the kernel yields
+    NULL (nullif guard) instead of the ANSI DIVIDE_BY_ZERO that would
+    kill a whole similarity job over one padding/dead-feature row.
+    Cross-engine boundary pinned here: DuckDB's kernel clamps the
+    same case to -1.0, so zero-norm rows sit outside oracle parity."""
+    from skills_vectors_spark.functions.vector import cosine_sim
+
+    df = spark.createDataFrame(
+        [
+            ([0.0, 0.0], [1.0, 2.0]),
+            ([0.0, 0.0], [0.0, 0.0]),
+            ([3.0, 4.0], [3.0, 4.0]),
+        ],
+        "a array<double>, b array<double>",
+    )
+    got = [r["c"] for r in df.select(cosine_sim("a", "b").alias("c")).collect()]
+    assert got[0] is None
+    assert got[1] is None
+    assert math.isclose(got[2], 1.0, rel_tol=1e-12)
+
+
 def test_normalize_text_idempotent_batch(spark):
     from skills_vectors_spark.functions.text import normalize_text
 
