@@ -371,6 +371,10 @@ PR_DAMP = 0.85
 # join+agg rounds, so the Pregel quadratic-recompute hazard stays
 # bounded at any iteration count.
 PR_CHECKPOINT_EVERY = 2
+# broadcast the per-iteration rank×degree side while the node set is
+# provably small: 2M nodes × ~40 B/row ≈ 80 MB framed, the usual
+# broadcast comfort ceiling. Beyond it the shuffle plan takes over.
+PR_BCAST_MAX_NODES = 2_000_000
 
 
 def _pagerank_oracle() -> str:
@@ -448,22 +452,40 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
     )
-    # symmetric edge list, partitioned ONCE by the per-iteration join
-    # key so every iteration's join reuses the cached partitioning
-    # instead of re-shuffling 2|E| rows
-    edges = (
-        pairs.unionByName(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .repartition("src")
-        .cache()
+    # the half-edge list is reused 3x below (node count, both union
+    # arms); cache it so the orders⋈lineitem distinct runs once
+    pairs = pairs.cache()
+    # node count from the cached half-edges: the 'c'/'s' prefixes make
+    # the two node families disjoint, so n = |distinct src| +
+    # |distinct dst| — one small aggregate, no full edge build yet.
+    # n gates the join strategy below, so it must be known BEFORE the
+    # edge cache's partition key is chosen.
+    cnt = pairs.agg(
+        F.countDistinct("src").alias("a"), F.countDistinct("dst").alias("b")
+    ).collect()[0]
+    n = int(cnt["a"] or 0) + int(cnt["b"] or 0)
+    if n == 0:  # empty corpus: no graph — empty ranks, not 1/0
+        pairs.unpersist()
+        return spark.createDataFrame([], "node string, pr double")
+    # node-cardinality gate for broadcasting the rank×degree side: the
+    # rank vector is one (string, double) row per node, ~40 B framed,
+    # so 2M nodes ≈ 80 MB — the conventional broadcast ceiling. Below
+    # it, shipping ranks to every executor deletes the per-iteration
+    # rank-side exchanges (the classic small-rank/big-edges PageRank
+    # plan) AND lets the edge cache be keyed by dst — the groupBy key
+    # — so each iteration aggregates over 2|E| rows with ZERO
+    # exchanges. Above it, rank rows outgrow executor memory and the
+    # shuffle plan keyed by src (the join key) is the only correct
+    # one. The gate reads a measured count, not a size estimate, so
+    # it scales with the corpus, not the host.
+    bcast_ranks = n <= PR_BCAST_MAX_NODES
+    sym = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    edges = sym.repartition("dst" if bcast_ranks else "src").cache()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("double").alias("d")
     ).cache()
-    n = deg.count()  # scalar node count (one int on the driver)
-    if n == 0:  # empty corpus: no graph — empty ranks, not 1/0
-        edges.unpersist()
-        deg.unpersist()
-        return spark.createDataFrame([], "node string, pr double")
     # eager localCheckpoint on a 2-iteration cadence (see
     # PR_CHECKPOINT_EVERY): without ANY checkpoint the single final
     # action re-derives iteration i inside iterations i+1..N —
@@ -475,6 +497,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = deg.select("node", F.lit(1.0 / n).alias("pr")).localCheckpoint()
     for i in range(PR_ITERS):
         rd = ranks.join(deg, "node").select("node", (F.col("pr") / F.col("d")).alias("w"))
+        if bcast_ranks:
+            rd = F.broadcast(rd)
         ranks = (
             edges.join(rd, edges.src == rd.node)
             .groupBy(F.col("dst").alias("node"))
@@ -486,6 +510,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the iteration-only caches can release their executor blocks now
     # instead of living until session teardown (cache-pressure lesson
     # from the r4 suite runs, SCALING.md)
+    pairs.unpersist()
     edges.unpersist()
     deg.unpersist()
     return ranks.select("node", F.round("pr", 6).alias("pr"))
