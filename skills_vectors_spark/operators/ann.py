@@ -72,10 +72,18 @@ _SIG_SCHEMA = T.StructType(
 )
 
 
-def hyperplane_buckets(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+def hyperplane_buckets(
+    df: DataFrame, id_col: str = "vec_id", spread: bool = True
+) -> DataFrame:
     """(id, table, bucket) — sign-of-dot-product bit buckets, one row
     per hash table. One numpy matmul per Arrow batch: the index-build
-    hot loop stays vectorized, output is long-format for equi-joins."""
+    hot loop stays vectorized, output is long-format for equi-joins.
+
+    ``spread=False`` skips the local repartition-for-parallelism for
+    frames bounded at a few rows by construction (the N_QUERIES query
+    side): fanning 20 rows across 32 tasks costs an exchange plus 31
+    extra Python worker round trips and buys nothing at any scale
+    (on a cluster spread() is a no-op regardless)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes = None
@@ -98,9 +106,9 @@ def hyperplane_buckets(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
                 }
             )
 
-    proj = sources.spread(
-        df.sparkSession, df.select(F.col(id_col).alias("vec_id"), "embedding")
-    )
+    proj = df.select(F.col(id_col).alias("vec_id"), "embedding")
+    if spread:
+        proj = sources.spread(df.sparkSession, proj)
     return proj.mapInPandas(run, _SIG_SCHEMA)
 
 
@@ -122,9 +130,14 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh_buckets_c", spark, sf_dir, lambda: hyperplane_buckets(emb)
     ).withColumnRenamed("vec_id", "c_id")
     q = emb.filter(F.col("vec_id") < N_QUERIES)
-    buckets_q = hyperplane_buckets(q).withColumnRenamed("vec_id", "q_id")
+    buckets_q = hyperplane_buckets(q, spread=False).withColumnRenamed(
+        "vec_id", "q_id"
+    )
     cand = (
-        buckets_q.join(buckets_c, ["table", "bucket"])
+        # the query bucket table is bounded at N_QUERIES*N_TABLES rows
+        # — broadcast it so the corpus index side never shuffles for
+        # the candidate join, at any corpus size
+        F.broadcast(buckets_q).join(buckets_c, ["table", "bucket"])
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id")
         .distinct()
@@ -157,13 +170,19 @@ def recall_lsh_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skills_vectors_spark.operators.knn import ranked_knn
 
     gold = ranked_knn(spark, sf_dir, "cosine").select("q_id", "c_id")
-    approx = ann_lsh(spark, sf_dir).select("q_id", "c_id")
-    hits = gold.join(approx, ["q_id", "c_id"], "left_semi")
+    approx = ann_lsh(spark, sf_dir).select(
+        "q_id", "c_id", F.lit(1).alias("hit")
+    )
+    # single left join + one grouped count: the gold subtree (a full
+    # exact-KNN scan) and the LSH subtree each execute ONCE — the
+    # previous semi-join + distinct-q_id shape referenced gold twice,
+    # so Spark ran the whole gold cross-join/window pipeline twice.
+    # Every gold q_id keeps exactly K rows, so grouping the joined
+    # frame preserves the query set; count("hit") counts matches only.
     per_q = (
-        gold.select("q_id")
-        .distinct()
-        .join(hits.groupBy("q_id").agg(F.count("*").alias("n_hit")), "q_id", "left")
-        .select("q_id", F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_match"))
+        gold.join(approx, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(F.count("hit").cast("long").alias("n_match"))
     )
     return per_q.select(
         "q_id", "n_match", (F.round(F.col("n_match") / F.lit(float(K)) * 1e6) / 1e6).alias("recall")
@@ -405,10 +424,12 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pr") <= N_PROBE)
         .select("q_id", "q_emb", "cell")
     )
-    cand = probes.join(
-        assigned.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "cell"),
-        "cell",
-    ).filter(F.col("q_id") != F.col("c_id"))
+    # probes is bounded at N_QUERIES*N_PROBE rows — broadcast it so
+    # the corpus-sized index never shuffles by the 16-value cell key
+    # (the same hint ann_ivf_pq's candidate join already carries)
+    cand = assigned.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "cell"
+    ).join(F.broadcast(probes), "cell").filter(F.col("q_id") != F.col("c_id"))
     scored = cand.withColumn("score", cosine_sim("q_emb", "c_emb"))
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
     return (
@@ -1090,33 +1111,37 @@ def _ann_gate_summary(
     operator's top-k joined against the exact gold ranking
     (ranked_knn — the reference's ground-truth full scan,
     skills_for_jobs.py:354-387), reduced to driver-hashable columns.
-    Lazy single plan: two tiny aggregates over the ≤ N_QUERIES*K
-    result rows plus one semi-join for the match count."""
+    Single full-outer join + one aggregation pass: the ANN top-k and
+    the exact gold subtrees each execute ONCE. The previous
+    three-arm shape (stats agg / semi-join / gold count) referenced
+    each subtree twice, so Spark materialized the whole ANN pipeline
+    AND the exact-KNN scan twice per gate row. Both sides are unique
+    on (q_id, c_id) by construction (top-K pairs), so the outer join
+    is 1:1 and plain counts over the markers reproduce the previous
+    arm values exactly."""
     from skills_vectors_spark.operators.knn import ranked_knn
 
-    a = topk_fn(spark, sf_dir).select("q_id", "c_id")
-    g = ranked_knn(spark, sf_dir, gold_metric).select("q_id", "c_id")
-    stats = a.agg(
-        F.count_distinct("q_id").cast("long").alias("n_queries"),
-        F.count("*").cast("long").alias("n_results"),
+    a = topk_fn(spark, sf_dir).select("q_id", "c_id", F.lit(1).alias("in_a"))
+    g = ranked_knn(spark, sf_dir, gold_metric).select(
+        "q_id", "c_id", F.lit(1).alias("in_g")
     )
-    matches = g.join(a, ["q_id", "c_id"], "left_semi").agg(
-        F.count("*").alias("n_match")
-    )
-    gold_n = g.agg(F.count("*").alias("n_gold"))
-    return (
-        stats.crossJoin(F.broadcast(matches))
-        .crossJoin(F.broadcast(gold_n))
-        .select(
-            "n_queries",
-            "n_results",
-            (F.col("n_results") == F.col("n_queries") * K).alias("full_k"),
-            # vacuously true on zero gold rows (empty corpus) — the
-            # 0/0 division would otherwise render NULL, not a verdict
-            F.when(F.col("n_gold") == 0, F.lit(True))
-            .otherwise(F.col("n_match") / F.col("n_gold") >= floor)
-            .alias("recall_ok"),
-        )
+    j = a.join(g, ["q_id", "c_id"], "full_outer")
+    return j.agg(
+        F.count_distinct(F.when(F.col("in_a").isNotNull(), F.col("q_id")))
+        .cast("long")
+        .alias("n_queries"),
+        F.count("in_a").cast("long").alias("n_results"),
+        F.count(F.when(F.col("in_g").isNotNull(), F.col("in_a"))).alias("n_match"),
+        F.count("in_g").alias("n_gold"),
+    ).select(
+        "n_queries",
+        "n_results",
+        (F.col("n_results") == F.col("n_queries") * K).alias("full_k"),
+        # vacuously true on zero gold rows (empty corpus) — the
+        # 0/0 division would otherwise render NULL, not a verdict
+        F.when(F.col("n_gold") == 0, F.lit(True))
+        .otherwise(F.col("n_match") / F.col("n_gold") >= floor)
+        .alias("recall_ok"),
     )
 
 
