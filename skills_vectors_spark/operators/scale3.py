@@ -717,10 +717,13 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = sources.load(spark, sf_dir, "lineitem").select("l_orderkey")
     seeds = F.explode(F.array(*[F.lit(s) for s in BLOOM_SEEDS])).alias("seed")
 
+    # no .distinct(): o_orderkey is the orders primary key, so the
+    # filtered projection is already unique — the dedup exchange the
+    # old shape paid bought nothing (oracle's DISTINCT is likewise a
+    # no-op on unique keys, values unchanged)
     build = (
         o.filter(F.col("o_totalprice") > HIGH_VALUE)
         .select(F.col("o_orderkey").alias("k"))
-        .distinct()
         .cache()
     )
     build_n = build.count()  # scalar: sizes the filter (one driver int)
@@ -740,8 +743,12 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("l_orderkey", "k")
         .cache()
     )
+    # the md5 bucket computation is the CPU hot spot of this pass
+    # (|probe keys| x k hashes); spread() re-parallelizes the
+    # AQE-coalesced post-groupBy frame across local cores and is a
+    # no-op on a cluster (sources.spread policy)
     hits = (
-        key_counts.select(seeds, "k")
+        sources.spread(spark, key_counts.select(seeds, "k"))
         .select("seed", "k", _bloom_bit(F.col("seed"), F.col("k"), m).alias("bit"))
         .join(F.broadcast(bits), ["seed", "bit"])
         .groupBy("k")
@@ -757,10 +764,13 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (k flag joins, no explode/groupBy) measured SLOWER locally
     # (2.7-3.2 s vs 2.06 s): three broadcast exchanges serialize
     # behind each other while the single hits broadcast overlaps.
-    flagged = (
-        key_counts.join(F.broadcast(hits.withColumn("h", F.lit(1))), "k", "left")
-        .join(F.broadcast(build.withColumn("t", F.lit(1))), "k", "left")
+    # The candidate and truth flags ride ONE broadcast (full-outer
+    # merge of the two key sets) instead of two stacked broadcast
+    # joins — one fewer broadcast exchange on the critical path.
+    flags = hits.withColumn("h", F.lit(1)).join(
+        build.withColumn("t", F.lit(1)), "k", "full_outer"
     )
+    flagged = key_counts.join(F.broadcast(flags), "k", "left")
     r = flagged.agg(
         F.sum("c").alias("probe"),
         F.sum(F.when(F.col("h") == 1, F.col("c")).otherwise(0)).alias("cand"),
