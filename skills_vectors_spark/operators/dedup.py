@@ -407,11 +407,30 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
+    # candidate pairs by grouping each (band, bucket) ONCE and pairing
+    # within the bucket, instead of the band self-join: the join
+    # shuffled the bands frame TWICE (both sides) plus the distinct's
+    # exchange; groupBy shuffles it once. Within a group doc_ids are
+    # unique (a doc emits exactly one row per band), so the sorted
+    # in-bucket combinations are exactly the join's doc_a < doc_b
+    # pairs. The interpreted HOF pair expansion only ever sees buckets
+    # that survived `size >= 2` — collision buckets, a vanishing
+    # fraction at any scale — and per-bucket work is bounded by
+    # bucket size, same as the join's build side was.
     cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "b -> struct(a as doc_a, b as doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     # exact verification of the (few) candidates: fetch the shingle
