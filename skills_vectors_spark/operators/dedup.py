@@ -98,10 +98,15 @@ def shingle_df(
             )
         return sh
 
-    if n == 3 and max_df is None:
+    if n == 3:
         from skills_vectors_spark.cache import cached_df
 
-        return cached_df("shingles_3", spark, sf_dir, build)
+        # the capped variants are persisted too: without it the
+        # production Jaccard plan evaluates the capped-index subtree
+        # (explode + df_counts groupBy + semi-join) THREE times — both
+        # self-join sides plus the per-doc size aggregate
+        stage = "shingles_3" if max_df is None else f"shingles_3_df{max_df}"
+        return cached_df(stage, spark, sf_dir, build)
     return build()
 
 
