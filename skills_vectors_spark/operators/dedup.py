@@ -131,14 +131,14 @@ _JACCARD_PAIRS_SQL = f"""
 """
 
 
-@register("dedup_ngram_jaccard", _JACCARD_PAIRS_SQL)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted-index join:
-    explode distinct 3-shingles, self-join on shingle (only docs
-    sharing a shingle ever meet — no all-pairs), count intersections,
-    Jaccard = i / (|A| + |B| - i). The ground truth the MinHash tier
-    is scored against. The pair set itself is persisted per session:
-    dedup_clusters and dedup_apply both start from it."""
+def _pair_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, i, na, nb) — shingle-intersection counts plus
+    both docs' set sizes for every pair sharing at least one shingle.
+    The heaviest intermediate of the exact near-dup tiers, and
+    IDENTICAL between them: Jaccard and containment differ only in
+    the final ratio. Persisted per (session, sf_dir) so the inverted
+    -index self-join runs once for both queries instead of once
+    each."""
     from skills_vectors_spark.cache import cached_df
 
     def build() -> DataFrame:
@@ -154,10 +154,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
         szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+        return inter.join(F.broadcast(sza), "doc_a").join(F.broadcast(szb), "doc_b")
+
+    return cached_df("pair_intersections", spark, sf_dir, build)
+
+
+@register("dedup_ngram_jaccard", _JACCARD_PAIRS_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join:
+    explode distinct 3-shingles, self-join on shingle (only docs
+    sharing a shingle ever meet — no all-pairs), count intersections,
+    Jaccard = i / (|A| + |B| - i). The ground truth the MinHash tier
+    is scored against. The pair set itself is persisted per session:
+    dedup_clusters and dedup_apply both start from it, and the
+    pre-threshold intersection frame is shared with
+    dedup_containment (`_pair_intersections`)."""
+    from skills_vectors_spark.cache import cached_df
+
+    def build() -> DataFrame:
         jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
         return (
-            inter.join(F.broadcast(sza), "doc_a")
-            .join(F.broadcast(szb), "doc_b")
+            _pair_intersections(spark, sf_dir)
             .filter(jac >= JACCARD_THRESHOLD)
             .select("doc_a", "doc_b", (F.round(jac * 1e6) / 1e6).alias("jaccard"))
         )
@@ -1097,23 +1114,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     which symmetric Jaccard misses because the union is dominated by
     the longer side. Same inverted-index skeleton as
     dedup_ngram_jaccard: only docs sharing a shingle are ever paired,
-    one shuffle on the shingle key, one on the pair key."""
-    sh = shingle_df(spark, sf_dir)
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
-    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    one shuffle on the shingle key, one on the pair key — and the
+    pair-intersection frame itself is the SAME intermediate, shared
+    per session via `_pair_intersections`."""
     cont = F.col("i").cast("double") / F.least("na", "nb")
     return (
-        inter.join(F.broadcast(sza), "doc_a")
-        .join(F.broadcast(szb), "doc_b")
+        _pair_intersections(spark, sf_dir)
         .filter(cont >= CONTAINMENT_THRESHOLD)
         .select("doc_a", "doc_b", (F.round(cont * 1e6) / 1e6).alias("containment"))
     )
