@@ -214,8 +214,16 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-doc distinct is already guaranteed by array_distinct above
     cand = keys_of(docs.filter(F.col("doc_id") % 2 == 1))
+    # the reference VOCABULARY (8-byte distinct keys) is the small
+    # side; broadcasting it under the same local-corpus-size gate as
+    # the tfidf idf frame means the exploded candidate half — the
+    # heavy side — never shuffles for the join at all (its only
+    # remaining exchange is the final per-doc agg). Non-local paths
+    # get no hint; AQE decides from observed sizes at scale.
+    from skills_vectors_spark.operators.relevance import _vocab_bcast
+
     joined = cand.join(
-        ref.withColumn("_hit", F.lit(1)), "gh", "left"
+        _vocab_bcast(sf_dir, ref.withColumn("_hit", F.lit(1))), "gh", "left"
     )
     return joined.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_grams"),
