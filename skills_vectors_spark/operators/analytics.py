@@ -304,32 +304,59 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     variants document.
     """
     ev = sources.load(spark, sf_dir, "events").select("user_id", "value")
-    # med is referenced through BOTH the MAD branch and the final
-    # branch; the duplicate agg is DELIBERATE — persisting the med
-    # frame was measured slower (A/B min-of-2 at the 1M-event tier:
-    # 3.1 s recompute vs 3.8 s persisted): the materialization
-    # barrier + MEMORY_AND_DISK serialization costs more than one
-    # extra pipelined codegen-scan + 10k-group object agg
-    med = ev.groupBy("user_id").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
-    )
-    dev = ev.join(med, "user_id").select(
-        "user_id", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
-    )
-    mad = dev.groupBy("user_id").agg(
-        F.expr("percentile(dev, 0.5)").alias("mad")
-    )
-    breach = (F.col("mad") > 0) & (
-        F.lit(MAD_SCALE) * F.col("dev") / F.col("mad") > F.lit(MAD_CUTOFF)
-    )
+    # ONE shuffle, ONE fact scan (r13): the previous med-agg → join →
+    # mad-agg → join → final-agg chain scanned the fact four times and
+    # shuffled it twice (plans/r13/anomaly_mad_before.txt: 14
+    # Exchange/Broadcast nodes). Everything here is per-user, and the
+    # exact-percentile tier already buffers one user's values in the
+    # aggregation state — so collecting the group ONCE into a sorted
+    # array and deriving med/MAD/outliers with JVM higher-order
+    # functions computes the identical result with a single hash
+    # exchange. The interpolation below reproduces Spark's
+    # Percentile.getPercentile arithmetic term-for-term
+    # ((hi-pos)*lower + (pos-lo)*higher with pos=(m-1)/2, i.e.
+    # 0.5*lower + 0.5*higher at even m), so med/mad are bit-identical
+    # to percentile(value, 0.5); dev and the breach predicate keep the
+    # exact expression shapes of the old plan. Per-group memory is the
+    # same bound as percentile's buffer; the sketch-tier twin below
+    # remains the unbounded-cardinality swap-in.
+    def _median_of(sorted_arr: str) -> str:
+        return f"""
+        CASE WHEN size({sorted_arr}) = 0 THEN CAST(NULL AS DOUBLE)
+             WHEN size({sorted_arr}) % 2 = 1
+               THEN element_at({sorted_arr}, CAST((size({sorted_arr}) + 1) DIV 2 AS INT))
+             ELSE 0.5D * element_at({sorted_arr}, CAST(size({sorted_arr}) DIV 2 AS INT))
+                  + 0.5D * element_at({sorted_arr}, CAST(size({sorted_arr}) DIV 2 + 1 AS INT))
+        END"""
+
     return (
-        dev.join(mad, "user_id")
-        .groupBy("user_id")
+        ev.groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
-            (F.round(F.max("med") * 1e6) / 1e6).alias("med"),
-            (F.round(F.max("mad") * 1e6) / 1e6).alias("mad"),
-            F.sum(F.when(breach, 1).otherwise(0)).cast("long").alias("n_outliers"),
+            F.array_sort(F.collect_list("value")).alias("_vs"),
+        )
+        .withColumn("_med", F.expr(_median_of("_vs")))
+        .withColumn(
+            "_mad",
+            F.expr(_median_of("array_sort(transform(_vs, x -> abs(x - _med)))")),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            (F.round(F.col("_med") * 1e6) / 1e6).alias("med"),
+            (F.round(F.col("_mad") * 1e6) / 1e6).alias("mad"),
+            F.when(
+                F.col("_mad") > 0,
+                F.size(
+                    F.expr(
+                        f"filter(_vs, x -> {MAD_SCALE!r}D * abs(x - _med) / _mad"
+                        f" > {MAD_CUTOFF!r}D)"
+                    )
+                ),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("n_outliers"),
         )
     )
 

@@ -311,19 +311,17 @@ def test_anomaly_mad_single_fact_partitioning(spark, sf_dir):
     from skills_vectors_spark.plans import PlanFacts
 
     facts = PlanFacts.of(anomaly_mad(spark, sf_dir))
-    # the per-user med/mad dims BROADCAST back into the fact, so the
-    # fact itself never shuffles: every exchange sits above a per-user
-    # aggregate (bounded rows), none above the raw event scan
-    assert facts.has_broadcast
-    assert facts.n_exchanges_live <= 8, facts.n_exchanges_live
+    # r13 single-pass shape: med/MAD/outliers all derive from ONE
+    # sorted per-user array, so the whole query is one fact scan and
+    # ONE hash exchange (the partial collect_list aggregate) — no
+    # joins, no broadcast, no second pass
+    assert facts.n_exchanges_live == 1, facts.n_exchanges_live
+    assert not facts.has_broadcast
     from skills_vectors_spark.plans import physical_plan
 
     p = physical_plan(anomaly_mad(spark, sf_dir))
-    for line in p.splitlines():
-        if "Exchange hashpartitioning" in line:
-            assert "BroadcastExchange" not in line
-    # no shuffle reads the fact directly: each hash exchange's input
-    # is a partial aggregate, checked by adjacency in the plan text
+    assert p.count("Scan parquet") == 1, p
+    # the one exchange carries the partial aggregate, not raw fact rows
     lines = p.splitlines()
     for i, line in enumerate(lines):
         if "Exchange hashpartitioning" in line:
