@@ -70,11 +70,26 @@ def ranked_knn(
 
     w = Window.partitionBy("q_id").orderBy(*order)
     out_cols = ["q_id", "rnk", "c_id", "score"] + (["label"] if with_label else [])
-    return (
+    out = (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select(*out_cols)
     )
+    if k == K and n_queries == N_QUERIES:
+        # the exact-gold top-k is the reference ranking every ANN gate,
+        # the knn/eval family and report_pivot compare against — ~9
+        # call sites rebuild the same |corpus| x n_queries expansion +
+        # window per session. The RESULT is bounded (n_queries*k rows)
+        # while the build is a full corpus pass, the exact build-once /
+        # read-many split cached_df models; non-default k/n_queries
+        # calls (tests, ad-hoc) stay uncached so the entry set is
+        # bounded at {metric} x {with_label}.
+        from skills_vectors_spark.cache import cached_df
+
+        return cached_df(
+            f"ranked_knn_{metric}_{int(with_label)}", spark, sf_dir, lambda: out
+        )
+    return out
 
 
 _RANKED_SQL = """
