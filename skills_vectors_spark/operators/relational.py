@@ -336,10 +336,24 @@ def join_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_key = (spark.sparkContext.applicationId, sf_dir)
     probed = _NULL_BAL_PROBE.get(probe_key)
     if probed is None:
-        probed = _NULL_BAL_PROBE[probe_key] = (
-            bool(c.filter(F.col("c_acctbal").isNull()).select("c_custkey").take(1)),
-            bool(s.filter(F.col("s_acctbal").isNull()).select("s_suppkey").take(1)),
-        )
+        # ONE probe job, not two: both existence checks ride one union
+        # (each arm limit-1, still answered from parquet null-count
+        # row-group stats on a NULL-free corpus)
+        tags = {
+            r.t
+            for r in (
+                c.filter(F.col("c_acctbal").isNull())
+                .select(F.lit("c").alias("t"))
+                .limit(1)
+                .unionAll(
+                    s.filter(F.col("s_acctbal").isNull())
+                    .select(F.lit("s").alias("t"))
+                    .limit(1)
+                )
+                .collect()
+            )
+        }
+        probed = _NULL_BAL_PROBE[probe_key] = ("c" in tags, "s" in tags)
     has_null_cust, has_null_sup = probed
     if has_null_sup:
         s = s.filter(F.col("s_acctbal").isNotNull())
@@ -355,14 +369,20 @@ def join_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streams a single sort while salting pays an extra agg, so the
     # simple form is kept; revisit only if a real corpus planted a
     # hitter orders of magnitude past the per-task sort budget.
-    wv = Window.partitionBy("c_acctbal").orderBy("c_custkey")
+    # one aggregate, not row_number-then-aggregate (r13): the window
+    # form sorted every (bal, custkey) row inside the exchange's
+    # partitions before ranking; collecting per value and slicing the
+    # sorted array keeps the same exchange but replaces the full
+    # partition sort with per-group array sorts bounded by value
+    # multiplicity — the same per-group state bound the skew A/B above
+    # already accepts for the window's one fat task.
     vals = (
         c.select("c_acctbal", "c_custkey")
         .filter(F.col("c_acctbal").isNotNull())
-        .withColumn("_r", F.row_number().over(wv))
-        .filter(F.col("_r") <= K)
         .groupBy("c_acctbal")
-        .agg(F.sort_array(F.collect_list("c_custkey")).alias("cks"))
+        .agg(
+            F.slice(F.array_sort(F.collect_list("c_custkey")), 1, K).alias("cks")
+        )
     )
 
     # (2) co-sort values and suppliers on balance in one range shuffle.
