@@ -781,14 +781,22 @@ def dedup_compare_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         allr = allr.unionByName(p)
     n_gold = gold.count()
-    per_tier = allr.groupBy("tier").agg(F.count("*").alias("n_found"))
-    hits = (
-        allr.join(gold, ["doc_a", "doc_b"], "left_semi")
-        .groupBy("tier")
-        .agg(F.count("*").alias("n_hit"))
+    # ONE pass over the tier union (r13): the previous per_tier-agg +
+    # semi-join shape referenced `allr` twice, so every approximate
+    # tier's WHOLE pipeline (band grouping, chunk blocking, the MLlib
+    # approxSimilarityJoin) executed twice per report — the same
+    # double-subtree defect the ANN gate rows had. A left join that
+    # marks gold membership lets one aggregation produce both counts:
+    # gold pairs are unique on (doc_a, doc_b), so the join is 1:1 and
+    # count(marker) == the old semi-join count exactly.
+    marked = allr.join(
+        gold.withColumn("_g", F.lit(1)), ["doc_a", "doc_b"], "left"
+    )
+    per_tier = marked.groupBy("tier").agg(
+        F.count("*").alias("n_found"), F.count("_g").alias("n_hit")
     )
     return (
-        per_tier.join(hits, "tier", "left")
+        per_tier
         .select(
             "tier",
             "n_found",
