@@ -228,7 +228,17 @@ def report_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's CSV report shape (skills_for_jobs.py:188-207).
     Conditional aggregation instead of .pivot() so column names and
     order are fully deterministic."""
-    ranked = ranked_knn(spark, sf_dir, "cosine", with_label=True)
+    # derive from the SHARED cosine gold + a label join instead of
+    # ranked_knn(with_label=True) (r13): the labeled variant built its
+    # own full corpus-expansion window while the label is functionally
+    # dependent on c_id — joining the per-session cached gold (at most
+    # n_queries*k rows, always the broadcast side) onto the embeddings
+    # dim reproduces the identical frame for the cost of one tiny join,
+    # and drops the second expansion build from every suite pass.
+    emb = sources.load(spark, sf_dir, "embeddings")
+    ranked = ranked_knn(spark, sf_dir, "cosine").join(
+        emb.select(F.col("vec_id").alias("c_id"), "label"), "c_id"
+    )
     aggs = []
     for r in range(K):
         aggs.append(F.max(F.when(F.col("rnk") == r + 1, F.col("c_id"))).alias(f"skill{r}"))
