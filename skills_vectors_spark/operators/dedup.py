@@ -329,7 +329,16 @@ def shingle_sigs(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     int64 never overflows."""
     import pandas as pd
 
-    d = sources.load_spread(spark, sf_dir, "documents")
+    # r14: byte-budgeted spread (the load_spread budget mechanism,
+    # measured on _term_freqs in r13). 64 KiB/task lands sf0.1 on ~10
+    # partitions instead of 32 — the signature pass is CPU-heavy per
+    # byte (128 modmul permutations per shingle) so it still wants
+    # real fan-out, but 32 near-empty tasks cost more scheduling than
+    # they buy, and every downstream consumer of the persisted base
+    # then scans 32 cached partitions per stage. A bigger tier hits
+    # the defaultParallelism clamp and keeps full width, so nothing
+    # changes at scale.
+    d = sources.load_spread(spark, sf_dir, "documents", budget_bytes=64 * 1024)
     toks = F.split(normalize_text("text"), " ")
     # hash tokens JVM-side: the transform runs in codegen, and the
     # Arrow batch then carries int64s, not strings. Cross-engine
@@ -439,21 +448,36 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that survived `size >= 2` — collision buckets, a vanishing
     # fraction at any scale — and per-bucket work is bounded by
     # bucket size, same as the join's build side was.
-    cand = (
-        bands.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (a, i) -> "
-                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                    "b -> struct(a as doc_a, b as doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+    # r14: the candidate frame is referenced FIVE times downstream
+    # (the pair join, twice inside the cand_ids union, and the whole
+    # union again under each of the two set semi-joins) — the r13
+    # plan re-evaluated this band-agg + pair-expansion + distinct
+    # subtree on every reference (26 Spark jobs / 75 stages for one
+    # execution, the driver-measured 9.3 s row). Persisting the tiny
+    # (doc_a, doc_b) result via the session cache runs it ONCE; every
+    # consumer reads an InMemoryTableScan. Size is the candidate set
+    # itself — two longs per colliding pair, already bounded by the
+    # verify joins that must materialize it anyway.
+    cand = cached_df(
+        "minhash_cand",
+        spark,
+        sf_dir,
+        lambda: (
+            bands.groupBy("band", "bucket")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .filter(F.size("ids") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (a, i) -> "
+                        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                        "b -> struct(a as doc_a, b as doc_b))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.doc_a", "p.doc_b")
+            .distinct()
+        ),
     )
     # exact verification of the (few) candidates: fetch the shingle
     # SETS of just the docs that appear in some candidate pair and
@@ -467,12 +491,20 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver/executor memory. AQE picks broadcast at runtime when the
     # candidate set is measured-small, and falls back to a shuffle
     # join when it isn't.
-    cand_ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sets_ = sets0.join(cand_ids, "doc_id", "left_semi")
+    # r14: sets_ is referenced twice (sa and sb) — without a persist
+    # each reference re-runs the semi-join AND the cand_ids
+    # union+distinct under it. Persisting the candidate docs' sets
+    # (bounded by the candidate count, which the verify joins
+    # materialize anyway) runs both once.
+    def _build_cand_sets() -> DataFrame:
+        cand_ids = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        return sets0.join(cand_ids, "doc_id", "left_semi")
+
+    sets_ = cached_df("minhash_cand_sets", spark, sf_dir, _build_cand_sets)
     paired = cand.join(
         sets_.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa")),
         "doc_a",
