@@ -138,7 +138,18 @@ def _pair_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDENTICAL between them: Jaccard and containment differ only in
     the final ratio. Persisted per (session, sf_dir) so the inverted
     -index self-join runs once for both queries instead of once
-    each."""
+    each.
+
+    Storage bound (advisor r13): this frame is PRE-threshold — one
+    row per doc pair sharing ANY shingle — which is superlinear in
+    docs on a dense shared vocabulary. MEMORY_AND_DISK spills rather
+    than OOMs, but the disk bound is the same frame the self-join
+    must materialize as shuffle output anyway (the persist adds at
+    most one extra copy of what the aggregation already wrote).
+    At 100 TB the operator to run is the max_df-capped production
+    variant, whose cap bounds exactly this fanout; the uncapped exact
+    form exists to BE the ground truth, and any corpus it is viable
+    on can hold one extra spilled copy of its own join output."""
     from skills_vectors_spark.cache import cached_df
 
     def build() -> DataFrame:

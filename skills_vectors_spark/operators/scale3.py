@@ -372,9 +372,14 @@ PR_DAMP = 0.85
 # bounded at any iteration count.
 PR_CHECKPOINT_EVERY = 2
 # broadcast the per-iteration rank×degree side while the node set is
-# provably small: 2M nodes × ~40 B/row ≈ 80 MB framed, the usual
-# broadcast comfort ceiling. Beyond it the shuffle plan takes over.
-PR_BCAST_MAX_NODES = 2_000_000
+# provably small. Sizing (advisor r13): a string-keyed
+# BroadcastHashJoin HashedRelation costs ~3-5x the raw row bytes and
+# is rebuilt on every one of the PR_ITERS iterations, so the gate
+# budgets the BUILT relation, not the 40 B/row back-of-envelope:
+# 500k nodes x ~40 B x ~5 ≈ 100 MB per build — comfortable for
+# driver and executors. Beyond it the shuffle plan takes over
+# (correctness unaffected; the broadcast is purely a fast path).
+PR_BCAST_MAX_NODES = 500_000
 
 
 def _pagerank_oracle() -> str:

@@ -30,6 +30,14 @@ TABLES = (
 # Engine-declared schemas (SURVEY §1.3: fixed StructType per table;
 # inference allowed only at CSV ingest). Used for CSV reads and
 # streaming sources, where schema-on-read must be explicit.
+#
+# Key contract (advisor r13): *_key columns named like the TPC-H
+# primary keys (r_regionkey, n_nationkey, c_custkey, s_suppkey,
+# p_partkey, o_orderkey, event_id, doc_id, vec_id) are UNIQUE in
+# their table — operators may and do elide DISTINCT on them
+# (join_bloom_prefilter's build side, the knn/embedding id joins).
+# A corpus that ships duplicate primary keys is out of contract for
+# every engine here (DuckDB oracles assume it too).
 SCHEMAS: dict[str, T.StructType] = {
     "region": T.StructType(
         [

@@ -64,16 +64,41 @@ def run_to_completion(agg: DataFrame, mode: str = "complete") -> DataFrame:
     bounded local test stream we drop to 8 partitions while the query
     runs (a real deployment sizes this to key cardinality x executor
     count, and it is fixed for the checkpoint's lifetime)."""
+    from pyspark.errors import StreamingQueryException
+
     spark = agg.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    name = f"svs_mem_{uuid.uuid4().hex[:12]}"
     try:
-        q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        # One guarded retry for a specific TRANSIENT infra failure:
+        # Spark's PythonWorkerFactory gives a freshly-spawned simple
+        # worker a hardcoded 10 s (PROCESS_WAIT_TIMEOUT_MS) to connect
+        # back, and the TransformWithState pre-init worker spawn can
+        # exceed it on a heavily-loaded host (observed twice on this
+        # VM during 2x-slowdown phases, r14). The failed attempt left
+        # no sink state behind (fresh memory-sink name + fresh temp
+        # checkpoint per attempt), so a retry recomputes from scratch
+        # — results identical, and the retry only ever ADDS wall time
+        # to the row that hit the flake. Any other error, or a second
+        # failure, propagates.
+        for attempt in (0, 1):
+            name = f"svs_mem_{uuid.uuid4().hex[:12]}"
+            try:
+                q = (
+                    agg.writeStream.outputMode(mode)
+                    .format("memory")
+                    .queryName(name)
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+                break
+            except StreamingQueryException as exc:
+                transient = "failed to connect back" in str(exc)
+                if attempt == 1 or not transient:
+                    raise
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
