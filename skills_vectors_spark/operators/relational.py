@@ -325,7 +325,13 @@ def join_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     K = 3
     s = sources.load(spark, sf_dir, "supplier")
-    c = sources.load_spread(spark, sf_dir, "customer")
+    # plain load, not load_spread (r14): the only pre-exchange work on
+    # the customer side is a trivial filter+project feeding the vals
+    # groupBy, whose hash exchange re-spreads anyway — the round-robin
+    # spread exchange bought no parallelism and cost a full extra
+    # shuffle of the table (plan: Exchange 20 -> fewer, see
+    # plans/r14/join_cross_topk_after.txt)
+    c = sources.load(spark, sf_dir, "customer")
 
     # NULL-balance existence probes (see docstring): bounded 1-row
     # actions whose isNull filters push to parquet null-count stats,
@@ -406,9 +412,23 @@ def join_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal").alias("s_bal"),
         F.lit(None).cast(cks_t).alias("cks"),
     )
-    merged = v_tag.unionByName(s_tag).repartitionByRange(
-        spark.sparkContext.defaultParallelism, "bal"
-    )
+    # Byte-budgeted range partition count (r14, guide §2.2/§6): the
+    # range exchange at defaultParallelism put 32 near-empty partitions
+    # under the mapInPandas scan at bench tiers — 32 Python worker
+    # round-trips, 32x the boundary rows, and a range-sampling pass
+    # sized to 32 targets, while the 8-core run was FASTER (the r13
+    # scaling inversion, ratio 0.47). Size partitions to the CUSTOMER
+    # table bytes (the dominant side) at ~128 KiB per partition,
+    # clamped to [1, defaultParallelism]: a big tier reaches full
+    # width, a cluster path (no local probe) keeps defaultParallelism.
+    n_range = spark.sparkContext.defaultParallelism
+    try:
+        _csz = sources._local_file_sizes(f"{sf_dir}/customer.parquet")
+    except FileNotFoundError:
+        _csz = None
+    if _csz is not None:
+        n_range = max(1, min(n_range, -(-sum(_csz) // (128 << 10))))
+    merged = v_tag.unionByName(s_tag).repartitionByRange(n_range, "bal")
 
     out_schema = (
         "kind int, s_suppkey bigint, s_bal double, bal double, cks array<bigint>"
@@ -469,13 +489,18 @@ def join_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned = scanned.persist()
     cand = scanned.filter(F.col("kind") == 0).select("s_suppkey", "s_bal", "bal", "cks")
     edge_sup = scanned.filter(F.col("kind") == 1).select("s_suppkey", "s_bal")
-    # global boundary rows: <= 2K per range partition, broadcast-safe
-    boundary = (
-        scanned.filter(F.col("kind") == 2).select("bal", "cks").dropDuplicates(["bal"])
-    )
+    # global boundary rows: <= 2K per range partition, broadcast-safe.
+    # No dropDuplicates on either frame any more (r14): duplicate
+    # (s_suppkey, bal) candidates — a partition's first/last-K overlap
+    # or an edge supplier re-receiving a bal it already holds — explode
+    # to IDENTICAL (d, c_custkey) entries (a custkey's balance is
+    # unique, so per (supplier, custkey) there is exactly one d), and
+    # the final collect_set aggregate dedups them exactly where the
+    # old plan paid a dedicated dedup exchange + two sort-aggregates.
+    boundary = scanned.filter(F.col("kind") == 2).select("bal", "cks")
     cand = cand.unionByName(
         edge_sup.crossJoin(F.broadcast(boundary)).select("s_suppkey", "s_bal", "bal", "cks")
-    ).dropDuplicates(["s_suppkey", "bal"])
+    )
 
     # (3) exact re-rank over candidates — same (d, custkey) ordering
     # expressions as the brute force, so results are bit-identical
@@ -513,13 +538,31 @@ def join_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    w = Window.partitionBy("s_suppkey").orderBy(
-        F.col("d").asc_nulls_last(), F.col("c_custkey").asc()
+    # ONE aggregate replaces dedup-exchange + window-exchange (r14,
+    # guide §2.4): the oracle's ordering (d ASC NULLS LAST, custkey
+    # ASC) is encoded as a lexicographic struct — null-flag first
+    # (reals before NULLs), then the distance, then the tiebreak key —
+    # so array_sort reproduces row_number's visit order exactly, and
+    # collect_set is the dedup the old plan bought with its own
+    # exchange. Per-group state stays bounded by the candidate-set
+    # construction (<= ~2K value rows x K custkeys per supplier plus
+    # the broadcast boundary — never O(|C|)), the same bound the
+    # window's sort buffer already carried.
+    entry = F.struct(
+        F.col("d").isNull().cast("int").alias("dn"),
+        F.coalesce(F.col("d"), F.lit(0.0)).alias("dv"),
+        F.col("c_custkey").alias("ck"),
     )
     return (
-        exploded.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= K)
-        .select("s_suppkey", "rnk", "c_custkey", F.round("d", 2).alias("bal_dist"))
+        exploded.groupBy("s_suppkey")
+        .agg(F.slice(F.array_sort(F.collect_set(entry)), 1, K).alias("es"))
+        .select("s_suppkey", F.posexplode("es").alias("pos", "e"))
+        .select(
+            "s_suppkey",
+            (F.col("pos") + 1).cast("long").alias("rnk"),
+            F.col("e.ck").alias("c_custkey"),
+            F.round(F.when(F.col("e.dn") == 0, F.col("e.dv")), 2).alias("bal_dist"),
+        )
     )
 
 
