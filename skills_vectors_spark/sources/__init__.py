@@ -133,8 +133,40 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+# Per-SparkSession memo of loaded corpus tables: each
+# spark.read.parquet(path) pays a py4j round-trip, a file listing
+# (InMemoryFileIndex) and a footer schema read — measured 0.15-0.4 s
+# per call on the bench host, called 1-3x by nearly every query, the
+# single largest slice of the ~0.3-0.5 s per-query fixed cost (r13
+# verdict item 5). A DataFrame is an immutable plan, so the same
+# object serves every consumer. Contract: the corpus under one
+# sf_dir path is immutable for a session's lifetime — the same
+# assumption _SPREAD_DECISION and the operators' probe memos already
+# encode; a caller that rewrites a table in place must evict_loads().
+# Keyed by the session OBJECT (WeakKeyDictionary, like _VIEW_MEMO)
+# so sibling sessions get their own memo and entries die with the
+# session.
+_LOAD_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def evict_loads(spark: SparkSession, *paths: str) -> None:
+    """Forget this session's load memo for `paths` (all when empty) —
+    the seam for any caller that mutates a corpus table in place."""
+    memo = _LOAD_MEMO.get(spark)
+    if not memo:
+        return
+    if not paths:
+        memo.clear()
+        return
+    for p in paths:
+        memo.pop(p, None)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one corpus table. Plain parquet scan — Catalyst handles
+    """Scan one corpus table (memoized per session+path — see
+    _LOAD_MEMO). Plain parquet scan — Catalyst handles
     predicate pushdown / column pruning from whatever the caller
     selects downstream.
 
@@ -148,10 +180,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (restored afterwards) and truncates the long column to the
     engine's µs — the same truncation DuckDB applies.
     """
+    path = f"{sf_dir}/{name}.parquet"
+    memo = _LOAD_MEMO.get(spark)
+    if memo is None:
+        memo = _LOAD_MEMO[spark] = {}
+    df = memo.get(path)
+    if df is None:
+        df = memo[path] = _load_uncached(spark, path, name)
+    return df
+
+
+def _load_uncached(spark: SparkSession, path: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
-    path = f"{sf_dir}/{name}.parquet"
     try:
         df = spark.read.parquet(path)
         if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
