@@ -338,6 +338,27 @@ def ivf_centroids(spark: SparkSession, sf_dir: str, emb: DataFrame) -> list[list
     return _IVF_CENTROIDS[sf_dir]
 
 
+# Per-(application, sf_dir) memo of the query-vector slice: ann_pq
+# and ann_ivf_pq each pulled the N_QUERIES rows to the driver with
+# their own filter+toPandas job (r13 verdict item 7 — shared probe
+# subtrees). Bounded at N_QUERIES rows, in-run only (keyed by
+# applicationId like _NULL_BAL_PROBE), cold per driver run.
+_QUERY_ROWS: dict = {}
+
+
+def _query_rows(spark: SparkSession, sf_dir: str, emb: DataFrame):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _QUERY_ROWS.get(key)
+    if df is None:
+        df = _QUERY_ROWS[key] = (
+            emb.filter(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", "embedding")
+            .toPandas()
+            .sort_values("vec_id")
+        )
+    return df
+
+
 def assign_cells(emb: DataFrame, centers: list[list[float]]) -> DataFrame:
     """(vec_id, embedding, cell) — nearest-centroid assignment as one
     Arrow-vectorized matmul per batch (the KMeans prediction rule):
@@ -657,12 +678,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = sources.load_spread(spark, sf_dir, "embeddings")
     books = pq_codebooks(spark, sf_dir, emb)  # (M, K, d_sub)
     d_sub = books.shape[2]
-    q_rows = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .toPandas()
-        .sort_values("vec_id")
-    )
+    q_rows = _query_rows(spark, sf_dir, emb)
     if not len(q_rows):  # empty corpus / no query slice: empty result
         return spark.createDataFrame(
             [], "q_id long, rnk long, c_id long, cos_sim double"
@@ -800,16 +816,25 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     books = pq_residual_codebooks(spark, sf_dir, emb)
     C = np.array(cents, dtype=np.float64)
-    c_sq = (C**2).sum(axis=1)
+    c_sq = (C**2).sum(axis=1)  # query-side probe ranking below
     d_sub = books.shape[2]
 
-    # --- index build: one Arrow pass emits (vec_id, cell, packed code)
+    # --- index build: residual-encode FROM the shared cell assignment
+    # (r14, verdict item 7): ann_ivf's cached `ivf_assigned` table
+    # already holds (vec_id, embedding, cell) computed by the exact
+    # argmin this encode pass used to repeat — reading it deletes one
+    # full corpus argmin matmul whenever both backends run in a
+    # session (the suite order and eval_backend_compare both do). An
+    # isolated cold ann_ivf_pq now materializes the assignment first
+    # (one extra cache write) — the recorded trade for sharing the
+    # subtree; at 100 TB the assignment IS the IVF index a real
+    # deployment builds exactly once for both consumers.
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            cell = (c_sq[None, :] - 2.0 * (V @ C.T)).argmin(axis=1)
+            cell = pdf["cell"].to_numpy().astype(np.int64)
             R = V - C[cell]
             code = np.zeros(len(V), dtype=np.int64)
             for m in range(PQ_M):
@@ -818,18 +843,21 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cm = ((cent**2).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)).argmin(axis=1)
                 code |= cm.astype(np.int64) << (4 * m)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "cell": cell.astype(np.int32), "code": code}
+                {"vec_id": pdf["vec_id"], "cell": cell.astype("int32"), "code": code}
             )
 
     from skills_vectors_spark.cache import cached_df
 
+    assigned = cached_df(
+        "ivf_assigned", spark, sf_dir, lambda: assign_cells(emb, cents)
+    )
     # the (vec_id, cell, code) table IS the IVFADC index — persist per
     # session so repeated searches skip the encode pass entirely
     index = cached_df(
         "ivfpq_index",
         spark,
         sf_dir,
-        lambda: emb.select("vec_id", "embedding").mapInPandas(
+        lambda: assigned.mapInPandas(
             encode,
             T.StructType(
                 [
@@ -843,12 +871,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # --- query side: probe lists + per-(query, cell) ADC tables,
     # all driver-side over N_QUERIES rows (constant work)
-    q_rows = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .toPandas()
-        .sort_values("vec_id")
-    )
+    q_rows = _query_rows(spark, sf_dir, emb)
     Q = np.stack(q_rows["embedding"].to_numpy()).astype(np.float64)
     q_ids = q_rows["vec_id"].to_numpy()
     qc_d2 = c_sq[None, :] - 2.0 * (Q @ C.T)  # (nq, ncells) L2 rank
