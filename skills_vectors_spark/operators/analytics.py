@@ -161,11 +161,16 @@ def seq_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # fact-size gate for persisting ts_gapfill's hourly rollup: below
 # this local byte size, two scans of the fact are cheaper than the
-# cache-materialization barrier (measured at sf0.1); above it — and
-# on any non-local path — one fact pass + the bounded rollup cache
-# wins. Parameterised, not tuned to the bench: the bench tiers sit
-# far below it, a production fact far above.
-TS_CACHE_MIN_FACT_BYTES = 256 << 20
+# cache-materialization barrier; above it — and on any non-local
+# path — one fact pass + the bounded rollup cache wins. r14
+# measurement bracketed the crossover: at the 2 MB sf0.1 fact the
+# persist is neutral-to-slightly-worse (interleaved 1.7-2.7 vs
+# 1.7-2.4 s), at the 21.5 MB 10x fact it wins ~1.5x interleaved
+# (4.5-5.4 vs 7.3-9.1 s; plans/r14/ts_gapfill_10x_cache_{on,off}.txt
+# — runtime fact scans 2 -> 1). 8 MiB sits between the two measured
+# points; the r13 value (256 MiB) was a conservative guess that lost
+# the win at every realistic mid tier.
+TS_CACHE_MIN_FACT_BYTES = 8 << 20
 
 
 @register(
