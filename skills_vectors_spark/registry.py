@@ -34,92 +34,115 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Round-13 window, FINAL (re-curated after the late-r13
-# degenerate-input differential pass — zero-row / NULL-heavy /
-# constant corpora, SCALING.md r13): rows whose ORACLE SQL or output
-# semantics changed this round outrank everything, then rows whose
-# Spark expressions changed with values verified identical, then the
-# earlier-r13 re-plans that still fit. All 189 were value-verified
-# on final code by the full driver simulation AND the three
-# degenerate-tier sweeps; the window lists the rows the driver must
-# formally grade because their contract moved:
-# (a) the dedup family — word_shingles NULL semantics (NULL text no
-#   longer fabricates [''] and pairs with every other NULL doc),
-#   minhash/simhash None guards, dedup_near's UDF-safe sentinel, and
-#   the late-r13 minhash/simhash oracle promotions;
-# (b) embed family — NULL text embeds to no row (oracles aligned),
-#   provider_switch's deterministic non-null cap;
-# (c) BLAS kernels — tie-complete top-k pool + 1e-6-grain rank keys
-#   (sim_topk_bruteforce oracle changed), NULL-corpus load guard;
-# (d) relevance/corpus_eval — text_tfidf_sim / eval_ndcg_mrr rank at
-#   the output grain (oracles changed);
-# (e) streaming — stream_stateful's SQL-NULL aggregate semantics,
-#   foreachBatch explicit read-back schema, stream_ann_assign's
-#   coalesced gate; the TWS trio's is_nan schema (earlier r13);
-# (f) NULL-aggregate fixes — agg_mode / agg_minmax_by (oracles
-#   changed), the hll pair's null-safe group join;
-# (g) zero-variance fixes — corr via guarded covar/stddev,
-#   nullif'd moments and z-statistic (agg_moments / eval_ab_lift
-#   oracles changed);
-# (h) empty-corpus guards with plan or gate changes — ANN gate
-#   recall_ok vacuous-true arm, sink read-back schemas, image/blob
-#   planting skips NULL docs (oracles changed);
-# (i) earlier-r13 re-plans that keep their slots: bloom single-scan,
-#   substring single-pass, percentile fragment rework.
-# Left OUT on plan-only-value-identical grounds (full-sim green):
-# bm25 / rrf / perplexity / entropy / zipf / pmi (cold re-plan only),
-# graph_pagerank + scan_npy (empty-branch guards not taken on real
-# corpora), agg_winsorized_mean / agg_approx_percentile (machinery
-# shared with the in-window agg_percentile), eval_recall_lsh (file
-# shared with the in-window ann gates). Queued first for r14.
+# Round-14 window (the r13 verdict's item 3, executed): the driver
+# must formally grade (1) every query the r13/r14 OPTIMIZER touched
+# that sat outside the r13 graded sample — the verdict's named list —
+# (2) the r13 rotation queue's plan-only rows, and (3) this round's
+# own touched queries. All 189 remain value-verified on final code
+# by the full driver simulation; the window picks which 50 the
+# driver formally grades:
+# (a) r13 optimizer-touched, outside the r13 window (verdict item 3
+#   names them): anomaly_mad, join_cross_topk (re-planned again this
+#   round), graph_pagerank, report_pivot, eval_recall, knn_exact,
+#   knn_exact_l2, eval_avgsim, ts_gapfill (cache gate re-measured
+#   and LOWERED this round), text_ngram_novelty;
+# (b) the r13 queue's plan-only rows: bm25, rrf, perplexity,
+#   entropy, zipf, pmi, winsorized, approx_percentile,
+#   eval_recall_lsh, scan_npy;
+# (c) r14-touched: dedup_minhash (candidate caches), the ANN family
+#   (shared cell assignment + query-vector memo: ann_ivf, ann_pq,
+#   ann_ivf_pq, plus ann_lsh / ann_brp_l2 / eval_backend_compare as
+#   consumers of the shared gold and allr cache), the TWS trio +
+#   stream_tumbling (run_to_completion retry path), and the
+#   cost-shift families' heads (jaccard/containment/production,
+#   tfidf/ndcg, embed pipeline) that ride the session caches the
+#   r14 load-memo change sits under;
+# (d) r13 re-plans keeping their slots: join_bloom_prefilter
+#   (DISTINCT elision now rests on the documented PK contract),
+#   dedup_substring, agg_percentile, sim_topk_bruteforce.
+# Displaced r13-window rows move to the head of _DEFERRED so the
+# beyond-window sweep still visits them first.
 _PROMOTED = [
-    # (a) dedup stratum
+    # (a) r13 optimizer-touched, formally ungraded until now
+    "join_cross_topk",
+    "anomaly_mad",
+    "graph_pagerank",
+    "report_pivot",
+    "eval_recall",
+    "knn_exact",
+    "knn_exact_l2",
+    "eval_avgsim",
+    "ts_gapfill",
+    "text_ngram_novelty",
+    # (b) r13 queue: plan-only rows
+    "text_bm25_search",
+    "search_hybrid_rrf",
+    "quality_perplexity",
+    "quality_entropy",
+    "text_zipf_slope",
+    "text_pmi_bigrams",
+    "agg_winsorized_mean",
+    "agg_approx_percentile",
+    "eval_recall_lsh",
+    "scan_npy",
+    # (c) r14-touched
+    "dedup_minhash",
+    "ann_lsh",
+    "ann_ivf",
+    "ann_pq",
+    "ann_ivf_pq",
+    "ann_brp_l2",
+    "eval_backend_compare",
+    "eval_dedup_compare",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_production",
     "dedup_containment",
+    "stream_transform_state",
+    "stream_transform_topk",
+    "stream_transform_typecounts",
+    "stream_tumbling",
+    "stream_late_metrics",
+    "stream_sink_files",
+    "sink_merge_rows",
+    "mix_temperature",
+    "quality_drift_psi",
+    "knn_filtered",
+    "agg_gini",
+    "agg_gini_distributed",
+    "text_tfidf_sim",
+    "eval_ndcg_mrr",
+    "embed_knn_pipeline",
+    # (d) r13 re-plans keeping their slots
+    "join_bloom_prefilter",
+    "dedup_substring",
+    "agg_percentile",
+    "sim_topk_bruteforce",
+]
+# Displaced r13-window rows, oldest verification signal first: the
+# beyond-window sweep (driver_sim first-N, spot checks) visits these
+# right after the graded 50.
+_DEFERRED: list[str] = [
     "dedup_clusters",
     "dedup_apply",
     "dedup_decontaminate",
     "dedup_incremental",
     "dedup_near",
-    "dedup_minhash",
     "dedup_simhash",
-    "eval_dedup_compare",
-    # (b) embed stratum
     "embed_mock",
     "embed_provider_switch",
-    "embed_knn_pipeline",
     "embed_project_pca",
-    # (c) BLAS kernels
-    "sim_topk_bruteforce",
     "dedup_embed_cosine_blas",
-    # (d) output-grain rank keys
-    "text_tfidf_sim",
-    "eval_ndcg_mrr",
-    # (e) streaming
     "stream_stateful",
     "stream_foreach_batch",
     "stream_ann_assign",
-    "stream_transform_state",
-    "stream_transform_topk",
-    "stream_transform_typecounts",
-    # (f) NULL-aggregate semantics
     "agg_mode",
     "agg_minmax_by",
     "agg_hll_sketch",
     "hll_sketch_production",
-    # (g) zero-variance arithmetic
     "agg_stats",
     "agg_corr_matrix",
     "agg_moments",
     "eval_ab_lift",
-    # (h) empty-corpus guards with gate/oracle changes
-    "ann_lsh",
-    "ann_ivf",
-    "ann_brp_l2",
-    "ann_pq",
-    "ann_ivf_pq",
-    "eval_backend_compare",
     "sink_ann_index",
     "sink_partitioned",
     "sink_upsert_partition",
@@ -128,21 +151,7 @@ _PROMOTED = [
     "mm_image_resize",
     "text_chunk",
     "fingerprint_rolling",
-    # (i) earlier-r13 re-plans keeping their slots
-    "join_bloom_prefilter",
-    "dedup_substring",
-    "agg_percentile",
 ]
-# r14 rotation queue (oldest/displaced first): the plan-only rows
-# left out above — text_bm25_search, search_hybrid_rrf,
-# quality_perplexity, quality_entropy, text_zipf_slope,
-# text_pmi_bigrams, graph_pagerank, scan_npy, agg_winsorized_mean,
-# agg_approx_percentile, eval_recall_lsh — then the r8/r10
-# remainder (text_ngram_novelty, mix_temperature, quality_drift_psi,
-# knn_filtered, anomaly_mad, agg_gini(+_distributed),
-# sink_merge_rows, stream_sink_files, stream_late_metrics, the
-# relational.py r12 cohort) and whatever r13's verdict stales.
-_DEFERRED: list[str] = []
 
 
 def load_all() -> None:
