@@ -188,3 +188,27 @@ def test_r7_wave_plan_shapes(spark, sf_dir):
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
     facts = PlanFacts.of(nov)
     assert facts.pushed_filters
+
+
+def test_cross_topk_one_aggregate_no_window(spark, sf_dir):
+    """r14 re-plan: the per-supplier top-K is one collect_set
+    aggregate (single post-union exchange), not a dedup exchange +
+    row_number window — a regression re-introducing the window shape
+    doubles the shuffle count on the candidate frame."""
+    from skills_vectors_spark.plans import physical_plan
+
+    p = physical_plan(relational.join_cross_topk(spark, sf_dir))
+    assert "Window" not in p, "top-K must not re-grow a window exchange"
+    assert p.count("WindowGroupLimit") == 0
+
+
+def test_load_memo_returns_same_plan_and_evicts(spark, sf_dir):
+    """r14 fixed-cost shave: sources.load memoizes the (immutable)
+    DataFrame plan per (session, path); evict_loads drops it."""
+    a = sources.load(spark, sf_dir, "customer")
+    b = sources.load(spark, sf_dir, "customer")
+    assert a is b, "same session+path must reuse the loaded plan"
+    sources.evict_loads(spark, f"{sf_dir}/customer.parquet")
+    c = sources.load(spark, sf_dir, "customer")
+    assert c is not a, "evict_loads must force a fresh read"
+    assert c.schema == a.schema
