@@ -27,13 +27,11 @@ def test_entry_contract(spark):
 def test_sweep_window_prioritizes_least_attested():
     """Bounded front-to-back sweeps read the first 50 registered
     queries; that window must hold the least-attested-on-current-code
-    surface. Round-13 rotation (the r12 verdict's ordered queue):
-    every stratum edited this round — ann.py's newly-oracled gate
-    rows, the TWS trio (schema change), the inverted-index family
-    (cold re-plan), the percentile machinery, scale3.py, the dedup
-    oracle promotions (minhash/simhash pair oracles; simhash output
-    changed with the cross-engine hash) — then 18 slots of the
-    r8-oldest cohort."""
+    surface. Round-14 rotation (the r13 verdict's item 3): the r13
+    optimizer-touched rows the r13 window never graded, the r13
+    queue's plan-only rows, this round's touched rows (minhash
+    caches, the shared-ANN family, the TWS retry path, the
+    cost-shift family heads), and the r13 re-plans keeping slots."""
     from skills_vectors_spark import registry
     from skills_vectors_spark.streaming.windows import (
         transform_with_state_available,
@@ -55,28 +53,27 @@ def test_sweep_window_prioritizes_least_attested():
         window = list(registry.QUERIES)[: len(promoted)]
     assert promoted == set(window)
     for must in (
-        # dedup family (word_shingles NULL semantics + oracle
-        # promotions — the r13 degenerate-differential pass)
-        ["dedup_ngram_jaccard", "dedup_apply", "dedup_incremental",
-         "dedup_near", "dedup_minhash", "dedup_simhash",
-         "eval_dedup_compare"]
-        # embed family (NULL text embeds to no row; oracles aligned)
-        + ["embed_mock", "embed_knn_pipeline", "embed_provider_switch"]
-        # BLAS kernels (tie-complete pool + output-grain rank keys)
-        + ["sim_topk_bruteforce", "text_tfidf_sim", "eval_ndcg_mrr"]
-        # TWS trio (is_nan schema change this round)
+        # r13 optimizer-touched rows the r13 window never graded
+        # (the r13 verdict's item 3 names them)
+        ["anomaly_mad", "join_cross_topk", "graph_pagerank",
+         "report_pivot", "eval_recall", "knn_exact", "knn_exact_l2",
+         "eval_avgsim", "ts_gapfill", "text_ngram_novelty"]
+        # the r13 rotation queue's plan-only rows
+        + ["text_bm25_search", "search_hybrid_rrf",
+           "quality_perplexity", "quality_entropy", "text_zipf_slope",
+           "text_pmi_bigrams", "agg_winsorized_mean",
+           "agg_approx_percentile", "eval_recall_lsh", "scan_npy"]
+        # r14-touched: minhash caches, the shared-ANN family, the
+        # cost-shift family heads
+        + ["dedup_minhash", "ann_lsh", "ann_ivf", "ann_pq",
+           "ann_ivf_pq", "eval_backend_compare", "eval_dedup_compare",
+           "dedup_ngram_jaccard", "dedup_containment",
+           "text_tfidf_sim", "eval_ndcg_mrr", "embed_knn_pipeline"]
+        # TWS trio (run_to_completion retry path this round)
         + (["stream_transform_state", "stream_transform_topk",
             "stream_transform_typecounts"] if tws else [])
-        # streaming + aggregate NULL semantics
-        + ["stream_stateful", "agg_mode", "agg_minmax_by",
-           "agg_hll_sketch"]
-        # zero-variance arithmetic (ANSI divide guards)
-        + ["agg_stats", "agg_corr_matrix", "agg_moments", "eval_ab_lift"]
-        # empty-corpus guards with gate/oracle changes
-        + ["ann_lsh", "ann_ivf_pq", "eval_backend_compare",
-           "sink_ann_index", "sink_partitioned", "scan_binaryfile",
-           "text_chunk", "fingerprint_rolling"]
-        # earlier-r13 re-plans keeping their slots
-        + ["join_bloom_prefilter", "dedup_substring", "agg_percentile"]
+        # r13 re-plans keeping their slots
+        + ["join_bloom_prefilter", "dedup_substring", "agg_percentile",
+           "sim_topk_bruteforce"]
     ):
         assert must in window, f"{must} fell out of the 50-query sweep window"
