@@ -54,6 +54,21 @@ N_PLANES = 5  # bits per table
 N_TABLES = 40  # independent hash tables (union of candidates)
 SEED = 42
 
+# Byte budget per task for the embeddings-table Arrow passes
+# (signatures, cell assignment, PQ encode/score): one numpy matmul
+# per batch is cheap per byte, so 32 near-empty partitions cost more
+# in Python-worker round trips than the matmul saves — the r13
+# minhash lesson, applied here after ann_lsh showed the same 8-core
+# inversion (r14: 4.67 s at 32 cores vs 1.75 at 8). ~256 KiB/task
+# lands sf0.1 (780 KB) on 3-4 partitions and the 10x tier (5.9 MB)
+# on ~24; a bigger tier hits the defaultParallelism clamp, and a
+# cluster path is never probed (load_spread policy) — no shuffle is
+# ever added at scale. Results are partition-independent: signatures
+# and cell assignment are per-row, and the PQ scorer emits each
+# partition's local top n_cand, a superset of the global top n_cand
+# under any partitioning.
+EMB_SPREAD_BUDGET = 256 << 10
+
 
 def _plane_matrix(dim: int = DIM) -> np.ndarray:
     """Seeded hyperplane normals for `dim`-dimensional vectors —
@@ -125,9 +140,15 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass rather than re-deriving it from the corpus buckets, which
     # would force the full-corpus Arrow pass to execute twice. The
     # corpus bucket table is the LSH INDEX — persisted per session,
-    # exactly the build-once/search-many split of a real vector store
+    # exactly the build-once/search-many split of a real vector store.
+    # The signature pass reads a byte-budgeted spread (r14,
+    # EMB_SPREAD_BUDGET) instead of hyperplane_buckets' own
+    # full-width spread — same rows, bounded task fan-out.
+    emb_sp = sources.load_spread(
+        spark, sf_dir, "embeddings", budget_bytes=EMB_SPREAD_BUDGET
+    )
     buckets_c = cached_df(
-        "lsh_buckets_c", spark, sf_dir, lambda: hyperplane_buckets(emb)
+        "lsh_buckets_c", spark, sf_dir, lambda: hyperplane_buckets(emb_sp, spread=False)
     ).withColumnRenamed("vec_id", "c_id")
     q = emb.filter(F.col("vec_id") < N_QUERIES)
     buckets_q = hyperplane_buckets(q, spread=False).withColumnRenamed(
@@ -408,7 +429,16 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     N_PROBE nearest centroids -> exact re-rank within probed cells.
     Corpus scan per query drops to nprobe/ncells of the data; at
     100 TB the cell assignment is the partitioning key."""
+    # centroid TRAINING keeps the full-width spread frame: the
+    # limit(MAX_TRAIN) sample rides partition order, so changing the
+    # training frame's partitioning changes the seeded KMeans init
+    # and with it every IVF/PQ result (verified by bit-diff, r14).
+    # Only the per-row Arrow passes below read the byte-budgeted
+    # frame — identical rows, bounded task fan-out.
     emb = sources.load_spread(spark, sf_dir, "embeddings")
+    emb_sp = sources.load_spread(
+        spark, sf_dir, "embeddings", budget_bytes=EMB_SPREAD_BUDGET
+    )
     cents = ivf_centroids(spark, sf_dir, emb)
     if not cents:  # empty corpus: nothing to index or search
         return spark.createDataFrame(
@@ -427,7 +457,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skills_vectors_spark.cache import cached_df
 
     assigned = cached_df(
-        "ivf_assigned", spark, sf_dir, lambda: assign_cells(emb, cents)
+        "ivf_assigned", spark, sf_dir, lambda: assign_cells(emb_sp, cents)
     )
     # queries don't need their own cell — pull them straight from the
     # source so the assignment pass only ever runs once (filters do
@@ -729,7 +759,14 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-partition candidates: each partition returns its local ADC
     # top keep; the global window below merges them (candidates per
     # query = keep x n_partitions upper bound, still << corpus)
-    cand = emb.select("vec_id", "embedding").mapInPandas(score, cand_schema)
+    # byte-budgeted scan for the ADC scoring pass (results are
+    # partition-independent: each partition emits its local top
+    # n_cand, a superset of the global top n_cand); the codebook
+    # TRAINING above keeps the full-width frame — see ann_ivf
+    emb_sp = sources.load_spread(
+        spark, sf_dir, "embeddings", budget_bytes=EMB_SPREAD_BUDGET
+    )
+    cand = emb_sp.select("vec_id", "embedding").mapInPandas(score, cand_schema)
     w_adc = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id"))
     shortlist = (
         cand.filter(F.col("q_id") != F.col("c_id"))
@@ -848,8 +885,14 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from skills_vectors_spark.cache import cached_df
 
+    # same byte-budgeted frame as ann_ivf's assignment build (the
+    # shared cache key must build identically from either consumer);
+    # training frames above stay full-width — see ann_ivf
+    emb_sp = sources.load_spread(
+        spark, sf_dir, "embeddings", budget_bytes=EMB_SPREAD_BUDGET
+    )
     assigned = cached_df(
-        "ivf_assigned", spark, sf_dir, lambda: assign_cells(emb, cents)
+        "ivf_assigned", spark, sf_dir, lambda: assign_cells(emb_sp, cents)
     )
     # the (vec_id, cell, code) table IS the IVFADC index — persist per
     # session so repeated searches skip the encode pass entirely
