@@ -43,9 +43,13 @@ def test_bench_protocol_parses_committed_table():
     body = (REPO / "BENCH_COMPARE.md").read_text()
     cold, warm, duck = _extract_total(body)
     assert 0 < warm <= cold and duck > 0
+    # sum only the CURRENT round's table: the file keeps prior rounds'
+    # tables as history below the first total row, and their rows must
+    # not be charged against this round's totals
+    current = body[: body.index("**total**")]
     rows = re.findall(
         r"^\| (?!query|\*\*total)[\w.]+ \| ([\d.]+) \| ([\d.]+) \| ([\d.]+) \|",
-        body,
+        current,
         re.M,
     )
     assert len(rows) >= 50, "58-query basis expected"
